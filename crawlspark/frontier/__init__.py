@@ -1,0 +1,4 @@
+"""Frontier engine: snapshot state store, seen-filters, politeness, round job."""
+
+from .engine import CrawlConfig, CrawlEngine  # noqa: F401
+from .state import SnapshotStore  # noqa: F401

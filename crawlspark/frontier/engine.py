@@ -1,0 +1,342 @@
+"""The crawl engine: each scheduling round is ONE declarative DataFrame job.
+
+Semantic contract (shared verbatim with the pure-Python oracle,
+crawlspark.oracle — BASELINE.json demands exact crawl-order/URL-seen match):
+
+  Round r over state (frontier, seen, counters):
+   1. DEDUP    frontier rows by url_hash, keeping the best by
+               (priority desc, discovered_seq asc)  [A6]
+   2. SEEN     drop rows whose url_hash ∈ seen — Bloom/cuckoo pre-filter,
+               exact anti-join decides  [J4]
+   3. ROBOTS   drop rows whose path matches a disallow prefix of their host
+   4. BUDGET   host_budget = k_global if delay==0 else max(1, round_ms//delay)
+   5. TOP-K    per host by (priority desc, discovered_seq, url_hash), keep
+               ≤ budget — salted two-level ranking (hot-host skew)  [A5]
+   6. LIMIT    global order by the same key, take k_global; idx = 0..n-1
+   7. FETCH    join pages on canonical URL; absent page ⇒ status 404
+   8. REFRESH  2xx pages with meta_refresh_url resolve it against
+               coalesce(base_href, canon) (reference: response.go:86-94,
+               page.go:18-31); depth 1 (session.go:304-307). A refresh fires
+               iff target ∉ seen ∪ {this round's scheduled} and it is the
+               first (by parent idx) to claim that target. It occupies its
+               own fetch slot immediately after its parent — the analog of
+               invokeCount++ per invoke (session.go:160).
+   9. SEQ      fetch_seq = base + idx + (#refreshes among earlier primaries)
+               + 1; a refresh row gets parent's fetch_seq + 1.
+  10. EXPAND   2xx fetches (incl. refresh fetches) emit their links, resolved
+               against coalesce(base_href, canon), canonicalized; child
+               priority = parent - 1, discovered_seq = parent_seq*100 + pos
+               (pos = document order — the FollowLink tiebreaker,
+               session.go:343-358).
+  11. STATE    seen += scheduled ∪ refresh targets; frontier' = (survivors of
+               1-3 not scheduled) ∪ children, pre-deduped/pre-seen-filtered
+               (invisible: the pop-time rules of the next round make the
+               same choices — dedup keeps the min of a total order, which is
+               associative across rounds).
+  12. COMMIT   one atomic snapshot (frontier, fetch_log, seen, seen_shards,
+               metrics) — resume replays byte-identically (the record/replay
+               contract, session.go:147-266).
+
+Non-2xx fetches are LOGGED and not expanded — the reference rejects non-2xx
+(session.go:197-199) as an error; our engine dead-letters them as rows, never
+exceptions (errors-as-data).
+
+Determinism: every ordering is a pure function of data (no
+monotonically_increasing_id, no rand(), no wall clock); the only Python code
+on the hot path is Arrow-batched (canonicalize, bloom probe, payload decode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..urltools import canonicalize_udf, host_udf, path_udf
+from .politeness import budget_col, order_cols, robots_allowed_col, topk_per_host
+from .seen import SeenFilter
+from .state import SnapshotStore
+
+FRONTIER_COLS = ["canon", "url_hash", "host", "path", "priority",
+                 "discovered_seq", "ref_url"]
+
+FETCH_LOG_SCHEMA = ("round int, fetch_seq long, canon string, ref_url string, "
+                    "status int, is_refresh boolean, image_id string, "
+                    "host string, priority double")
+
+
+@dataclass
+class CrawlConfig:
+    round_ms: int = 30_000        # reference navigation timeout (30 s)
+    k_global: int = 1_000         # scheduled fetches per round
+    max_rounds: int = 100
+    salt_buckets: int = 8         # hot-host two-level ranking fan-out
+    seen_kind: str = "bloom"      # or "cuckoo"
+    seen_shards: int = 8
+    seen_m_bits: int = 1 << 22    # per shard; scale-out: 2^30 × 16-64 shards
+    validate_fraction: float = 0.02  # payload fidelity sampling
+    shuffle_partitions: int | None = None
+
+
+class CrawlEngine:
+    def __init__(self, spark, store: SnapshotStore, pages: DataFrame,
+                 robots: DataFrame, images: DataFrame | None = None,
+                 cfg: CrawlConfig = CrawlConfig()):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg
+        self.pages = pages
+        self.robots = robots
+        self.images = images
+        self.filter = SeenFilter(cfg.seen_kind, cfg.seen_shards, cfg.seen_m_bits)
+
+    # -- seeding ---------------------------------------------------------------
+
+    def seed(self, seeds: DataFrame) -> None:
+        """Initialize round -0 state from seeds(url, seed_pos)."""
+        fr = (seeds
+              .withColumn("canon", canonicalize_udf(
+                  F.col("url"), F.lit(None).cast("string")))
+              .filter(F.col("canon").isNotNull())
+              .withColumn("url_hash", F.xxhash64("canon"))
+              .withColumn("host", host_udf("canon"))
+              .withColumn("path", path_udf("canon"))
+              .withColumn("priority", F.lit(0.0))
+              .withColumn("discovered_seq", F.col("seed_pos").cast("long"))
+              .withColumn("ref_url", F.lit(None).cast("string"))
+              .select(*FRONTIER_COLS))
+        empty_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
+        self.store.commit(-1, {"frontier": fr, "fetch_log": empty_log},
+                          counters={"fetched_total": 0})
+
+    # -- one round ---------------------------------------------------------------
+
+    def run_round(self, r: int) -> dict:
+        cfg = self.cfg
+        store = self.store
+        frontier = store.read("frontier")
+        seen = store.read("seen")
+        shards_df = store.read("seen_shards")
+        base_seq = store.counters().get("fetched_total", 0)
+
+        if frontier is None:
+            raise RuntimeError("seed() first")
+
+        # 1. dedup by url_hash (keep best by the total order)
+        wdup = W.partitionBy("url_hash").orderBy(
+            F.col("priority").desc(), F.col("discovered_seq").asc())
+        cand = (frontier
+                .withColumn("_rn", F.row_number().over(wdup))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+        # 2. seen: approximate pre-filter, exact anti-join decides
+        if seen is not None:
+            if shards_df is not None:
+                shard_rows = shards_df.collect()
+                maybe = self.filter.might_contain_col(
+                    shard_rows, F.col("url_hash"))
+                cand = cand.withColumn("_maybe", maybe)
+                fresh = cand.filter(~F.col("_maybe")).drop("_maybe")
+                suspect = (cand.filter(F.col("_maybe")).drop("_maybe")
+                           .join(seen, "url_hash", "left_anti"))
+                cand = fresh.unionByName(suspect)
+            else:
+                cand = cand.join(seen, "url_hash", "left_anti")
+
+        # 3-4. robots (broadcast: one row per host) + budget arithmetic
+        allowed = (cand.join(F.broadcast(self.robots), "host", "left")
+                   .filter(robots_allowed_col())
+                   .withColumn("host_budget",
+                               budget_col(cfg.round_ms, cfg.k_global))
+                   .select(*FRONTIER_COLS, "host_budget"))
+        allowed = allowed.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # 5-6. politeness top-K then global limit; idx = scheduling order
+        survivors = topk_per_host(allowed, cfg.salt_buckets)
+        scheduled = (survivors.orderBy(*order_cols()).limit(cfg.k_global)
+                     .withColumn("idx", F.row_number().over(
+                         W.orderBy(*order_cols())) - 1)
+                     .drop("host_budget"))
+        scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
+        n_scheduled = scheduled.count()
+        if n_scheduled == 0:
+            allowed.unpersist()
+            scheduled.unpersist()
+            return {"round": r, "scheduled": 0, "fetched": 0, "done": True}
+
+        # 7. fetch = join the page corpus on canonical URL
+        pages = self.pages
+        fetched = (scheduled.join(
+            pages.withColumnRenamed("url", "canon")
+                 .withColumnRenamed("host", "_phost"),
+            "canon", "left")
+            .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
+            .drop("_phost"))
+
+        # 8. meta-refresh (depth 1): resolve against base, claim targets
+        is2xx = (F.floor(F.col("status") / 100) == 2)
+        fetched = fetched.withColumn(
+            "refresh_canon",
+            F.when(is2xx & F.col("meta_refresh_url").isNotNull(),
+                   canonicalize_udf(
+                       F.col("meta_refresh_url"),
+                       F.coalesce(F.col("base_href"), F.col("canon")))))
+        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+
+        refr = (fetched
+                .filter(F.col("refresh_canon").isNotNull())
+                .select(F.col("idx").alias("parent_idx"),
+                        F.col("canon").alias("parent_canon"),
+                        F.col("priority").alias("parent_priority"),
+                        F.col("refresh_canon"),
+                        F.xxhash64("refresh_canon").alias("r_hash")))
+        if seen is not None:
+            refr = refr.join(seen, refr.r_hash == seen.url_hash, "left_anti")
+        refr = (refr.join(scheduled.select(F.col("url_hash").alias("r_hash")),
+                          "r_hash", "left_anti")
+                .withColumn("_rn", F.row_number().over(
+                    W.partitionBy("r_hash").orderBy("parent_idx")))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+        # 9. fetch_seq: interleave refreshes right after their parents
+        wseq = W.orderBy("idx")
+        with_flags = (fetched.join(
+            refr.select(F.col("parent_idx").alias("idx"),
+                        F.lit(1).alias("_has_refresh")), "idx", "left")
+            .withColumn("_prev_refr", F.coalesce(
+                F.sum("_has_refresh").over(
+                    wseq.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
+            .withColumn("fetch_seq",
+                        F.lit(base_seq) + F.col("idx") + F.col("_prev_refr")
+                        + F.lit(1)))
+        primaries = with_flags.withColumn("is_refresh", F.lit(False))
+
+        refresh_rows = (refr.join(
+            with_flags.select(F.col("idx").alias("parent_idx"),
+                              F.col("fetch_seq").alias("parent_seq")),
+            "parent_idx")
+            .join(pages.withColumnRenamed("url", "refresh_canon")
+                       .withColumnRenamed("host", "_phost"),
+                  "refresh_canon", "left")
+            .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
+            .select(F.col("refresh_canon").alias("canon"),
+                    F.col("r_hash").alias("url_hash"),
+                    host_udf("refresh_canon").alias("host"),
+                    F.col("parent_canon").alias("ref_url"),
+                    F.col("parent_priority").alias("priority"),
+                    (F.col("parent_seq") + 1).alias("fetch_seq"),
+                    F.col("status"), F.col("base_href"),
+                    F.col("links"), F.col("image_id"),
+                    F.lit(True).alias("is_refresh")))
+
+        log_cols = ["canon", "url_hash", "host", "ref_url", "priority",
+                    "fetch_seq", "status", "base_href", "links", "image_id",
+                    "is_refresh"]
+        all_fetched = (primaries.select(*log_cols)
+                       .unionByName(refresh_rows.select(*log_cols)))
+        all_fetched = all_fetched.persist(StorageLevel.MEMORY_AND_DISK)
+        n_fetched = all_fetched.count()
+
+        # 10. expansion: links of 2xx fetches → child frontier rows
+        exp = (all_fetched
+               .filter(F.floor(F.col("status") / 100) == 2)
+               .filter(F.size(F.col("links")) > 0)
+               .select("canon", "priority", "fetch_seq",
+                       F.coalesce(F.col("base_href"), F.col("canon"))
+                        .alias("base"),
+                       F.explode("links").alias("link")))
+        children = (exp
+                    .withColumn("child", canonicalize_udf(
+                        F.col("link.href"), F.col("base")))
+                    .filter(F.col("child").isNotNull())
+                    .select(F.col("child").alias("canon"),
+                            F.xxhash64("child").alias("url_hash"),
+                            host_udf("child").alias("host"),
+                            path_udf("child").alias("path"),
+                            (F.col("priority") - 1).alias("priority"),
+                            (F.col("fetch_seq") * 100
+                             + F.col("link.pos")).cast("long")
+                            .alias("discovered_seq"),
+                            F.col("canon").alias("ref_url")))
+
+        # 11. next state
+        new_seen = (all_fetched.select("url_hash").distinct())
+        remaining = (allowed.select(*FRONTIER_COLS)
+                     .join(scheduled.select("url_hash"), "url_hash",
+                           "left_anti"))
+        frontier_next = (remaining.unionByName(children.select(*FRONTIER_COLS))
+                         .join(new_seen, "url_hash", "left_anti"))
+        if seen is not None:
+            frontier_next = frontier_next.join(seen, "url_hash", "left_anti")
+        wdup2 = W.partitionBy("url_hash").orderBy(
+            F.col("priority").desc(), F.col("discovered_seq").asc())
+        frontier_next = (frontier_next
+                         .withColumn("_rn", F.row_number().over(wdup2))
+                         .filter(F.col("_rn") == 1).drop("_rn"))
+
+        shards_next = self.filter.build(new_seen, existing_df=shards_df)
+
+        # 12. metrics + lineage (A7: per host and per partition)
+        host_metrics = (all_fetched
+                        .groupBy("host")
+                        .agg(F.count("*").alias("n_fetched"),
+                             F.sum(F.when(F.floor(F.col("status") / 100) == 2,
+                                          1).otherwise(0)).alias("n_2xx"))
+                        .withColumn("round", F.lit(r))
+                        .withColumn("partition_id", F.lit(-1))
+                        .withColumn("kind", F.lit("host")))
+        lineage = (all_fetched
+                   .withColumn("partition_id", F.spark_partition_id())
+                   .groupBy("partition_id")
+                   .agg(F.count("*").alias("n_fetched"))
+                   .withColumn("n_2xx", F.lit(None).cast("long"))
+                   .withColumn("round", F.lit(r))
+                   .withColumn("host", F.lit(None).cast("string"))
+                   .withColumn("kind", F.lit("partition"))
+                   .select(*host_metrics.columns))
+        metrics = host_metrics.unionByName(lineage)
+
+        fetch_log = (all_fetched
+                     .withColumn("round", F.lit(r))
+                     .select("round", "fetch_seq", "canon", "ref_url",
+                             "status", "is_refresh", "image_id", "host",
+                             "priority"))
+
+        # payload fidelity sampling (input_hint invariant), if corpus present
+        if self.images is not None and cfg.validate_fraction > 0:
+            from .validate import validate_payloads
+            n_bad = validate_payloads(
+                all_fetched, self.images, cfg.validate_fraction)
+            if n_bad:
+                raise RuntimeError(f"payload fidelity violated on {n_bad} rows")
+
+        store.commit(r, {
+            "frontier": frontier_next,
+            "fetch_log": fetch_log,
+            "seen": new_seen,
+            "seen_shards": shards_next,
+            "metrics": metrics,
+        }, counters={"fetched_total": int(base_seq + n_fetched)})
+
+        for df in (allowed, scheduled, fetched, all_fetched):
+            df.unpersist()
+        return {"round": r, "scheduled": int(n_scheduled),
+                "fetched": int(n_fetched), "done": False}
+
+    # -- driver loop -------------------------------------------------------------
+
+    def run(self, max_rounds: int | None = None) -> list[dict]:
+        """Run rounds from the last committed snapshot (resume-safe)."""
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        stats = []
+        start = self.store.last_round() + 1
+        for r in range(start, start + limit):
+            st = self.run_round(r)
+            stats.append(st)
+            if st["done"]:
+                break
+        return stats

@@ -1,0 +1,105 @@
+"""Snapshot-per-round state store — the record/replay cache, re-expressed.
+
+The reference persists each fetch as ``<dir>/<invokeCount>.html`` + a JSON
+``.meta`` sidecar and replays byte-identically from those files
+(/root/reference/session.go:143-253, /root/reference/metadata.go:19-46). Our
+engine's analog is one *atomic snapshot per scheduling round*: every table
+written for round r lands under ``<root>/<table>/r{r:06d}/`` and becomes
+visible only when the manifest is atomically replaced (single ``os.replace``,
+same all-or-nothing property as an Iceberg snapshot commit). A killed run
+resumes from the last committed round; uncommitted round directories are
+ignored and overwritten — which is exactly the reference's replay contract
+(missing cache file → rerun in record mode, /root/reference/error.go:8-14),
+made idempotent.
+
+Tables have two flavors:
+  * append  (fetch_log, seen, metrics) — read = union of all committed rounds
+  * replace (frontier, seen_shards)    — read = latest committed round only
+
+On a cluster this store is swapped for an Iceberg catalog (same semantics:
+append vs replace snapshots, time travel by round); the interface is kept to
+what Iceberg provides so the swap is config, not code. The local parquet+
+manifest implementation exists because the sandbox has no Iceberg runtime jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+APPEND_TABLES = {"fetch_log", "seen", "metrics"}
+REPLACE_TABLES = {"frontier", "seen_shards"}
+
+
+class SnapshotStore:
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"rounds": [], "counters": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)  # the atomic commit point
+
+    def last_round(self) -> int:
+        """Last committed round, or -1 if none."""
+        rounds = self._read_manifest()["rounds"]
+        return rounds[-1]["round"] if rounds else -1
+
+    def counters(self) -> dict:
+        return dict(self._read_manifest()["counters"])
+
+    # -- IO -------------------------------------------------------------------
+
+    def _dir(self, table: str, round_no: int) -> str:
+        return os.path.join(self.root, table, f"r{round_no:06d}")
+
+    def commit(self, round_no: int, tables: dict, counters: dict) -> None:
+        """Write all round tables, then commit them atomically via manifest.
+
+        ``tables``: {name: DataFrame}. A crash before the manifest replace
+        leaves only invisible directories (cleaned on the next attempt).
+        """
+        for name, df in tables.items():
+            path = self._dir(name, round_no)
+            if os.path.exists(path):  # stale uncommitted attempt
+                shutil.rmtree(path)
+            df.write.mode("overwrite").parquet(path)
+        manifest = self._read_manifest()
+        manifest["rounds"] = [r for r in manifest["rounds"]
+                              if r["round"] < round_no]
+        manifest["rounds"].append(
+            {"round": round_no, "tables": sorted(tables)})
+        manifest["counters"] = counters
+        self._write_manifest(manifest)
+
+    def read(self, table: str, upto_round: int | None = None):
+        """Committed contents of ``table`` (append: union; replace: latest)."""
+        manifest = self._read_manifest()
+        rounds = [r for r in manifest["rounds"]
+                  if table in r["tables"]
+                  and (upto_round is None or r["round"] <= upto_round)]
+        if not rounds:
+            return None
+        if table in REPLACE_TABLES:
+            rounds = rounds[-1:]
+        paths = [self._dir(table, r["round"]) for r in rounds]
+        return self.spark.read.parquet(*paths)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

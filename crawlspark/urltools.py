@@ -1,0 +1,119 @@
+"""URL resolution + canonicalization — the key function of the URL-seen set.
+
+Reference semantics being re-expressed (not ported):
+  - relative-URL resolution against the page base: ``Page.ResolveLink``
+    (/root/reference/page.go:34-40) = RFC-3986 join, here ``urljoin``.
+  - ``<head base href>`` overrides the document URL as the base, and only when
+    exactly one such element exists (/root/reference/response.go:86-94);
+    callers pass ``coalesce(base_href, page_url)`` as ``base``.
+  - meta-refresh targets are resolved against the same base
+    (/root/reference/page.go:18-31).
+
+The canonical normal form (engine + oracle share this exact definition —
+crawl-order/URL-seen "exact match" in BASELINE.json depends on it):
+  1. resolve ``url`` against ``base`` (RFC 3986)
+  2. lowercase scheme and host
+  3. drop the fragment
+  4. drop default ports (http:80, https:443)
+  5. empty path -> "/"
+  6. query keys sorted (stable for duplicate keys, preserving their relative
+     order), re-encoded as k=v&...; blank values kept
+  7. fragment-only / empty hrefs resolve to the base itself — callers filter
+     those out *before* enqueueing (a self-link is not a discovery)
+
+Everything is pure-Python string work → executed as an Arrow-batched pandas
+UDF (no per-row Python from Spark's perspective: one Python invocation per
+~10k-row batch; the per-row loop is unavoidable because RFC-3986 resolution
+has no Spark builtin, cf. SURVEY.md §2.8 C10).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit, parse_qsl, urlencode
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize(url: str, base: str | None = None) -> str | None:
+    """Resolve ``url`` against ``base`` and return the canonical normal form.
+
+    Returns None for unusable hrefs (empty, fragment-only, non-http(s)
+    schemes like mailto:/javascript:) — callers drop those rows, mirroring
+    the reference's attr-missing skip semantics (unmarshal.go:104-109).
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if not url or url.startswith("#"):
+        return None
+    absolute = urljoin(base, url) if base else url
+    try:
+        parts = urlsplit(absolute)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    query = parts.query
+    if query:
+        pairs = parse_qsl(query, keep_blank_values=True)
+        pairs.sort(key=lambda kv: kv[0])  # stable → duplicate keys keep order
+        query = urlencode(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(canon: str) -> str:
+    """Host (incl. non-default port) of an already-canonical URL."""
+    return urlsplit(canon).netloc
+
+
+def path_of(canon: str) -> str:
+    """Path of an already-canonical URL (for robots prefix matching)."""
+    return urlsplit(canon).path
+
+
+@pandas_udf(StringType())
+def canonicalize_udf(url: pd.Series, base: pd.Series) -> pd.Series:
+    """Arrow-batched canonicalization: (href, base) -> canonical URL or null."""
+    return pd.Series(
+        [canonicalize(u, b) for u, b in zip(url, base)], dtype="object"
+    )
+
+
+@pandas_udf(StringType())
+def host_udf(canon: pd.Series) -> pd.Series:
+    return canon.map(lambda c: host_of(c) if c is not None else None)
+
+
+@pandas_udf(StringType())
+def path_udf(canon: pd.Series) -> pd.Series:
+    return canon.map(lambda c: path_of(c) if c is not None else None)
+
+
+def with_canonical(df, url_col: str, base_col: str | None = None,
+                   out: str = "canon"):
+    """Attach canonical URL + url_hash + host + path columns.
+
+    ``url_hash = xxhash64(canon)`` is computed JVM-side (codegen) — identical
+    to the oracle's pure-Python xxh64 (crawlspark.hashing, verified in tests).
+    """
+    base = F.col(base_col) if base_col else F.lit(None).cast("string")
+    df = df.withColumn(out, canonicalize_udf(F.col(url_col), base))
+    return (
+        df.withColumn("url_hash", F.xxhash64(F.col(out)))
+        .withColumn("host", host_udf(F.col(out)))
+        .withColumn("path", path_udf(F.col(out)))
+    )
