@@ -1,0 +1,283 @@
+"""Deduplication operators over the documents / embeddings / images tables.
+
+Five dedup families, each designed for the 100 TB shape (candidate
+generation by bucket-join, never all-pairs):
+
+  exact_dedup        — hash-groupBy on md5(text); keeps min doc_id.
+  minhash_lsh        — word-shingle → 64-perm MinHash (numpy, one Arrow
+                       batch per partition) → banding (b bands × r rows) →
+                       bucket equi-join → candidate pairs → exact Jaccard
+                       verify. Classic Broder MinHash + LSH banding.
+  simhash            — 64-bit SimHash over token hashes (Charikar);
+                       candidate pairs via 4×16-bit chunk equality (any pair
+                       within Hamming distance 3 shares ≥1 exact chunk —
+                       pigeonhole), verified by popcount.
+  ngram_jaccard      — exact word-3-gram Jaccard for candidate pairs
+                       (array_intersect/array_union, JVM-side).
+  embedding_neardup  — cosine ≥ τ pairs over embeddings; bucketed by an
+                       LSH sign-hash to avoid all-pairs (exact verify).
+  phash_dedup        — images whose 64-bit perceptual hash match exactly
+                       (the phash column of the input_hint table).
+
+Self-join convention: pairs are emitted once with left_id < right_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..hashing import mix64
+
+# -- exact ---------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper id + duplicate count."""
+    return (docs
+            .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def exact_dup_pairs(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    a = docs.select(F.col(id_col).alias("left_id"),
+                    F.md5(F.col(text_col)).alias("h"))
+    b = docs.select(F.col(id_col).alias("right_id"),
+                    F.md5(F.col(text_col)).alias("h"))
+    return (a.join(b, "h")
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id"))
+
+
+# -- shingles + exact Jaccard (JVM-side) ----------------------------------------
+
+def word_ngrams(c, n: int = 3):
+    """Distinct, sorted word n-grams of a text column (array<string>).
+    A doc shorter than n yields its whole token string as the single gram."""
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n_grams = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                        n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs. Without a candidate set this
+    prunes by a shared-first-gram bucket join (cheap candidate generation:
+    near-identical docs share their first shingle); with `candidates`
+    (left_id, right_id) it verifies those pairs exactly."""
+    with_grams = docs.select(F.col(id_col).alias("id"),
+                             word_ngrams(F.col(text_col), n).alias("grams"))
+    if candidates is None:
+        keyed = with_grams.withColumn(
+            "bucket", F.element_at("grams", 1))
+        a = keyed.select(F.col("id").alias("left_id"),
+                         F.col("grams").alias("lg"), "bucket")
+        b = keyed.select(F.col("id").alias("right_id"),
+                         F.col("grams").alias("rg"), "bucket")
+        pairs = (a.join(b, "bucket")
+                 .filter(F.col("left_id") < F.col("right_id")))
+    else:
+        pairs = (candidates
+                 .join(with_grams.withColumnRenamed("id", "left_id")
+                       .withColumnRenamed("grams", "lg"), "left_id")
+                 .join(with_grams.withColumnRenamed("id", "right_id")
+                       .withColumnRenamed("grams", "rg"), "right_id"))
+    return (pairs
+            .withColumn("jaccard", F.round(jaccard(F.col("lg"),
+                                                   F.col("rg")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard"))
+
+
+# -- MinHash + LSH ----------------------------------------------------------------
+
+N_PERM = 64
+
+
+def _minhash_batch(grams_list, n_perm: int) -> np.ndarray:
+    """(n_docs, n_perm) uint64 MinHash signatures, vectorized per doc."""
+    seeds = (np.arange(1, n_perm + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+    from ..hashing import xxh64
+
+    out = np.full((len(grams_list), n_perm), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    for i, grams in enumerate(grams_list):
+        if grams is None or len(grams) == 0:
+            continue
+        base = np.array([xxh64(g.encode("utf-8")) for g in grams],
+                        dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            perms = mix64(base[:, None] ^ seeds[None, :])
+        out[i] = perms.min(axis=0)
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = N_PERM,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """id → array<long> MinHash signature (one Arrow batch per partition).
+    Shingling is JVM-side (word_ngrams); signatures use the deterministic
+    pure-Python xxh64 + a vectorized mix per permutation."""
+    with_grams = docs.select(F.col(id_col).alias("id"),
+                             word_ngrams(F.col(text_col), n).alias("grams"))
+
+    def sig(batches):
+        for pdf in batches:
+            sigs = _minhash_batch(list(pdf["grams"]), n_perm)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "sig": [row.astype(np.int64).tolist() for row in sigs],
+            })
+
+    return with_grams.mapInPandas(sig, "id long, sig array<long>")
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
+                      n: int = 3, bands: int = 16,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """Candidate pairs via LSH banding, verified by exact n-gram Jaccard.
+
+    bands=16 × rows=4 over 64 perms ⇒ collision prob ≈ 1-(1-s^4)^16 — steep
+    around s≈0.6. The band bucket join is the only shuffle that scales with
+    corpus size; verification touches candidates only.
+    """
+    rows = N_PERM // bands
+    sigs = minhash_signatures(docs, n, N_PERM, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.xxhash64(
+                F.concat_ws(",", F.transform(
+                    F.slice("sig", bnd * rows + 1, rows),
+                    lambda v: v.cast("string")),
+                    bnd.cast("string"))))).alias("band", "bucket"))
+    a = banded.select(F.col("id").alias("left_id"), "band", "bucket")
+    b = banded.select(F.col("id").alias("right_id"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .filter(F.col("left_id") < F.col("right_id"))
+             .select("left_id", "right_id").distinct())
+    return ngram_jaccard_pairs(docs, threshold, n, text_col, id_col,
+                               candidates=cands)
+
+
+# -- SimHash ----------------------------------------------------------------------
+
+def simhash_col(c, n_bits: int = 64):
+    """64-bit SimHash from whitespace tokens — fully JVM-side: per-token
+    xxhash64, per-bit majority vote. The 64 per-bit vote expressions unroll
+    at plan-build time (Python ints as shift amounts), so the whole hash is
+    one codegen'd projection — no shuffle, no UDF."""
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+
+    def vote(i):  # closure keeps the filter lambda unary for pyspark
+        return F.size(F.filter(
+            hashes,
+            lambda h: F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) != 0))
+
+    acc = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit = F.when(vote(i) * 2 > n,
+                     F.shiftleft(F.lit(1).cast("long"), i)) \
+               .otherwise(F.lit(0).cast("long"))
+        acc = acc.bitwiseOR(bit)
+    return acc
+
+
+def hamming64_col(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(docs: DataFrame, max_distance: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_distance. Candidates: 4×16-bit
+    chunk buckets (pigeonhole: d≤3 ⇒ ≥1 of 4 chunks equal), then exact
+    popcount verify."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     simhash_col(F.col(text_col)).alias("simhash"))
+    chunked = sh.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", 16 * i)
+             .bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+        ])).alias("chunk_idx", "chunk"))
+    a = chunked.select(F.col("id").alias("left_id"),
+                       F.col("simhash").alias("lh"), "chunk_idx", "chunk")
+    b = chunked.select(F.col("id").alias("right_id"),
+                       F.col("simhash").alias("rh"), "chunk_idx", "chunk")
+    return (a.join(b, ["chunk_idx", "chunk"])
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id",
+                    hamming64_col(F.col("lh"), F.col("rh"))
+                    .alias("distance"))
+            .distinct()
+            .filter(F.col("distance") <= max_distance))
+
+
+# -- embedding cosine near-dup -------------------------------------------------------
+
+def cosine_sim(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(0.0)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            n_planes: int = 8, seed: int = 42,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """cosine ≥ τ pairs, bucketed by an n_planes sign-LSH (exact verify).
+
+    Deterministic hyperplanes from mix64(seed) — no RNG state. At τ≥0.95 the
+    angle ≤ 18°, so sign agreement on 8 planes has high recall; raise
+    n_planes/multi-probe for stricter recall targets.
+    """
+    from .similarity import signhash_udf
+    keyed = emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("v")) \
+               .withColumn("bucket", signhash_udf(n_planes, seed)(F.col("v")))
+    a = keyed.select(F.col("id").alias("left_id"), F.col("v").alias("lv"),
+                     "bucket")
+    b = keyed.select(F.col("id").alias("right_id"), F.col("v").alias("rv"),
+                     "bucket")
+    cast = lambda c: c.cast("array<double>")
+    return (a.join(b, "bucket")
+            .filter(F.col("left_id") < F.col("right_id"))
+            .withColumn("cosine", F.round(
+                cosine_sim(cast(F.col("lv")), cast(F.col("rv"))), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("left_id", "right_id", "cosine").distinct())
+
+
+# -- phash (images) --------------------------------------------------------------------
+
+def phash_dup_pairs(images: DataFrame) -> DataFrame:
+    """Image pairs with identical 64-bit perceptual hash (input_hint column)."""
+    a = images.select(F.col("image_id").alias("left_id"), "phash")
+    b = images.select(F.col("image_id").alias("right_id"), "phash")
+    return (a.join(b, "phash")
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id", "phash"))

@@ -1,0 +1,161 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side machinery — schemas, partition-friendly layout, Arrow batch
+shapes, mapInPandas signatures — is real and tested. Heavy codecs the
+container lacks are stubbed deterministically and clearly marked:
+
+  image decode   — REAL for 'png' and the deterministic fake-lossy 'jpeg'
+                   stand-in (crawlspark.imaging, pure numpy); real JPEG via
+                   PIL when importable.
+  image resize   — REAL (nearest-neighbor, numpy).
+  image features — REAL (mean RGB, luma histogram, phash).
+  audio decode   — STUB: deterministic fake PCM derived from the payload
+                   hash (no audio codec in container); NotImplementedError
+                   for real formats.
+  video frames   — STUB: frame-sampling plumbing with deterministic fake
+                   frames; NotImplementedError for real containers.
+
+Media table shape:
+  media(media_id string, kind string, bytes binary, fmt string,
+        meta map<string,string>)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..hashing import xxh64
+from ..imaging import decode, phash64
+
+MEDIA_SCHEMA = ("media_id string, kind string, bytes binary, fmt string, "
+                "meta map<string,string>")
+
+IMAGE_FEATURES_SCHEMA = ("media_id string, w int, h int, mean_r double, "
+                         "mean_g double, mean_b double, phash long, "
+                         "luma_hist array<int>")
+
+
+def _resize_nn(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    sh, sw = px.shape[:2]
+    ys = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xs = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return px[np.ix_(ys, xs)]
+
+
+def image_features(images: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes", fmt_col: str = "fmt"
+                   ) -> DataFrame:
+    """Decode → per-image features, one Arrow batch at a time."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col],
+                                      pdf[fmt_col]):
+                if data is None:
+                    continue
+                px = decode(bytes(data), fmt)
+                luma = (px.astype(np.float64)
+                        @ np.array([0.299, 0.587, 0.114]))
+                hist = np.histogram(luma, bins=16, range=(0, 256))[0]
+                rows.append({
+                    "media_id": mid, "w": px.shape[1], "h": px.shape[0],
+                    "mean_r": float(px[..., 0].mean()),
+                    "mean_g": float(px[..., 1].mean()),
+                    "mean_b": float(px[..., 2].mean()),
+                    "phash": phash64(px),
+                    "luma_hist": hist.astype(int).tolist(),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "w", "h", "mean_r", "mean_g", "mean_b",
+                "phash", "luma_hist"])
+
+    return (images.select(id_col, bytes_col, fmt_col)
+            .mapInPandas(feats, IMAGE_FEATURES_SCHEMA))
+
+
+def resize_images(images: DataFrame, w: int, h: int,
+                  id_col: str = "image_id", bytes_col: str = "bytes",
+                  fmt_col: str = "fmt") -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (png). Real pipeline."""
+    from ..imaging import png_encode
+
+    def rsz(batches):
+        for pdf in batches:
+            rows = []
+            for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col],
+                                      pdf[fmt_col]):
+                if data is None:
+                    continue
+                px = _resize_nn(decode(bytes(data), fmt), w, h)
+                rows.append({"media_id": mid, "bytes": png_encode(px),
+                             "w": w, "h": h})
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "bytes", "w", "h"])
+
+    return (images.select(id_col, bytes_col, fmt_col)
+            .mapInPandas(rsz, "media_id string, bytes binary, w int, h int"))
+
+
+# --- stubs (no audio/video codecs in this container) -------------------------
+
+FAKE_AUDIO_FMT = "fakepcm"
+FAKE_VIDEO_FMT = "fakeframes"
+
+
+def decode_audio_batch(payloads: list, fmts: list) -> list:
+    """STUB. Real formats raise; the deterministic fake lets the Spark-side
+    plumbing (schema, batching, partitioning) be tested end-to-end."""
+    out = []
+    for data, fmt in zip(payloads, fmts):
+        if fmt != FAKE_AUDIO_FMT:
+            raise NotImplementedError(
+                f"audio codec {fmt!r} unavailable in this environment; "
+                "plug a real decoder here (same batch signature)")
+        seed = xxh64(bytes(data))
+        n = 1600  # 0.1 s at 16 kHz
+        t = np.arange(n, dtype=np.float64)
+        out.append(np.sin(2 * np.pi * (220 + seed % 220) * t / 16000.0)
+                   .astype(np.float32))
+    return out
+
+
+def sample_video_frames(payloads: list, fmts: list, n_frames: int = 4
+                        ) -> list:
+    """STUB frame sampler: deterministic fake frames per payload hash."""
+    out = []
+    for data, fmt in zip(payloads, fmts):
+        if fmt != FAKE_VIDEO_FMT:
+            raise NotImplementedError(
+                f"video container {fmt!r} unavailable in this environment; "
+                "plug a real demuxer here (same batch signature)")
+        seed = int(xxh64(bytes(data)) % 251)
+        frames = [((np.indices((16, 16)).sum(axis=0) * (f + 1) + seed) % 256)
+                  .astype(np.uint8) for f in range(n_frames)]
+        out.append(frames)
+    return out
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """RMS/zero-crossing features over decoded (possibly fake) PCM."""
+
+    def feats(batches):
+        for pdf in batches:
+            pcm = decode_audio_batch(list(pdf["bytes"]), list(pdf["fmt"]))
+            rows = []
+            for mid, sig in zip(pdf["media_id"], pcm):
+                rows.append({
+                    "media_id": mid,
+                    "rms": float(np.sqrt(np.mean(sig ** 2))),
+                    "zero_crossings": int(np.sum(np.diff(np.sign(sig)) != 0)),
+                    "n_samples": int(sig.shape[0]),
+                })
+            yield pd.DataFrame(rows, columns=["media_id", "rms",
+                                              "zero_crossings", "n_samples"])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "bytes", "fmt")
+            .mapInPandas(feats, "media_id string, rms double, "
+                                "zero_crossings int, n_samples int"))

@@ -1,0 +1,108 @@
+"""Similarity search over the embeddings table (array<float> columns).
+
+Two paths, per the driver mandate:
+  brute_force_topk — exact cosine top-k of every query vector against the
+    corpus: broadcast the (small) query set, JVM-side cosine via
+    zip_with/aggregate, per-query row_number window. The correctness
+    baseline; O(|Q|·|C|) compute but only ONE pass over the corpus — at
+    100 TB this is a map-side broadcast join + local top-k (no all-pairs
+    shuffle).
+  lsh_topk — sign-LSH (random hyperplanes, deterministic from a seed)
+    bucket join + exact re-rank within buckets: the scale path. Multi-probe
+    (flip one bit) raises recall without widening the join.
+
+Both return (query_id, neighbor_id, cosine, rank).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..hashing import mix64
+from .dedup import cosine_sim
+
+
+def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-Gaussian hyperplanes: Box-Muller over mix64
+    streams — a pure function of (seed, n_planes, dim)."""
+    n = n_planes * dim
+    idx = np.arange(2 * n, dtype=np.uint64) + np.uint64(seed) * np.uint64(1 << 32)
+    u = (mix64(idx).astype(np.float64) + 1.0) / 2.0**64  # (0,1]
+    u1, u2 = u[:n], u[n:]
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    return g.reshape(n_planes, dim)
+
+
+def signhash_udf(n_planes: int, seed: int = 42):
+    """Factory: pandas UDF mapping array<float> → long sign-bucket."""
+
+    @pandas_udf(LongType())
+    def sign_bucket(vecs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(v, dtype=np.float64) for v in vecs]
+        if not arrs:
+            return pd.Series([], dtype="int64")
+        planes = _planes(n_planes, arrs[0].shape[0], seed)
+        mat = np.stack(arrs)            # (n, dim)
+        signs = (mat @ planes.T) >= 0    # (n, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return sign_bucket
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     exclude_self: bool = True) -> DataFrame:
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn(
+        "cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             n_planes: int = 8, seed: int = 42, multiprobe: bool = True,
+             vec_col: str = "embedding", id_col: str = "vec_id"
+             ) -> DataFrame:
+    """Approximate top-k: candidates share a sign-bucket (or a 1-bit
+    neighbor bucket with multiprobe), re-ranked by exact cosine."""
+    bucket = signhash_udf(n_planes, seed)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("cv"))
+         .withColumn("bucket", bucket(F.col("cv"))))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("bucket0", bucket(F.col("qv"))))
+    if multiprobe:
+        probes = F.array(*([F.col("bucket0")] +
+                           [F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+                            for i in range(n_planes)]))
+    else:
+        probes = F.array(F.col("bucket0"))
+    q = q.withColumn("bucket", F.explode(probes)).drop("bucket0")
+    cands = (c.join(q, "bucket")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", "qv", "cv").distinct())
+    scored = cands.withColumn(
+        "cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -1,0 +1,103 @@
+"""Text analysis over the documents table — all JVM-side Column expressions.
+
+Operators (each has a queries()/oracle_sql() entry in __spark_entry__.py):
+  token counting    — whitespace tokens + a BPE-ish regex token count
+  quality scoring   — length / punctuation-ratio / stopword-ratio features
+                      and a composite score
+  language ID       — n-gram/stopword heuristic (en/es/de/fr + CJK presence)
+  fingerprinting    — md5 fingerprint of the normalized token prefix
+                      (content-defined identity for shingle-level dedup)
+
+Everything is built-in pyspark.sql.functions — regexp/split/size/aggregate —
+so the whole stage stays inside WholeStageCodegen: at 100 TB these run at
+scan speed with no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"],
+}
+
+
+def ws_tokens(c: Column) -> Column:
+    """Whitespace tokens (empty string → empty array, not [''])."""
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(ws_tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Count of alpha-runs + digit-runs + single punctuation marks — a cheap
+    stand-in for BPE token counts (same order of magnitude, monotone)."""
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
+
+
+def punct_ratio(c: Column) -> Column:
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(0.0)
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    toks = F.transform(ws_tokens(c), lambda t: F.lower(t))
+    hits = F.size(F.filter(
+        toks, lambda t: t.isin(*_STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def mean_word_len(c: Column) -> Column:
+    toks = ws_tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(0.0)
+
+
+def quality_score(c: Column) -> Column:
+    """Composite in [0,1]: favors mid-length docs, low punctuation noise,
+    natural stopword density, word lengths 3-8. Deterministic arithmetic."""
+    n = token_count(c)
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    stop = stopword_ratio(c)
+    stop_term = F.lit(1.0) - F.least(F.abs(stop - 0.4) * 2, F.lit(1.0))
+    mwl = mean_word_len(c)
+    mwl_term = F.when((mwl >= 3) & (mwl <= 8), 1.0).otherwise(0.5)
+    return F.round(
+        (len_term + punct_term + stop_term + mwl_term) / 4.0, 6)
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: CJK script presence, else argmax stopword hits,
+    else 'unknown'. A real model slots in as a pandas UDF; the heuristic is
+    deliberately expressible as pure Column logic (and in ANSI SQL for the
+    oracle)."""
+    cjk = c.rlike(r"[぀-ヿ一-鿿]")
+    toks = F.transform(ws_tokens(c), lambda t: F.lower(t))
+    hits = {lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+            for lang, words in _STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    pick = F.when(hits["en"] == best, "en")
+    for lang in ("es", "de", "fr"):
+        pick = pick.when(hits[lang] == best, lang)
+    return F.when(cjk, F.lit("cjk")) \
+            .when(best > 0, pick) \
+            .otherwise(F.lit("unknown"))
+
+
+def fingerprint(c: Column, n_tokens: int = 8) -> Column:
+    """md5 of the lowercase first-n-token prefix — a cheap rolling-hash-style
+    document fingerprint for prefix-level identity."""
+    prefix = F.array_join(
+        F.slice(F.transform(ws_tokens(c), lambda t: F.lower(t)),
+                1, n_tokens), " ")
+    return F.md5(prefix)

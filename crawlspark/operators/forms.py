@@ -1,0 +1,111 @@
+"""Form-model operators — grouped-aggregation defaulting (SURVEY.md §2.4).
+
+The reference's richest grouping logic: `Page.Form` collects inputs grouped
+by name with order-sensitive defaulting (/root/reference/form.go:71-178).
+Re-expressed as DataFrame aggregations over exploded input rows
+(form_id, name, type, value, checked, selected, pos, id) + a labels table
+(for_id, text) — the defaulting matrix is pinned by
+/root/reference/form_test.go:25-166.
+
+Rules:
+  text/hidden — value as-is; missing type ⇒ "text" (form.go:95-99)
+  radio       — value missing ⇒ "on" (form.go:105-108); group default:
+                checked wins, else FIRST IN DOCUMENT ORDER (form.go:130-136)
+  checkbox    — available=[value]; current value set only when checked
+                (form.go:124-129)
+  select      — options without a value attr are ignored; `selected` wins,
+                else the first option (form.go:140-178)
+  label join  — label[for=id] text attaches to the value (form.go:110-118)
+
+All built-ins: min_by/first over sorted collect_list — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalize_inputs(inputs: DataFrame) -> DataFrame:
+    """Apply per-element defaulting before grouping."""
+    typ = F.coalesce(F.col("type"), F.lit("text"))
+    value = F.when(typ == "radio", F.coalesce(F.col("value"), F.lit("on"))) \
+             .otherwise(F.col("value"))
+    return inputs.withColumn("type", typ).withColumn("value", value)
+
+
+def resolve_values(inputs: DataFrame) -> DataFrame:
+    """(form_id, name) → resolved current value + its label + #available.
+
+    Input rows: form_id, name, type, value (nullable), checked, selected,
+    pos (document order), label (nullable — label[for=id] text for inputs,
+    option text for select options, pre-joined upstream, form.go:110-118).
+
+    Output: form_id, name, type, value, label, n_available. The label is the
+    CHOSEN element's label (form_test.go:25-116: a selected option yields
+    that option's label). n_available counts the value-carrying alternatives
+    for radio/checkbox/select; plain inputs have none (AvailableValues
+    empty, form.go:95-99).
+    """
+    norm = (normalize_inputs(inputs)
+            .filter(F.col("value").isNotNull()))  # valueless options ignored
+
+    pair = F.struct(F.col("value"), F.col("label"))
+    checked = F.min_by(pair, F.when(F.col("checked"), F.col("pos")))
+    selected = F.min_by(pair, F.when(F.col("selected"), F.col("pos")))
+    first = F.min_by(pair, F.col("pos"))
+
+    grouped = (norm.groupBy("form_id", "name")
+               .agg(F.first("type").alias("type"),
+                    checked.alias("_checked"),
+                    selected.alias("_selected"),
+                    first.alias("_first"),
+                    F.count("*").alias("_n")))
+
+    chosen = (F.when(F.col("type") == "radio",
+                     F.coalesce(F.col("_checked"), F.col("_first")))
+              .when(F.col("type") == "checkbox", F.col("_checked"))
+              .when(F.col("type") == "select",
+                    F.coalesce(F.col("_selected"), F.col("_first")))
+              .otherwise(F.col("_first")))
+    n_available = F.when(
+        F.col("type").isin("radio", "checkbox", "select"),
+        F.col("_n")).otherwise(F.lit(0)).cast("int")
+
+    return (grouped
+            .withColumn("_chosen", chosen)
+            .select("form_id", "name", "type",
+                    F.col("_chosen.value").alias("value"),
+                    F.col("_chosen.label").alias("label"),
+                    n_available.alias("n_available")))
+
+
+def submit_params(resolved: DataFrame, image_id: str | None = None
+                  ) -> DataFrame:
+    """Param assembly for submit (form.go:344-376): elements with a non-null
+    value emit name=value; type=image emits name.x=0 / name.y=0 (or x / y
+    when the name is empty) only when its name matches ``image_id``."""
+    base = (resolved
+            .filter(F.col("value").isNotNull() & (F.col("type") != "image"))
+            .select("form_id", F.col("name").alias("param"),
+                    F.col("value").alias("pvalue")))
+    if image_id is None:
+        return base
+    img = resolved.filter((F.col("type") == "image")
+                          & (F.col("name") == F.lit(image_id)))
+    clicks = (img.select(
+        "form_id",
+        F.explode(F.array(
+            F.when(F.col("name") == "", F.lit("x"))
+             .otherwise(F.concat(F.col("name"), F.lit(".x"))),
+            F.when(F.col("name") == "", F.lit("y"))
+             .otherwise(F.concat(F.col("name"), F.lit(".y"))),
+        )).alias("param"))
+        .withColumn("pvalue", F.lit("0")))
+    return base.unionByName(clicks)
+
+
+def value_by_label(resolved_with_available: DataFrame, label: str):
+    """F7 reverse lookup: available array<struct<value,label>> → value."""
+    avail = F.col("available")
+    hit = F.filter(avail, lambda v: v.getField("label") == F.lit(label))
+    return F.when(F.size(hit) > 0, F.element_at(hit, 1).getField("value"))

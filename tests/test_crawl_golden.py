@@ -1,0 +1,118 @@
+"""Crawl-order golden tests: engine == sequential oracle, exactly
+(BASELINE.json: crawl-order/URL-seen exact match; resume byte-identity)."""
+import tempfile
+
+import pytest
+
+from crawlspark import oracle, synth
+from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+
+K = 200
+ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def t1_data(spark):
+    tier = synth.TIERS["t1"]
+    pages = synth.spark_pages(spark, tier, parallelism=8).cache()
+    pages.count()
+    robots = synth.spark_robots(spark, tier)
+    seeds = synth.spark_seeds(spark, tier)
+    return tier, pages, robots, seeds
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    tier = synth.TIERS["t1"]
+    counts = synth.page_counts(tier)
+    pdf = synth.gen_pages_pdf(0, tier.n_pages, counts, tier.n_images)
+    pages_by_url = {d["url"]: d for d in pdf.to_dict("records")}
+    robots = {r["host"]: (list(r["disallow_prefixes"]),
+                          int(r["crawl_delay_ms"]))
+              for r in synth.gen_robots_pdf(tier.n_hosts).to_dict("records")}
+    seeds = list(synth.gen_seeds_pdf(tier)["url"])
+    return oracle.simulate(pages_by_url, robots, seeds,
+                           round_ms=30_000, k_global=K, max_rounds=ROUNDS)
+
+
+def run_engine(spark, t1_data, kind):
+    tier, pages, robots, seeds = t1_data
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_kind=kind,
+                      seen_shards=4, seen_m_bits=1 << 16,
+                      validate_fraction=0)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix=f"golden_{kind}_"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    seen = {r["url_hash"] for r in store.read("seen").collect()}
+    return store, log, seen
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_engine_matches_oracle(spark, t1_data, oracle_result, kind):
+    store, log, seen = run_engine(spark, t1_data, kind)
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in oracle_result.fetch_log]
+    assert len(log) == len(want)
+    assert log == want                      # exact crawl order
+    assert seen == oracle_result.seen       # exact URL-seen set
+    store.destroy()
+
+
+def test_resume_is_byte_identical(spark, t1_data, oracle_result):
+    tier, pages, robots, seeds = t1_data
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0)
+    root = tempfile.mkdtemp(prefix="golden_resume_")
+    store = SnapshotStore(spark, root)
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run(max_rounds=2)          # "crash" after round 1
+
+    # fresh engine + store objects — only disk state survives
+    store2 = SnapshotStore(spark, root)
+    eng2 = CrawlEngine(spark, store2, pages, robots, None, cfg)
+    assert store2.last_round() == 1
+    eng2.run(max_rounds=ROUNDS - 2)
+
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"])
+           for r in store2.read("fetch_log").orderBy("fetch_seq").collect()]
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"])
+            for r in oracle_result.fetch_log]
+    assert log == want
+    store2.destroy()
+
+
+def test_payload_validation_passes(spark, t1_data):
+    tier, pages, robots, seeds = t1_data
+    images = synth.spark_images(spark, tier, parallelism=8)
+    cfg = CrawlConfig(k_global=100, max_rounds=2, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0.2)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_val_"))
+    eng = CrawlEngine(spark, store, pages, robots, images, cfg)
+    eng.seed(seeds)
+    stats = eng.run()   # raises if any sampled payload fails fidelity
+    assert stats[0]["fetched"] > 0
+    store.destroy()
+
+
+def test_hot_host_budget_respected(spark, t1_data, oracle_result):
+    """Politeness: per-round per-host fetch counts never exceed budget
+    (round_ms // delay), refreshes excluded by contract."""
+    tier, pages, robots, seeds = t1_data
+    delays = {r["host"]: int(r["crawl_delay_ms"])
+              for r in synth.gen_robots_pdf(tier.n_hosts).to_dict("records")}
+    per = {}
+    for r in oracle_result.fetch_log:
+        if r["is_refresh"]:
+            continue
+        host = r["canon"].split("/")[2]
+        per.setdefault((r["round"], host), 0)
+        per[(r["round"], host)] += 1
+    for (rnd, host), n in per.items():
+        d = delays.get(host, 0)
+        budget = K if d == 0 else max(1, 30_000 // d)
+        assert n <= budget, (rnd, host, n, budget)

@@ -1,0 +1,73 @@
+"""Form defaulting matrix — ported from /root/reference/form_test.go:25-116."""
+from pyspark.sql import functions as F
+
+from crawlspark.operators import forms
+
+COLS = "form_id string, name string, type string, value string, " \
+       "checked boolean, selected boolean, pos int, label string"
+
+
+def resolve(spark, rows):
+    df = spark.createDataFrame(rows, COLS)
+    out = forms.resolve_values(df).collect()
+    return {(r["form_id"], r["name"]):
+            (r["value"], r["label"], r["n_available"]) for r in out}
+
+
+def test_defaulting_matrix(spark):
+    rows = [
+        # input without label → value1, no label, 0 available
+        ("f1", "name1", None, "value1", False, False, 0, None),
+        # input with label
+        ("f2", "name1", "text", "value1", False, False, 0, "label1"),
+        # radio single without checked → first one
+        ("f3", "name1", "radio", "value1", False, False, 0, None),
+        # radio multiple without checked → first
+        ("f4", "name1", "radio", "value1", False, False, 0, None),
+        ("f4", "name1", "radio", "value2", False, False, 1, None),
+        # radio multiple with checked → the checked one
+        ("f5", "name1", "radio", "value1", False, False, 0, None),
+        ("f5", "name1", "radio", "value2", True, False, 1, None),
+        # radio without value → "on"
+        ("f6", "name1", "radio", None, False, False, 0, None),
+        # select single → first option
+        ("f7", "name1", "select", "value1", False, False, 0, "label1"),
+        # select with selected → that option + its label
+        ("f8", "name1", "select", "value1", False, False, 0, "label1"),
+        ("f8", "name1", "select", "value2", False, True, 1, "label2"),
+        # select multiple without selected → first
+        ("f9", "name1", "select", "value1", False, False, 0, "label1"),
+        ("f9", "name1", "select", "value2", False, False, 1, "label2"),
+        # checkbox unchecked → no current value, 1 available
+        ("fa", "name1", "checkbox", "v", False, False, 0, None),
+        # checkbox checked → value set
+        ("fb", "name1", "checkbox", "v", True, False, 0, None),
+    ]
+    got = resolve(spark, rows)
+    assert got[("f1", "name1")] == ("value1", None, 0)
+    assert got[("f2", "name1")] == ("value1", "label1", 0)
+    assert got[("f3", "name1")] == ("value1", None, 1)
+    assert got[("f4", "name1")] == ("value1", None, 2)
+    assert got[("f5", "name1")] == ("value2", None, 2)
+    assert got[("f6", "name1")] == ("on", None, 1)      # radio default "on"
+    assert got[("f7", "name1")] == ("value1", "label1", 1)
+    assert got[("f8", "name1")] == ("value2", "label2", 2)
+    assert got[("f9", "name1")] == ("value1", "label1", 2)
+    assert got[("fa", "name1")] == (None, None, 1)
+    assert got[("fb", "name1")] == ("v", None, 1)
+
+
+def test_submit_params_image_click(spark):
+    # form.go:344-376: type=image emits name.x=0 / name.y=0 when clicked
+    resolved = spark.createDataFrame(
+        [("f1", "q", "text", "hello", 0, None),
+         ("f1", "btn", "image", "go", 0, None),
+         ("f1", "empty", "checkbox", None, 0, None)],
+        "form_id string, name string, type string, value string, "
+        "n_available int, label string")
+    got = {(r["param"], r["pvalue"])
+           for r in forms.submit_params(resolved, image_id="btn").collect()}
+    assert got == {("q", "hello"), ("btn.x", "0"), ("btn.y", "0")}
+    base = {(r["param"], r["pvalue"])
+            for r in forms.submit_params(resolved).collect()}
+    assert base == {("q", "hello")}  # null values + image skipped

@@ -1,0 +1,145 @@
+"""Training-data operators: text analysis, dedup families, similarity,
+multimodal plumbing."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.functions import dedup, multimodal, similarity, text
+from crawlspark.imaging import encode, make_pixels
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (3, "completely different text about spark engines here"),
+        (4, "el gato y el perro en la casa de la abuela"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_token_counts(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 9 and got[5] == 0
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("hello, world! x2",)], ["t"])
+    n = df.select(text.bpe_ish_token_count(
+        F.col("t")).alias("n")).collect()[0]["n"]
+    assert n == 6  # hello , world ! x 2
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["l"] for r in docs.select(
+        "doc_id", text.lang_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en" and got[4] == "es" and got[5] == "unknown"
+    jp = spark.createDataFrame([("日本語のテキストです",)], ["text"])
+    assert jp.select(text.lang_id(
+        F.col("text")).alias("l")).collect()[0]["l"] == "cjk"
+
+
+def test_quality_and_fingerprint(spark, docs):
+    rows = docs.select(
+        "doc_id",
+        text.quality_score(F.col("text")).alias("q"),
+        text.fingerprint(F.col("text")).alias("fp")).collect()
+    by = {r["doc_id"]: r for r in rows}
+    assert 0 <= by[0]["q"] <= 1
+    assert by[0]["fp"] == by[1]["fp"]          # identical prefix
+    assert by[0]["fp"] != by[3]["fp"]
+
+
+def test_exact_dedup(spark, docs):
+    pairs = dedup.exact_dup_pairs(docs).collect()
+    assert {(p["left_id"], p["right_id"]) for p in pairs} == {(0, 1)}
+    groups = dedup.exact_dedup(docs).filter(F.col("n_copies") > 1).collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(p["left_id"], p["right_id"]): p["jaccard"]
+             for p in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = {(p["left_id"], p["right_id"]): p["jaccard"]
+             for p in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert (0, 1) in pairs     # identical docs always collide
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash(spark, docs):
+    pairs = dedup.simhash_pairs(docs, max_distance=10).collect()
+    ids = {(p["left_id"], p["right_id"]) for p in pairs}
+    assert (0, 1) in ids
+    d = {(p["left_id"], p["right_id"]): p["distance"] for p in pairs}
+    assert d[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # i*7 % 11 has period 11 → keep i < 11 so all base vectors are distinct
+    rng = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)], i % 3)
+           for i in range(10)]
+    rng.append((100, rng[0][1], 0))  # identical to vec 0
+    return spark.createDataFrame(
+        rng, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    top = similarity.brute_force_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors, k=3)
+    rows = top.orderBy("rank").collect()
+    assert rows[0]["neighbor_id"] == 100 and rows[0]["cosine"] == 1.0
+    assert len(rows) == 3
+
+
+def test_lsh_topk_recall_of_identical(spark, vectors):
+    top = similarity.lsh_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors, k=3)
+    rows = top.orderBy("rank").collect()
+    assert rows and rows[0]["neighbor_id"] == 100  # same bucket guaranteed
+
+
+def test_embedding_neardup(spark, vectors):
+    pairs = dedup.embedding_neardup_pairs(vectors, threshold=0.999)
+    got = {(p["left_id"], p["right_id"]) for p in pairs.collect()}
+    assert (0, 100) in got
+
+
+def test_phash_dup_pairs(spark):
+    imgs = spark.createDataFrame(
+        [("a", 42), ("b", 42), ("c", 7)], "image_id string, phash long")
+    got = {(p["left_id"], p["right_id"])
+           for p in dedup.phash_dup_pairs(imgs).collect()}
+    assert got == {("a", "b")}
+
+
+def test_image_features_and_resize(spark):
+    rows = [(f"img{i}", encode(make_pixels(i, 32, 48), "png"), "png")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    feats = multimodal.image_features(df).collect()
+    assert len(feats) == 4
+    assert all(r["w"] == 32 and r["h"] == 48 for r in feats)
+    assert all(sum(r["luma_hist"]) == 32 * 48 for r in feats)
+    rsz = multimodal.resize_images(df, 16, 16).collect()
+    assert all(r["w"] == 16 for r in rsz)
+
+
+def test_multimodal_stubs(spark):
+    rows = [("m1", "audio", b"payload-1", multimodal.FAKE_AUDIO_FMT, {})]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.audio_features(media).collect()
+    assert feats[0]["n_samples"] == 1600 and feats[0]["rms"] > 0
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_batch([b"x"], ["mp3"])
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames([b"x"], ["mp4"])

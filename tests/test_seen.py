@@ -1,0 +1,49 @@
+"""Seen-filter contracts: Bloom/cuckoo no false negatives; exactness via
+anti-join; incremental shard updates."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.frontier.seen import (SeenFilter, _bloom_build,
+                                      _bloom_contains, _ck_build,
+                                      _ck_contains)
+
+
+def test_bloom_no_false_negatives():
+    h = np.arange(1, 5000, dtype=np.uint64) * np.uint64(2654435761)
+    bits = _bloom_build(h, m_bits=1 << 17, k=7)
+    assert _bloom_contains(bits, h, 1 << 17, 7).all()
+    other = np.arange(10**6, 10**6 + 5000, dtype=np.uint64)
+    fp = _bloom_contains(bits, other, 1 << 17, 7).mean()
+    assert fp < 0.05, fp
+
+
+def test_cuckoo_no_false_negatives_and_low_fp():
+    h = np.arange(1, 3000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    bits = _ck_build(h, m_bits=1 << 17)
+    assert _ck_contains(bits, h, 1 << 17).all()
+    other = np.arange(5 * 10**6, 5 * 10**6 + 3000, dtype=np.uint64)
+    fp = _ck_contains(bits, other, 1 << 17).mean()
+    assert fp < 0.01, fp
+
+
+def test_incremental_build_and_membership(spark):
+    filt = SeenFilter("bloom", n_shards=4, m_bits=1 << 14)
+    df1 = spark.range(0, 500).select(F.xxhash64("id").alias("url_hash"))
+    shards1 = filt.build(df1)
+    rows1 = shards1.collect()
+    assert {r["shard"] for r in rows1} <= {0, 1, 2, 3}
+
+    df2 = spark.range(500, 600).select(F.xxhash64("id").alias("url_hash"))
+    shards2 = filt.build(df2, existing_df=shards1).collect()
+
+    both = spark.range(0, 600).select(F.xxhash64("id").alias("url_hash"))
+    flags = both.withColumn(
+        "m", filt.might_contain_col(shards2, F.col("url_hash"))).collect()
+    assert all(r["m"] for r in flags)  # no false negatives, incl. old keys
+
+
+def test_cuckoo_overflow_raises():
+    h = np.arange(1, 20000, dtype=np.uint64)
+    with pytest.raises(RuntimeError):
+        _ck_build(h, m_bits=1 << 10)  # way over capacity

@@ -1,0 +1,54 @@
+"""Canonicalization vectors (FIXTURES.md §4 url_resolve) + UDF parity."""
+from pyspark.sql import functions as F
+
+from crawlspark.urltools import canonicalize, host_of, path_of, with_canonical
+
+BASE = "http://host1.test/p/5"
+
+
+def test_relative_resolution():
+    # Page.ResolveLink semantics (reference page.go:34-40)
+    assert canonicalize("/p/7", BASE) == "http://host1.test/p/7"
+    assert canonicalize("../p/7", BASE) == "http://host1.test/p/7"
+    assert canonicalize("x/y", BASE) == "http://host1.test/p/x/y"
+    assert canonicalize("http://other.test/z", BASE) == "http://other.test/z"
+
+
+def test_base_href_override():
+    # head base replaces the document URL (reference response.go:86-94)
+    assert canonicalize("a", "http://host1.test/sub/dir/") == \
+        "http://host1.test/sub/dir/a"
+
+
+def test_normal_form():
+    assert canonicalize("HTTP://HOST1.TEST/p/5") == "http://host1.test/p/5"
+    assert canonicalize("http://host1.test:80/p/5") == "http://host1.test/p/5"
+    assert canonicalize("https://host1.test:443/x") == "https://host1.test/x"
+    assert canonicalize("http://host1.test:8080/x") == \
+        "http://host1.test:8080/x"
+    assert canonicalize("http://host1.test") == "http://host1.test/"
+    assert canonicalize("http://h.test/p?b=2&a=1") == "http://h.test/p?a=1&b=2"
+    assert canonicalize("http://h.test/p#frag") == "http://h.test/p"
+
+
+def test_skipped_hrefs():
+    assert canonicalize("#top", BASE) is None
+    assert canonicalize("", BASE) is None
+    assert canonicalize("mailto:x@y.z", BASE) is None
+    assert canonicalize("javascript:void(0)", BASE) is None
+    assert canonicalize(None, BASE) is None
+
+
+def test_host_path():
+    assert host_of("http://host1.test:8080/p/5") == "host1.test:8080"
+    assert path_of("http://host1.test/p/5?a=1") == "/p/5"
+
+
+def test_udf_matches_pure(spark):
+    rows = [("HTTP://H.TEST:80/a?b=2&a=1#f", None),
+            ("/p/7", BASE), ("#top", BASE), ("../q", BASE)]
+    df = spark.createDataFrame(rows, ["u", "b"])
+    got = [r["c"] for r in
+           with_canonical(df, "u", "b", out="c").select("c").collect()]
+    want = [canonicalize(u, b) for u, b in rows]
+    assert got == want
