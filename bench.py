@@ -1,0 +1,100 @@
+"""Headline benchmark. Prints ONE JSON line.
+
+Measures (a) the crawl-frontier engine's URLs scheduled+fetched per second on
+the deterministic t2 synthetic graph (hot-host skew, 64 hosts) — the
+BASELINE.json metric — and (b) wall-seconds for the headline analytics
+queries from __spark_entry__.queries() at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), on local[$SPARK_GRAFT_CPUS].
+
+Scaling evidence (N vs 4N cores on the same input) is produced by
+scripts/scaling_bench.py, which runs THIS file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline analytics queries (name -> forces full computation via count)
+BENCH_QUERIES = [
+    "pricing_summary", "order_revenue", "fetch_seq", "topk_per_host",
+    "token_counts", "text_quality", "exact_dedup", "ngram_jaccard",
+    "minhash_lsh", "simhash", "ann_topk", "ann_topk_lsh",
+]
+
+CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
+CRAWL_K = int(os.environ.get("SPARK_GRAFT_CRAWL_K", "2000"))
+
+
+def bench_crawl(spark) -> dict:
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+
+    tier = synth.TIERS[CRAWL_TIER]
+    pages = synth.spark_pages(spark, tier, parallelism=CPUS).cache()
+    pages.count()  # build cost excluded from crawl throughput
+    robots = synth.spark_robots(spark, tier)
+    seeds = synth.spark_seeds(spark, tier)
+    cfg = CrawlConfig(k_global=CRAWL_K, max_rounds=CRAWL_ROUNDS,
+                      seen_shards=8, seen_m_bits=1 << 22,
+                      salt_buckets=CPUS, validate_fraction=0)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    t0 = time.time()
+    stats = eng.run()
+    dt = time.time() - t0
+    scheduled = sum(s["scheduled"] for s in stats)
+    fetched = sum(s["fetched"] for s in stats)
+    store.destroy()
+    pages.unpersist()
+    return {"seconds": round(dt, 2), "rounds": len(stats),
+            "scheduled": scheduled, "fetched": fetched,
+            "urls_per_sec": round((scheduled + fetched) / dt, 1)}
+
+
+def main():
+    from crawlspark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 2)
+
+    crawl = bench_crawl(spark)
+    timings["crawl_engine"] = crawl["seconds"]
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "frontier URLs scheduled+fetched/sec "
+                  f"({CRAWL_TIER} graph, k={CRAWL_K}, {CRAWL_ROUNDS} rounds, "
+                  f"local[{CPUS}])",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,13 +48,14 @@ on the hot path is Arrow-batched (canonicalize, bloom probe, payload decode).
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..urltools import canonicalize_udf, host_udf, path_udf
 from .politeness import budget_col, order_cols, robots_allowed_col, topk_per_host
@@ -115,9 +116,16 @@ class CrawlEngine:
 
     # -- one round ---------------------------------------------------------------
 
+    @staticmethod
+    def _tick(t0, label):
+        if os.environ.get("CRAWLSPARK_TIMING"):
+            print(f"    [timing] {label}: {time.time() - t0:.1f}s", flush=True)
+        return time.time()
+
     def run_round(self, r: int) -> dict:
         cfg = self.cfg
         store = self.store
+        _t = time.time()
         frontier = store.read("frontier")
         seen = store.read("seen")
         shards_df = store.read("seen_shards")
@@ -137,6 +145,7 @@ class CrawlEngine:
         if seen is not None:
             if shards_df is not None:
                 shard_rows = shards_df.collect()
+                _t = self._tick(_t, 'shards collect')
                 maybe = self.filter.might_contain_col(
                     shard_rows, F.col("url_hash"))
                 cand = cand.withColumn("_maybe", maybe)
@@ -153,7 +162,11 @@ class CrawlEngine:
                    .withColumn("host_budget",
                                budget_col(cfg.round_ms, cfg.k_global))
                    .select(*FRONTIER_COLS, "host_budget"))
-        allowed = allowed.persist(StorageLevel.MEMORY_AND_DISK)
+        # eager lineage truncation: deep round-DAGs otherwise re-run
+        # Catalyst analysis per action (driver-side seconds each). On a
+        # cluster swap for reliable checkpoint or rely on Iceberg round
+        # tables; local mode keeps blocks on executor memory/disk.
+        allowed = allowed.localCheckpoint(eager=True)
 
         # 5-6. politeness top-K then global limit; idx = scheduling order
         survivors = topk_per_host(allowed, cfg.salt_buckets)
@@ -161,11 +174,10 @@ class CrawlEngine:
                      .withColumn("idx", F.row_number().over(
                          W.orderBy(*order_cols())) - 1)
                      .drop("host_budget"))
-        scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
+        scheduled = scheduled.localCheckpoint(eager=True)
         n_scheduled = scheduled.count()
+        _t = self._tick(_t, 'schedule+count')
         if n_scheduled == 0:
-            allowed.unpersist()
-            scheduled.unpersist()
             return {"round": r, "scheduled": 0, "fetched": 0, "done": True}
 
         # 7. fetch = join the page corpus on canonical URL
@@ -185,7 +197,7 @@ class CrawlEngine:
                    canonicalize_udf(
                        F.col("meta_refresh_url"),
                        F.coalesce(F.col("base_href"), F.col("canon")))))
-        fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+        fetched = fetched.localCheckpoint(eager=True)
 
         refr = (fetched
                 .filter(F.col("refresh_canon").isNotNull())
@@ -238,8 +250,9 @@ class CrawlEngine:
                     "is_refresh"]
         all_fetched = (primaries.select(*log_cols)
                        .unionByName(refresh_rows.select(*log_cols)))
-        all_fetched = all_fetched.persist(StorageLevel.MEMORY_AND_DISK)
+        all_fetched = all_fetched.localCheckpoint(eager=True)
         n_fetched = all_fetched.count()
+        _t = self._tick(_t, 'fetch+count')
 
         # 10. expansion: links of 2xx fetches → child frontier rows
         exp = (all_fetched
@@ -314,6 +327,7 @@ class CrawlEngine:
             if n_bad:
                 raise RuntimeError(f"payload fidelity violated on {n_bad} rows")
 
+        _t = self._tick(_t, 'plan build')
         store.commit(r, {
             "frontier": frontier_next,
             "fetch_log": fetch_log,
@@ -321,9 +335,8 @@ class CrawlEngine:
             "seen_shards": shards_next,
             "metrics": metrics,
         }, counters={"fetched_total": int(base_seq + n_fetched)})
+        _t = self._tick(_t, 'commit writes')
 
-        for df in (allowed, scheduled, fetched, all_fetched):
-            df.unpersist()
         return {"round": r, "scheduled": int(n_scheduled),
                 "fetched": int(n_fetched), "done": False}
 
