@@ -1,0 +1,5 @@
+from .seeds import drain_seed_stream, merge_seeds, watch_seed_dir
+from .seen_stream import streaming_url_seen
+
+__all__ = ["watch_seed_dir", "drain_seed_stream", "merge_seeds",
+           "streaming_url_seen"]

@@ -1,0 +1,94 @@
+"""Structured-Streaming surfaces: seed-dir ingest (availableNow drain,
+exactly-once file pickup) and the stateful streaming URL-seen dedup."""
+import os
+import tempfile
+
+from crawlspark.frontier.state import SnapshotStore
+from crawlspark.streaming import (drain_seed_stream, merge_seeds,
+                                  streaming_url_seen)
+
+
+def _write_seed_file(d, name, urls):
+    with open(os.path.join(d, name), "w") as f:
+        f.write("\n".join(urls) + "\n")
+
+
+def test_seed_drain_and_merge(spark):
+    root = tempfile.mkdtemp(prefix="seedstream_")
+    seed_dir = os.path.join(root, "seeds")
+    inbox = os.path.join(root, "inbox")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(seed_dir)
+
+    _write_seed_file(seed_dir, "a.txt", [
+        "http://H0.example/",              # canonicalizes + lowercases
+        "http://h0.example:80/",           # same after default-port drop
+        "http://h1.example/p?b=2&a=1",
+        "#fragment-only",                   # dropped
+        "mailto:x@example.com",             # dropped (non-http)
+    ])
+    drain_seed_stream(spark, seed_dir, inbox, ckpt)
+    got = {r["canon"] for r in spark.read.parquet(inbox).collect()}
+    assert got == {"http://h0.example/", "http://h1.example/p?a=1&b=2"}
+
+    # second drain with one new file: old file NOT re-ingested (checkpoint)
+    _write_seed_file(seed_dir, "b.txt", ["http://h2.example/x"])
+    drain_seed_stream(spark, seed_dir, inbox, ckpt)
+    rows = spark.read.parquet(inbox).collect()
+    assert len(rows) == 3  # 2 + 1, no re-ingest
+
+    # merge into a fresh frontier store: all 3 novel
+    store = SnapshotStore(spark, os.path.join(root, "store"))
+    import pyspark.sql.functions as F
+    empty = spark.createDataFrame(
+        [], "canon string, url_hash long, host string, path string, "
+            "priority double, discovered_seq long, ref_url string")
+    store.commit(-1, {"frontier": empty}, counters={"fetched_total": 0})
+    assert merge_seeds(spark, store, inbox) == 3
+    fr = store.read("frontier")
+    assert fr.count() == 3
+    # merging again adds nothing (already queued)
+    assert merge_seeds(spark, store, inbox) == 0
+    # determinism: discovered_seq is a pure function of the canonical URL
+    seqs = {r["canon"]: r["discovered_seq"] for r in fr.collect()}
+    assert all(v is not None and v >= 0 for v in seqs.values())
+
+
+def test_streaming_url_seen_dedup(spark):
+    root = tempfile.mkdtemp(prefix="seenstream_")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    os.makedirs(src)
+
+    def drain():
+        urls = (spark.readStream.format("text")
+                .schema("value string").load(src)
+                .selectExpr("value as url"))
+        q = (streaming_url_seen(urls, n_shards=4, m_bits=1 << 14)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .outputMode("append").start())
+        q.awaitTermination()
+
+    # batch 1: 3 distinct (one pair canonicalizes together) + intra-batch dup
+    _write_seed_file(src, "b1.txt", [
+        "http://a.example/1", "http://a.example/1",
+        "http://A.EXAMPLE/1#frag",
+        "http://b.example/2", "http://c.example/3",
+    ])
+    drain()
+    got1 = {r["canon"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"http://a.example/1", "http://b.example/2",
+                    "http://c.example/3"}
+
+    # batch 2: cross-batch dup suppressed by state; one new URL passes
+    _write_seed_file(src, "b2.txt", [
+        "http://a.example/1", "http://d.example/4",
+    ])
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4
+    assert {r["canon"] for r in rows} == got1 | {"http://d.example/4"}
