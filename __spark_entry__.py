@@ -507,6 +507,83 @@ FROM events
 """
 
 
+# -- CSV body source (SURVEY §2.1 S8) + charset chain (§2.3 U4) --------------
+
+def q_csv_source(spark, sf_dir):
+    """Body-embedded CSV parse with UTF BOM skip (response.go:40-48 uses
+    utfbom.SkipOnly + csv.Reader; Spark: strip BOM, from_csv)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    line = F.concat(
+        F.when(F.col("l_orderkey") % 11 == 0, F.lit("\ufeff"))
+         .otherwise(F.lit("")),
+        F.col("l_orderkey").cast("string"), F.lit(","),
+        F.col("l_partkey").cast("string"), F.lit(","),
+        F.col("l_quantity").cast("string"))
+    parsed = F.from_csv(F.regexp_replace(line, "^\ufeff", ""),
+                        "ok long, pk long, qty double")
+    return li.select(F.col("l_orderkey").alias("okey"),
+                     parsed.getField("ok").alias("csv_orderkey"),
+                     parsed.getField("pk").alias("csv_partkey"),
+                     parsed.getField("qty").alias("csv_qty"))
+
+
+SQL_CSV_SOURCE = """
+WITH t AS (
+  SELECT l_orderkey,
+         (CASE WHEN l_orderkey % 11 = 0 THEN chr(65279) ELSE '' END)
+         || l_orderkey::VARCHAR || ',' || l_partkey::VARCHAR || ','
+         || l_quantity::VARCHAR AS line
+  FROM lineitem WHERE l_linenumber = 1),
+s AS (SELECT l_orderkey,
+             string_split(regexp_replace(line, '^' || chr(65279), ''), ',')
+             AS f
+      FROM t)
+SELECT l_orderkey AS okey,
+       TRY_CAST(f[1] AS BIGINT) AS csv_orderkey,
+       TRY_CAST(f[2] AS BIGINT) AS csv_partkey,
+       TRY_CAST(f[3] AS DOUBLE) AS csv_qty
+FROM s
+"""
+
+
+def q_charset_chain(spark, sf_dir):
+    """U4 precedence: forced > head meta (http-equiv overrides charset attr)
+    > Content-Type header (response.go:27-141)."""
+    from crawlspark.operators.charset import effective_charset
+    ev = _t(spark, sf_dir, "events")
+    forced = F.lit(None).cast("string")
+    meta_cs = F.when(F.col("event_id") % 3 == 0, F.lit("utf-8"))
+    meta_he = F.when(F.col("event_id") % 5 == 0,
+                     F.lit("text/html; charset=Shift_JIS"))
+    header = F.when(F.col("event_id") % 2 == 0,
+                    F.lit("text/html; charset=euc-jp"))
+    return ev.select(
+        "event_id",
+        effective_charset(forced, meta_cs, meta_he, header)
+        .alias("effective_charset"))
+
+
+SQL_CHARSET_CHAIN = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN 'utf-8' END AS meta_cs,
+         CASE WHEN event_id % 5 = 0
+              THEN 'text/html; charset=Shift_JIS' END AS meta_he,
+         CASE WHEN event_id % 2 = 0
+              THEN 'text/html; charset=euc-jp' END AS header_ct
+  FROM events)
+SELECT event_id,
+       coalesce(
+         CASE WHEN regexp_matches(meta_he, '.*\\bcharset=(.*)')
+              THEN regexp_extract(meta_he, '.*\\bcharset=(.*)', 1) END,
+         meta_cs,
+         CASE WHEN regexp_matches(header_ct, '.*\\bcharset=(.*)')
+              THEN regexp_extract(header_ct, '.*\\bcharset=(.*)', 1) END)
+       AS effective_charset
+FROM t
+"""
+
+
 # -- text analysis (training-data ops) ---------------------------------------
 
 def q_token_counts(spark, sf_dir):
@@ -669,10 +746,20 @@ WITH g AS (
                   str_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))))
            AS grams
   FROM documents),
-k AS (SELECT id, grams, grams[1] AS bucket FROM g),
+e AS (SELECT id, unnest(grams) AS gram FROM g),
+f AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
+pick AS (
+  SELECT id, gram AS bucket FROM (
+    SELECT e.id, e.gram,
+           row_number() OVER (PARTITION BY e.id ORDER BY f.df, e.gram) AS rn
+    FROM e JOIN f USING (gram)) WHERE rn <= 5),
+cand AS (
+  SELECT DISTINCT a.id AS left_id, b.id AS right_id
+  FROM pick a JOIN pick b ON a.bucket = b.bucket AND a.id < b.id),
 p AS (
-  SELECT a.id AS left_id, b.id AS right_id, a.grams AS lg, b.grams AS rg
-  FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id)
+  SELECT c.left_id, c.right_id, ga.grams AS lg, gb.grams AS rg
+  FROM cand c JOIN g ga ON c.left_id = ga.id
+              JOIN g gb ON c.right_id = gb.id)
 SELECT left_id, right_id,
        round(CASE WHEN len(list_distinct(list_concat(lg, rg))) > 0
                   THEN len(list_intersect(lg, rg))::DOUBLE
@@ -818,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "form_defaulting": q_form_defaulting,
         "url_canonicalize": q_url_canonicalize,
         "json_props": q_json_props,
+        "csv_source": q_csv_source,
+        "charset_chain": q_charset_chain,
         # text analysis
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
@@ -864,6 +953,8 @@ def oracle_sql() -> dict[str, str]:
         "form_defaulting": SQL_FORM_DEFAULTING,
         "url_canonicalize": SQL_URL_CANONICALIZE,
         "json_props": SQL_JSON_PROPS,
+        "csv_source": SQL_CSV_SOURCE,
+        "charset_chain": SQL_CHARSET_CHAIN,
         "token_counts": SQL_TOKEN_COUNTS,
         "text_quality": SQL_TEXT_QUALITY,
         "lang_id": SQL_LANG_ID,

@@ -34,6 +34,12 @@ CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
 CRAWL_K = int(os.environ.get("SPARK_GRAFT_CRAWL_K", "2000"))
 
+# the headline metric shape: one scheduling round over a WIDE frontier
+# (BASELINE.json: "frontier URLs scheduled+fetched/sec on a 10^10-URL
+# synthetic frontier", scaled down by the same pure-function generator)
+WIDE_N = int(os.environ.get("SPARK_GRAFT_WIDE_N", "2000000"))
+WIDE_K = int(os.environ.get("SPARK_GRAFT_WIDE_K", "200000"))
+
 
 def bench_crawl(spark) -> dict:
     from crawlspark import synth
@@ -77,20 +83,25 @@ def main():
         n = qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 2)
 
+    from crawlspark.benchlib import run_wide_round
+    wide = run_wide_round(spark, WIDE_N, WIDE_K, CPUS,
+                          tempfile.mkdtemp(prefix="bench_wide_"))
+    timings["wide_frontier_round"] = wide["seconds"]
+
     crawl = bench_crawl(spark)
     timings["crawl_engine"] = crawl["seconds"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "frontier URLs scheduled+fetched/sec "
-                  f"({CRAWL_TIER} graph, k={CRAWL_K}, {CRAWL_ROUNDS} rounds, "
-                  f"local[{CPUS}])",
-        "value": crawl["urls_per_sec"],
+                  f"(wide frontier n={WIDE_N}, k={WIDE_K}, local[{CPUS}])",
+        "value": wide["urls_per_sec"],
         "unit": "urls/sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
-        "crawl": crawl,
+        "wide_frontier": wide,
+        "crawl_e2e": crawl,
     }
     print(json.dumps(out))
     spark.stop()

@@ -1,0 +1,119 @@
+"""Wide-frontier benchmark fixtures — the BASELINE.json metric shape.
+
+The headline metric is *frontier URLs scheduled+fetched per second* over a
+very wide frontier (the 10^10-URL target scaled down by a pure-function
+generator). These builders make a frontier of N rows + a page corpus +
+robots rules entirely JVM-side (spark.range + codegen'd column exprs — no
+Python, no data files), with:
+
+  * hot-host skew: ~30% of the frontier lands on host 0 (the north rule's
+    "salted repartition ... kill hot-host skew" is actually exercised),
+  * politeness variety: the hot host gets a real crawl delay (budget binds),
+    a slice of hosts gets disallow prefixes, the rest are unthrottled,
+  * a 10% fetch hit-rate against the corpus, each hit expanding 2 relative
+    links (drives the canonicalize Arrow UDF + children path end-to-end).
+
+Everything is a pure function of the row index — identical input at any
+parallelism, so N-vs-4N runs measure the same job (scaling efficiency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_HOSTS = 1024
+HOT_FRACTION_TENTHS = 3   # 3/10 of rows on host 0
+
+
+def _host_id(h):
+    return (F.when(F.pmod(h, 10) < HOT_FRACTION_TENTHS, F.lit(0))
+            .otherwise(F.pmod(h, F.lit(N_HOSTS))))
+
+
+def make_wide_frontier(spark: SparkSession, n_rows: int,
+                       parallelism: int = 32) -> DataFrame:
+    """Frontier rows (FRONTIER_COLS schema), already canonical."""
+    df = spark.range(0, n_rows, 1, parallelism)
+    h = F.abs(F.xxhash64(F.col("id")))
+    host_id = _host_id(h)
+    host = F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example"))
+    path = F.concat(F.lit("/p"), F.col("id").cast("string"))
+    canon = F.concat(F.lit("http://"), host, path)
+    return df.select(
+        canon.alias("canon"),
+        F.xxhash64(canon).alias("url_hash"),
+        host.alias("host"),
+        path.alias("path"),
+        (F.pmod(h, 1000) / 1000.0).alias("priority"),
+        F.col("id").alias("discovered_seq"),
+        F.lit(None).cast("string").alias("ref_url"))
+
+
+def make_wide_corpus(spark: SparkSession, n_rows: int,
+                     parallelism: int = 32) -> DataFrame:
+    """Pages for every 10th frontier URL: status 200, 2 relative links."""
+    df = spark.range(0, n_rows // 10, 1, parallelism)
+    i = F.col("id") * 10
+    h = F.abs(F.xxhash64(i))
+    host_id = _host_id(h)
+    host = F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example"))
+    url = F.concat(F.lit("http://"), host, F.lit("/p"), i.cast("string"))
+    link = lambda mult: F.struct(
+        F.concat(F.lit("/p"), F.pmod(i * mult + 1, F.lit(n_rows * 2))
+                 .cast("string")).alias("href"),
+        F.lit(mult - 6).cast("int").alias("pos"))
+    return df.select(
+        url.alias("url"),
+        host.alias("host"),
+        F.lit(None).cast("string").alias("base_href"),
+        F.lit(None).cast("string").alias("meta_refresh_url"),
+        F.array(link(7), link(8)).alias("links"),
+        F.concat(F.lit("img"), i.cast("string")).alias("image_id"),
+        F.lit(200).alias("status"))
+
+
+def make_wide_robots(spark: SparkSession) -> DataFrame:
+    """Hot host throttled (5 ms ⇒ budget 6000/round); every 8th host gets a
+    disallow prefix; the rest are unthrottled."""
+    df = spark.range(0, N_HOSTS, 1, 1)
+    host = F.concat(F.lit("h"), F.col("id").cast("string"),
+                    F.lit(".example"))
+    return df.select(
+        host.alias("host"),
+        F.when(F.col("id") % 8 == 1, F.array(F.lit("/p1")))
+         .otherwise(F.array().cast("array<string>"))
+         .alias("disallow_prefixes"),
+        F.when(F.col("id") == 0, F.lit(5)).otherwise(F.lit(0))
+         .cast("long").alias("crawl_delay_ms"))
+
+
+def run_wide_round(spark: SparkSession, n_rows: int, k_global: int,
+                   parallelism: int, store_dir: str,
+                   rounds: int = 1) -> dict:
+    """Seed a wide frontier, run `rounds` scheduling rounds, return stats."""
+    import time
+
+    from .frontier import CrawlConfig, CrawlEngine, SnapshotStore
+
+    frontier = make_wide_frontier(spark, n_rows, parallelism)
+    corpus = make_wide_corpus(spark, n_rows, parallelism)
+    robots = make_wide_robots(spark)
+    cfg = CrawlConfig(k_global=k_global, max_rounds=rounds,
+                      seen_shards=16, seen_m_bits=1 << 24,
+                      salt_buckets=parallelism, validate_fraction=0)
+    store = SnapshotStore(spark, store_dir)
+    from .frontier.engine import FETCH_LOG_SCHEMA
+    empty_log = spark.createDataFrame([], FETCH_LOG_SCHEMA)
+    store.commit(-1, {"frontier": frontier, "fetch_log": empty_log},
+                 counters={"fetched_total": 0})
+    eng = CrawlEngine(spark, store, corpus, robots, None, cfg)
+    t0 = time.time()
+    stats = eng.run(max_rounds=rounds)
+    dt = time.time() - t0
+    scheduled = sum(s["scheduled"] for s in stats)
+    fetched = sum(s["fetched"] for s in stats)
+    store.destroy()
+    return {"seconds": round(dt, 2), "rounds": len(stats),
+            "n_frontier": n_rows, "k_global": k_global,
+            "scheduled": scheduled, "fetched": fetched,
+            "urls_per_sec": round((scheduled + fetched) / dt, 1)}

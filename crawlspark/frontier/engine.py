@@ -12,7 +12,8 @@ crawlspark.oracle — BASELINE.json demands exact crawl-order/URL-seen match):
    4. BUDGET   host_budget = k_global if delay==0 else max(1, round_ms//delay)
    5. TOP-K    per host by (priority desc, discovered_seq, url_hash), keep
                ≤ budget — salted two-level ranking (hot-host skew)  [A5]
-   6. LIMIT    global order by the same key, take k_global; idx = 0..n-1
+   6. LIMIT    global rank by the same key via the distributed range-
+               partitioned sequencer (plans/ordering.py), keep idx < k_global
    7. FETCH    join pages on canonical URL; absent page ⇒ status 404
    8. REFRESH  2xx pages with meta_refresh_url resolve it against
                coalesce(base_href, canon) (reference: response.go:86-94,
@@ -21,8 +22,9 @@ crawlspark.oracle — BASELINE.json demands exact crawl-order/URL-seen match):
                first (by parent idx) to claim that target. It occupies its
                own fetch slot immediately after its parent — the analog of
                invokeCount++ per invoke (session.go:160).
-   9. SEQ      fetch_seq = base + idx + (#refreshes among earlier primaries)
-               + 1; a refresh row gets parent's fetch_seq + 1.
+   9. SEQ      fetch_seq = base + 1 + global rank of (parent slot,
+               is_refresh) over primaries ∪ refreshes — a refresh lands in
+               its parent's next slot, distributed (no global window).
   10. EXPAND   2xx fetches (incl. refresh fetches) emit their links, resolved
                against coalesce(base_href, canon), canonicalized; child
                priority = parent - 1, discovered_seq = parent_seq*100 + pos
@@ -57,6 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..plans import with_global_seq
 from ..urltools import canonicalize_udf, host_udf, path_udf
 from .politeness import budget_col, order_cols, robots_allowed_col, topk_per_host
 from .seen import SeenFilter
@@ -168,13 +171,14 @@ class CrawlEngine:
         # tables; local mode keeps blocks on executor memory/disk.
         allowed = allowed.localCheckpoint(eager=True)
 
-        # 5-6. politeness top-K then global limit; idx = scheduling order
+        # 5-6. politeness top-K, then global rank + take-k — the rank comes
+        # from the distributed range-partitioned sequencer, NOT a global
+        # window/limit (those collapse to one task: the serial fraction
+        # that capped N-vs-4N scaling; see crawlspark/plans/ordering.py).
         survivors = topk_per_host(allowed, cfg.salt_buckets)
-        scheduled = (survivors.orderBy(*order_cols()).limit(cfg.k_global)
-                     .withColumn("idx", F.row_number().over(
-                         W.orderBy(*order_cols())) - 1)
+        ranked = with_global_seq(survivors, order_cols(), out="idx", start=0)
+        scheduled = (ranked.filter(F.col("idx") < cfg.k_global)
                      .drop("host_budget"))
-        scheduled = scheduled.localCheckpoint(eager=True)
         n_scheduled = scheduled.count()
         _t = self._tick(_t, 'schedule+count')
         if n_scheduled == 0:
@@ -214,23 +218,17 @@ class CrawlEngine:
                     W.partitionBy("r_hash").orderBy("parent_idx")))
                 .filter(F.col("_rn") == 1).drop("_rn"))
 
-        # 9. fetch_seq: interleave refreshes right after their parents
-        wseq = W.orderBy("idx")
-        with_flags = (fetched.join(
-            refr.select(F.col("parent_idx").alias("idx"),
-                        F.lit(1).alias("_has_refresh")), "idx", "left")
-            .withColumn("_prev_refr", F.coalesce(
-                F.sum("_has_refresh").over(
-                    wseq.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
-            .withColumn("fetch_seq",
-                        F.lit(base_seq) + F.col("idx") + F.col("_prev_refr")
-                        + F.lit(1)))
-        primaries = with_flags.withColumn("is_refresh", F.lit(False))
+        # 9. fetch_seq: interleave refreshes right after their parents.
+        # Sorting the primary∪refresh union by (parent slot, is_refresh)
+        # gives exactly "refresh occupies its parent's next slot"
+        # (invokeCount++ per invoke, session.go:160) — assigned by the
+        # distributed sequencer, replacing the former single-partition
+        # global window + cumulative refresh count.
+        primaries_pre = (fetched
+                         .withColumn("is_refresh", F.lit(False))
+                         .withColumn("_slot", F.col("idx")))
 
-        refresh_rows = (refr.join(
-            with_flags.select(F.col("idx").alias("parent_idx"),
-                              F.col("fetch_seq").alias("parent_seq")),
-            "parent_idx")
+        refresh_pre = (refr
             .join(pages.withColumnRenamed("url", "refresh_canon")
                        .withColumnRenamed("host", "_phost"),
                   "refresh_canon", "left")
@@ -240,17 +238,19 @@ class CrawlEngine:
                     host_udf("refresh_canon").alias("host"),
                     F.col("parent_canon").alias("ref_url"),
                     F.col("parent_priority").alias("priority"),
-                    (F.col("parent_seq") + 1).alias("fetch_seq"),
                     F.col("status"), F.col("base_href"),
                     F.col("links"), F.col("image_id"),
-                    F.lit(True).alias("is_refresh")))
+                    F.lit(True).alias("is_refresh"),
+                    F.col("parent_idx").alias("_slot")))
 
-        log_cols = ["canon", "url_hash", "host", "ref_url", "priority",
-                    "fetch_seq", "status", "base_href", "links", "image_id",
-                    "is_refresh"]
-        all_fetched = (primaries.select(*log_cols)
-                       .unionByName(refresh_rows.select(*log_cols)))
-        all_fetched = all_fetched.localCheckpoint(eager=True)
+        pre_cols = ["canon", "url_hash", "host", "ref_url", "priority",
+                    "status", "base_href", "links", "image_id",
+                    "is_refresh", "_slot"]
+        all_pre = (primaries_pre.select(*pre_cols)
+                   .unionByName(refresh_pre.select(*pre_cols)))
+        all_fetched = with_global_seq(
+            all_pre, [F.col("_slot").asc(), F.col("is_refresh").asc()],
+            out="fetch_seq", start=base_seq + 1).drop("_slot")
         n_fetched = all_fetched.count()
         _t = self._tick(_t, 'fetch+count')
 

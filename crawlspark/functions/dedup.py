@@ -82,14 +82,35 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     with_grams = docs.select(F.col(id_col).alias("id"),
                              word_ngrams(F.col(text_col), n).alias("grams"))
     if candidates is None:
-        keyed = with_grams.withColumn(
-            "bucket", F.element_at("grams", 1))
-        a = keyed.select(F.col("id").alias("left_id"),
-                         F.col("grams").alias("lg"), "bucket")
-        b = keyed.select(F.col("id").alias("right_id"),
-                         F.col("grams").alias("rg"), "bucket")
-        pairs = (a.join(b, "bucket")
-                 .filter(F.col("left_id") < F.col("right_id")))
+        # Candidate buckets = each doc's K RAREST grams (min document
+        # frequency, lexicographic tiebreak) — prefix filtering. Rare grams
+        # give near-uniform tiny buckets; a common-first-gram bucket
+        # degenerates into one giant bucket on repetitive corpora
+        # (quadratic pair blowup). The gram-frequency pass is one extra
+        # shuffle — the standard prefix-filter statistics step; near-dup
+        # pairs share one of their K rarest grams with high probability
+        # (and the oracle mirrors the scheme exactly).
+        from pyspark.sql import Window as W
+        k_rarest = 5
+        exploded = with_grams.select("id", F.explode("grams").alias("gram"))
+        gram_df = exploded.groupBy("gram").agg(F.count("*").alias("df"))
+        wrare = W.partitionBy("id").orderBy("df", "gram")
+        buckets = (exploded.join(gram_df, "gram")
+                   .withColumn("_rn", F.row_number().over(wrare))
+                   .filter(F.col("_rn") <= k_rarest)
+                   .select("id", F.col("gram").alias("bucket")))
+        a = buckets.select(F.col("id").alias("left_id"), "bucket")
+        b = buckets.select(F.col("id").alias("right_id"), "bucket")
+        cand = (a.join(b, "bucket")
+                .filter(F.col("left_id") < F.col("right_id"))
+                .select("left_id", "right_id").distinct())
+        pairs = (cand
+                 .join(with_grams.select(F.col("id").alias("left_id"),
+                                         F.col("grams").alias("lg")),
+                       "left_id")
+                 .join(with_grams.select(F.col("id").alias("right_id"),
+                                         F.col("grams").alias("rg")),
+                       "right_id"))
     else:
         pairs = (candidates
                  .join(with_grams.withColumnRenamed("id", "left_id")
@@ -108,19 +129,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
 N_PERM = 64
 
 
-def _minhash_batch(grams_list, n_perm: int) -> np.ndarray:
-    """(n_docs, n_perm) uint64 MinHash signatures, vectorized per doc."""
+def _minhash_batch(hash_arrays, n_perm: int) -> np.ndarray:
+    """(n_docs, n_perm) uint64 MinHash signatures from per-doc gram-hash
+    arrays — fully numpy-vectorized (the per-gram string hashing happens
+    JVM-side; empty docs keep the all-max sentinel signature)."""
     seeds = (np.arange(1, n_perm + 1, dtype=np.uint64)
              * np.uint64(0x9E3779B97F4A7C15))
-    from ..hashing import xxh64
-
-    out = np.full((len(grams_list), n_perm), np.iinfo(np.uint64).max,
+    out = np.full((len(hash_arrays), n_perm), np.iinfo(np.uint64).max,
                   dtype=np.uint64)
-    for i, grams in enumerate(grams_list):
-        if grams is None or len(grams) == 0:
+    for i, hashes in enumerate(hash_arrays):
+        if hashes is None or len(hashes) == 0:
             continue
-        base = np.array([xxh64(g.encode("utf-8")) for g in grams],
-                        dtype=np.uint64)
+        base = np.asarray(hashes, dtype=np.int64).view(np.uint64)
         with np.errstate(over="ignore"):
             perms = mix64(base[:, None] ^ seeds[None, :])
         out[i] = perms.min(axis=0)
@@ -131,20 +151,25 @@ def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = N_PERM,
                        text_col: str = "text", id_col: str = "doc_id"
                        ) -> DataFrame:
     """id → array<long> MinHash signature (one Arrow batch per partition).
-    Shingling is JVM-side (word_ngrams); signatures use the deterministic
-    pure-Python xxh64 + a vectorized mix per permutation."""
-    with_grams = docs.select(F.col(id_col).alias("id"),
-                             word_ngrams(F.col(text_col), n).alias("grams"))
+
+    Shingling AND per-gram hashing are JVM-side (word_ngrams + codegen'd
+    xxhash64, seed 42 — bit-equal to crawlspark.hashing.xxh64); Python only
+    runs the vectorized per-permutation mix/min, so the hot path ships
+    array<long> through Arrow, never strings."""
+    with_hashes = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_ngrams(F.col(text_col), n),
+                    lambda g: F.xxhash64(g)).alias("gram_hashes"))
 
     def sig(batches):
         for pdf in batches:
-            sigs = _minhash_batch(list(pdf["grams"]), n_perm)
+            sigs = _minhash_batch(list(pdf["gram_hashes"]), n_perm)
             yield pd.DataFrame({
                 "id": pdf["id"],
                 "sig": [row.astype(np.int64).tolist() for row in sigs],
             })
 
-    return with_grams.mapInPandas(sig, "id long, sig array<long>")
+    return with_hashes.mapInPandas(sig, "id long, sig array<long>")
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
