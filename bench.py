@@ -21,6 +21,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _bench_tmp():
+    """Round-state scratch on tmpfs — the sandbox disk is IOPS-throttled."""
+    d = "/dev/shm/crawlspark-bench" if os.path.isdir("/dev/shm") else None
+    if d:
+        os.makedirs(d, exist_ok=True)
+    return d
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # headline analytics queries (name -> forces full computation via count)
@@ -53,7 +61,8 @@ def bench_crawl(spark) -> dict:
     cfg = CrawlConfig(k_global=CRAWL_K, max_rounds=CRAWL_ROUNDS,
                       seen_shards=8, seen_m_bits=1 << 22,
                       salt_buckets=CPUS, validate_fraction=0)
-    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="bench_crawl_", dir=_bench_tmp()))
     eng = CrawlEngine(spark, store, pages, robots, None, cfg)
     eng.seed(seeds)
     t0 = time.time()
@@ -85,7 +94,8 @@ def main():
 
     from crawlspark.benchlib import run_wide_round
     wide = run_wide_round(spark, WIDE_N, WIDE_K, CPUS,
-                          tempfile.mkdtemp(prefix="bench_wide_"))
+                          tempfile.mkdtemp(prefix="bench_wide_",
+                                           dir=_bench_tmp()))
     timings["wide_frontier_round"] = wide["seconds"]
 
     crawl = bench_crawl(spark)

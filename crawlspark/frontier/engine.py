@@ -125,10 +125,26 @@ class CrawlEngine:
             print(f"    [timing] {label}: {time.time() - t0:.1f}s", flush=True)
         return time.time()
 
+    def _unpersist_new_rdds(self, before_ids: set) -> None:
+        """Free RDD blocks persisted during this round (eager
+        localCheckpoints) while keeping pre-existing caches (e.g. the pages
+        corpus). Committed state is on disk; the blocks are pure scratch —
+        without this they accumulate round over round."""
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            if int(rid) not in before_ids:
+                jmap.get(rid).unpersist(False)
+
+    @staticmethod
+    def _persistent_rdd_ids(spark) -> set:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+
     def run_round(self, r: int) -> dict:
         cfg = self.cfg
         store = self.store
         _t = time.time()
+        _rdds_before = self._persistent_rdd_ids(self.spark)
         frontier = store.read("frontier")
         seen = store.read("seen")
         shards_df = store.read("seen_shards")
@@ -147,10 +163,10 @@ class CrawlEngine:
         # 2. seen: approximate pre-filter, exact anti-join decides
         if seen is not None:
             if shards_df is not None:
-                shard_rows = shards_df.collect()
+                shard_rows = store.read_local("seen_shards")
                 _t = self._tick(_t, 'shards collect')
                 maybe = self.filter.might_contain_col(
-                    shard_rows, F.col("url_hash"))
+                    shard_rows, F.col("url_hash"), self.spark)
                 cand = cand.withColumn("_maybe", maybe)
                 fresh = cand.filter(~F.col("_maybe")).drop("_maybe")
                 suspect = (cand.filter(F.col("_maybe")).drop("_maybe")
@@ -171,17 +187,21 @@ class CrawlEngine:
         # tables; local mode keeps blocks on executor memory/disk.
         allowed = allowed.localCheckpoint(eager=True)
 
-        # 5-6. politeness top-K, then global rank + take-k — the rank comes
-        # from the distributed range-partitioned sequencer, NOT a global
-        # window/limit (those collapse to one task: the serial fraction
-        # that capped N-vs-4N scaling; see crawlspark/plans/ordering.py).
+        # 5-6. politeness top-K, then global take-k + rank. The take-k is
+        # Spark's TakeOrdered (map-side per-partition top-k, one small merge
+        # of ≤ P·k pre-pruned rows — never the full survivor set); the rank
+        # over the ≤ k kept rows comes from the distributed range-
+        # partitioned sequencer, NOT an unpartitioned window (that collapses
+        # ALL rows to one task — the serial fraction that capped N-vs-4N
+        # scaling; see crawlspark/plans/ordering.py).
         survivors = topk_per_host(allowed, cfg.salt_buckets)
-        ranked = with_global_seq(survivors, order_cols(), out="idx", start=0)
-        scheduled = (ranked.filter(F.col("idx") < cfg.k_global)
+        kept = survivors.orderBy(*order_cols()).limit(cfg.k_global)
+        scheduled = (with_global_seq(kept, order_cols(), out="idx", start=0)
                      .drop("host_budget"))
         n_scheduled = scheduled.count()
         _t = self._tick(_t, 'schedule+count')
         if n_scheduled == 0:
+            self._unpersist_new_rdds(_rdds_before)
             return {"round": r, "scheduled": 0, "fetched": 0, "done": True}
 
         # 7. fetch = join the page corpus on canonical URL
@@ -336,6 +356,7 @@ class CrawlEngine:
             "metrics": metrics,
         }, counters={"fetched_total": int(base_seq + n_fetched)})
         _t = self._tick(_t, 'commit writes')
+        self._unpersist_new_rdds(_rdds_before)
 
         return {"round": r, "scheduled": int(n_scheduled),
                 "fetched": int(n_fetched), "done": False}

@@ -160,16 +160,21 @@ class SeenFilter:
             F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard"),
             F.col("url_hash"),
         )
+        # Prior bits ride a Spark broadcast, never the task closure: at the
+        # sized-for-10^10 shard counts the blobs are tens-to-hundreds of MB,
+        # and a closure would re-serialize them into EVERY task binary.
+        spark = hashes_df.sparkSession
         base = {}
         if existing_df is not None:
-            for row in existing_df.collect():
-                base[row["shard"]] = np.frombuffer(bytes(row["bits"]),
-                                                   dtype=np.uint8)
+            for row in _shard_rows(existing_df):
+                base[int(row["shard"])] = np.frombuffer(
+                    bytes(row["bits"]), dtype=np.uint8)
+        base_bc = spark.sparkContext.broadcast(base)
 
         def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(key[0])
             hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-            prior = base.get(shard)
+            prior = base_bc.value.get(shard)
             if kind == "bloom":
                 bits = _bloom_build(hashes, m_bits, k, prior)
             else:
@@ -189,19 +194,26 @@ class SeenFilter:
             built = built.unionByName(untouched)
         return built
 
-    def might_contain_col(self, shards_rows: list, hash_col):
-        """Column: approximate membership of ``hash_col`` via broadcast shards.
+    def might_contain_col(self, shards_rows: list, hash_col, spark=None):
+        """Column: approximate membership of ``hash_col`` via the shard bits.
 
-        ``shards_rows``: collected seen_shards rows (small by design). Returns
-        a boolean Column; True = maybe seen (must be exact-checked), False =
-        definitely new.
+        ``shards_rows``: seen_shards row dicts (read locally — see
+        SnapshotStore.read_local; py4j collect of binary columns is slow).
+        The blobs ship as ONE Spark broadcast (torrent, fetched once per
+        executor), not in the UDF closure. Returns a boolean Column; True =
+        maybe seen (must be exact-checked), False = definitely new.
         """
         kind, m_bits, k, n_shards = self.kind, self.m_bits, self.k, self.n_shards
         blobs = {int(r["shard"]): np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
                  for r in shards_rows}
+        if spark is None:
+            from pyspark.sql import SparkSession
+            spark = SparkSession.getActiveSession()
+        blobs_bc = spark.sparkContext.broadcast(blobs)
 
         @F.pandas_udf("boolean")
         def maybe_seen(h: pd.Series) -> pd.Series:
+            blobs = blobs_bc.value
             hv = h.to_numpy(dtype=np.int64).view(np.uint64)
             shards = (h.to_numpy(dtype=np.int64) % n_shards + n_shards) % n_shards
             out = np.zeros(len(h), dtype=bool)
@@ -217,3 +229,16 @@ class SeenFilter:
             return pd.Series(out)
 
         return maybe_seen(hash_col)
+
+
+def _shard_rows(existing_df):
+    """Rows of an existing seen_shards DataFrame, avoiding py4j collect of
+    binary columns when the underlying files are locally readable."""
+    files = [f.replace("file:", "") for f in existing_df.inputFiles()]
+    if files and all(f.endswith(".parquet") for f in files):
+        import pyarrow.parquet as pq
+        rows = []
+        for f in sorted(files):
+            rows.extend(pq.read_table(f).to_pylist())
+        return rows
+    return existing_df.collect()

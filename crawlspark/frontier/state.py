@@ -101,5 +101,32 @@ class SnapshotStore:
         paths = [self._dir(table, r["round"]) for r in rounds]
         return self.spark.read.parquet(*paths)
 
+    def read_local(self, table: str, upto_round: int | None = None):
+        """Committed contents as a list of pyarrow-read row dicts — no Spark
+        job, no py4j transfer (binary columns through py4j collect() are
+        pathologically slow; seen_shards blobs go this way instead).
+
+        Valid because this store's root is driver-readable (local dir /
+        shared FS); the Iceberg-backed store reads the same table through
+        its catalog client."""
+        import pyarrow.parquet as pq
+
+        manifest = self._read_manifest()
+        rounds = [r for r in manifest["rounds"]
+                  if table in r["tables"]
+                  and (upto_round is None or r["round"] <= upto_round)]
+        if not rounds:
+            return None
+        if table in REPLACE_TABLES:
+            rounds = rounds[-1:]
+        rows = []
+        for r in rounds:
+            d = self._dir(table, r["round"])
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    rows.extend(pq.read_table(os.path.join(d, fn))
+                                .to_pylist())
+        return rows
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
