@@ -4,7 +4,8 @@ Semantic contract (shared verbatim with the pure-Python oracle,
 crawlspark.oracle — BASELINE.json demands exact crawl-order/URL-seen match):
 
   Round r over state (frontier, seen, counters):
-   1. DEDUP    frontier rows by url_hash, keeping the best by
+   1. DEDUP    the frontier is kept unique by url_hash at insert time
+               (seed() and step 11), keeping the best row by
                (priority desc, discovered_seq asc)  [A6]
    2. SEEN     drop rows whose url_hash ∈ seen — Bloom/cuckoo pre-filter,
                exact anti-join decides  [J4]
@@ -113,6 +114,10 @@ class CrawlEngine:
               .withColumn("discovered_seq", F.col("seed_pos").cast("long"))
               .withColumn("ref_url", F.lit(None).cast("string"))
               .select(*FRONTIER_COLS))
+        wdup = W.partitionBy("url_hash").orderBy(
+            F.col("priority").desc(), F.col("discovered_seq").asc())
+        fr = (fr.withColumn("_rn", F.row_number().over(wdup))
+              .filter(F.col("_rn") == 1).drop("_rn"))
         empty_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
         self.store.commit(-1, {"frontier": fr, "fetch_log": empty_log},
                           counters={"fetched_total": 0})
@@ -153,12 +158,12 @@ class CrawlEngine:
         if frontier is None:
             raise RuntimeError("seed() first")
 
-        # 1. dedup by url_hash (keep best by the total order)
-        wdup = W.partitionBy("url_hash").orderBy(
-            F.col("priority").desc(), F.col("discovered_seq").asc())
-        cand = (frontier
-                .withColumn("_rn", F.row_number().over(wdup))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+        # 1. dedup: the frontier is ALREADY unique by url_hash — seed()
+        # dedups the seed list and step 11 dedups every frontier' before
+        # commit (dedup keeps the min of a total order, so insert-time and
+        # pop-time dedup choose identically — associative across rounds).
+        # Re-deduping here cost one full-frontier shuffle+sort per round.
+        cand = frontier
 
         # 2. seen: approximate pre-filter, exact anti-join decides
         if seen is not None:
@@ -167,7 +172,10 @@ class CrawlEngine:
                 _t = self._tick(_t, 'shards collect')
                 maybe = self.filter.might_contain_col(
                     shard_rows, F.col("url_hash"), self.spark)
-                cand = cand.withColumn("_maybe", maybe)
+                # one materialized pass: the fresh/suspect split otherwise
+                # re-scans the frontier AND re-runs the bloom UDF per branch
+                cand = (cand.withColumn("_maybe", maybe)
+                        .localCheckpoint(eager=True))
                 fresh = cand.filter(~F.col("_maybe")).drop("_maybe")
                 suspect = (cand.filter(F.col("_maybe")).drop("_maybe")
                            .join(seen, "url_hash", "left_anti"))
@@ -187,16 +195,18 @@ class CrawlEngine:
         # tables; local mode keeps blocks on executor memory/disk.
         allowed = allowed.localCheckpoint(eager=True)
 
-        # 5-6. politeness top-K, then global take-k + rank. The take-k is
-        # Spark's TakeOrdered (map-side per-partition top-k, one small merge
-        # of ≤ P·k pre-pruned rows — never the full survivor set); the rank
-        # over the ≤ k kept rows comes from the distributed range-
-        # partitioned sequencer, NOT an unpartitioned window (that collapses
-        # ALL rows to one task — the serial fraction that capped N-vs-4N
-        # scaling; see crawlspark/plans/ordering.py).
+        # 5-6. politeness top-K, then global rank + take-k. The rank comes
+        # from the distributed range-partitioned sequencer
+        # (crawlspark/plans/ordering.py); take-k is a filter on the rank.
+        # Neither an unpartitioned window NOR orderBy().limit(k) appears
+        # here: both funnel every survivor through one task (TakeOrdered's
+        # final merge is single-task, and k is of the same order as the
+        # round width) — measured as the serial fraction that froze N-vs-4N
+        # scaling at ~0.25 efficiency.
         survivors = topk_per_host(allowed, cfg.salt_buckets)
-        kept = survivors.orderBy(*order_cols()).limit(cfg.k_global)
-        scheduled = (with_global_seq(kept, order_cols(), out="idx", start=0)
+        scheduled = (with_global_seq(survivors, order_cols(), out="idx",
+                                     start=0)
+                     .filter(F.col("idx") < cfg.k_global)
                      .drop("host_budget"))
         n_scheduled = scheduled.count()
         _t = self._tick(_t, 'schedule+count')
