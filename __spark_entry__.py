@@ -17,8 +17,15 @@ by name).
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+# the driver may exec this file from any cwd — make crawlspark importable
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -47,7 +54,9 @@ def entry(spark: SparkSession) -> DataFrame:
     seeds = synth.spark_seeds(spark, tier)
     cfg = CrawlConfig(k_global=100, max_rounds=2, seen_shards=4,
                       seen_m_bits=1 << 16, validate_fraction=0)
-    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="entry_crawl_"))
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="entry_crawl_", dir=scratch))
     eng = CrawlEngine(spark, store, pages, robots, None, cfg)
     eng.seed(seeds)
     eng.run()
