@@ -474,6 +474,26 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# -- form label join (SURVEY §2.4 F5) ----------------------------------------
+
+def q_form_label_join(spark, sf_dir):
+    """F5: label[for=id] text attached to the element value (form.go:110-118)
+    — a broadcast equi-join of a small labels table, the J1 join shape."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    labels = nation.select(F.col("n_nationkey").alias("for_id"),
+                           F.col("n_name").alias("label"))
+    return (cust.join(F.broadcast(labels),
+                      cust.c_nationkey == labels.for_id, "left")
+            .select("c_custkey", F.col("c_name").alias("value"), "label"))
+
+
+SQL_FORM_LABEL_JOIN = """
+SELECT c_custkey, c_name AS value, n_name AS label
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 # -- URL canonicalization (SURVEY §2.3 U1, C10) ------------------------------
 
 def q_url_canonicalize(spark, sf_dir):
@@ -912,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactly_one": q_exactly_one,
         "nth_of_type": q_nth_of_type,
         "form_defaulting": q_form_defaulting,
+        "form_label_join": q_form_label_join,
         "url_canonicalize": q_url_canonicalize,
         "json_props": q_json_props,
         "csv_source": q_csv_source,
@@ -960,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "exactly_one": SQL_EXACTLY_ONE,
         "nth_of_type": SQL_NTH_OF_TYPE,
         "form_defaulting": SQL_FORM_DEFAULTING,
+        "form_label_join": SQL_FORM_LABEL_JOIN,
         "url_canonicalize": SQL_URL_CANONICALIZE,
         "json_props": SQL_JSON_PROPS,
         "csv_source": SQL_CSV_SOURCE,
