@@ -62,7 +62,8 @@ from pyspark.sql import functions as F
 
 from ..plans import with_global_seq
 from ..urltools import canonicalize_udf, host_udf, path_udf
-from .politeness import budget_col, order_cols, robots_allowed_col, topk_per_host
+from .politeness import (budget_col, order_cols, prune_to_global_topk,
+                         robots_allowed_col, topk_per_host)
 from .seen import SeenFilter
 from .state import SnapshotStore
 
@@ -85,6 +86,10 @@ class CrawlConfig:
     seen_m_bits: int = 1 << 22    # per shard; scale-out: 2^30 × 16-64 shards
     validate_fraction: float = 0.02  # payload fidelity sampling
     shuffle_partitions: int | None = None
+    # broadcast the exact seen table into anti-joins while it has fewer rows
+    # than this (8M × 8B hashes ≈ 64 MB); beyond it, suspects shuffle against
+    # the (bucketed, at scale) seen table.
+    seen_broadcast_rows: int = 8_000_000
 
 
 class CrawlEngine:
@@ -163,48 +168,62 @@ class CrawlEngine:
         # commit (dedup keeps the min of a total order, so insert-time and
         # pop-time dedup choose identically — associative across rounds).
         # Re-deduping here cost one full-frontier shuffle+sort per round.
-        cand = frontier
+        #
+        # 2-4 fused into ONE pass ending in the round's single full-frontier
+        # materialization: robots broadcast join (no shuffle) → budget col →
+        # Bloom/cuckoo pre-filter UDF → fresh/suspect split → exact anti-join
+        # on suspects only → checkpoint. Seen-filter and robots-filter
+        # commute (both are row filters), so applying robots first loses
+        # nothing and lets one checkpoint serve both the scheduling chain
+        # and the commit-time `remaining` computation.
+        allowed = (frontier.join(F.broadcast(self.robots), "host", "left")
+                   .filter(robots_allowed_col())
+                   .withColumn("host_budget",
+                               budget_col(cfg.round_ms, cfg.k_global))
+                   .select(*FRONTIER_COLS, "host_budget"))
 
-        # 2. seen: approximate pre-filter, exact anti-join decides
         if seen is not None:
+            # Exact-join strategy: the approximate filter shrinks the LEFT
+            # side to suspects; when the cumulative seen set is still small
+            # (row count tracked in counters — it equals fetched_total) a
+            # broadcast hint shrinks the RIGHT side too, making the exact
+            # decide shuffle-free. At 10^10 scale the hint drops out and
+            # suspects shuffle against the bucketed seen table.
+            seen_small = base_seq <= cfg.seen_broadcast_rows
+            seen_keys = F.broadcast(seen) if seen_small else seen
             if shards_df is not None:
                 shard_rows = store.read_local("seen_shards")
                 _t = self._tick(_t, 'shards collect')
                 maybe = self.filter.might_contain_col(
                     shard_rows, F.col("url_hash"), self.spark)
-                # one materialized pass: the fresh/suspect split otherwise
-                # re-scans the frontier AND re-runs the bloom UDF per branch
-                cand = (cand.withColumn("_maybe", maybe)
-                        .localCheckpoint(eager=True))
-                fresh = cand.filter(~F.col("_maybe")).drop("_maybe")
-                suspect = (cand.filter(F.col("_maybe")).drop("_maybe")
-                           .join(seen, "url_hash", "left_anti"))
-                cand = fresh.unionByName(suspect)
+                allowed = allowed.withColumn("_maybe", maybe)
+                fresh = allowed.filter(~F.col("_maybe")).drop("_maybe")
+                suspect = (allowed.filter(F.col("_maybe")).drop("_maybe")
+                           .join(seen_keys, "url_hash", "left_anti"))
+                allowed = fresh.unionByName(suspect)
             else:
-                cand = cand.join(seen, "url_hash", "left_anti")
+                allowed = allowed.join(seen_keys, "url_hash", "left_anti")
 
-        # 3-4. robots (broadcast: one row per host) + budget arithmetic
-        allowed = (cand.join(F.broadcast(self.robots), "host", "left")
-                   .filter(robots_allowed_col())
-                   .withColumn("host_budget",
-                               budget_col(cfg.round_ms, cfg.k_global))
-                   .select(*FRONTIER_COLS, "host_budget"))
         # eager lineage truncation: deep round-DAGs otherwise re-run
         # Catalyst analysis per action (driver-side seconds each). On a
         # cluster swap for reliable checkpoint or rely on Iceberg round
         # tables; local mode keeps blocks on executor memory/disk.
         allowed = allowed.localCheckpoint(eager=True)
 
-        # 5-6. politeness top-K, then global rank + take-k. The rank comes
-        # from the distributed range-partitioned sequencer
-        # (crawlspark/plans/ordering.py); take-k is a filter on the rank.
-        # Neither an unpartitioned window NOR orderBy().limit(k) appears
-        # here: both funnel every survivor through one task (TakeOrdered's
-        # final merge is single-task, and k is of the same order as the
-        # round width) — measured as the serial fraction that froze N-vs-4N
-        # scaling at ~0.25 efficiency.
+        # 5-6. politeness top-K (budget-gated: only over-budget hosts are
+        # ranked — politeness.topk_per_host), then global take-k. The
+        # priority-histogram threshold (prune_to_global_topk) shrinks the
+        # take-k input to an exact superset of the top-k, O(k) rows, before
+        # the distributed range-partitioned sequencer (plans/ordering.py)
+        # assigns ranks; take-k is a filter on the rank. Neither an
+        # unpartitioned window NOR orderBy().limit(k) appears here: both
+        # funnel every survivor through one task (TakeOrdered's final merge
+        # is single-task, and k is of the same order as the round width) —
+        # measured as the serial fraction that froze N-vs-4N scaling at
+        # ~0.25 efficiency.
         survivors = topk_per_host(allowed, cfg.salt_buckets)
-        scheduled = (with_global_seq(survivors, order_cols(), out="idx",
+        pruned = prune_to_global_topk(survivors, cfg.k_global)
+        scheduled = (with_global_seq(pruned, order_cols(), out="idx",
                                      start=0)
                      .filter(F.col("idx") < cfg.k_global)
                      .drop("host_budget"))
@@ -241,8 +260,10 @@ class CrawlEngine:
                         F.col("refresh_canon"),
                         F.xxhash64("refresh_canon").alias("r_hash")))
         if seen is not None:
-            refr = refr.join(seen, refr.r_hash == seen.url_hash, "left_anti")
-        refr = (refr.join(scheduled.select(F.col("url_hash").alias("r_hash")),
+            refr = refr.join(seen_keys, refr.r_hash == seen.url_hash,
+                             "left_anti")
+        refr = (refr.join(F.broadcast(scheduled.select(
+                              F.col("url_hash").alias("r_hash"))),
                           "r_hash", "left_anti")
                 .withColumn("_rn", F.row_number().over(
                     W.partitionBy("r_hash").orderBy("parent_idx")))
@@ -306,20 +327,37 @@ class CrawlEngine:
                             .alias("discovered_seq"),
                             F.col("canon").alias("ref_url")))
 
-        # 11. next state
+        # 11. next state. `remaining` was already seen-filtered this round
+        # (it is a subset of `allowed`), so only the round's own fetches
+        # (new_seen, ≤ k rows — broadcast) need removing from it. Children
+        # are NOT exact-checked at insert: the next round's pop-time
+        # bloom+exact filter makes the identical decision (seen-ness is a
+        # function of url_hash alone, and dedup merges equal hashes before
+        # the filter), so deferring costs at most one round of zombie rows
+        # in the frontier — self-cleaning, since each round rebuilds
+        # frontier' from post-filter survivors. This removes the former
+        # full-frontier × full-seen anti-join from every commit.
         new_seen = (all_fetched.select("url_hash").distinct())
         remaining = (allowed.select(*FRONTIER_COLS)
-                     .join(scheduled.select("url_hash"), "url_hash",
-                           "left_anti"))
+                     .join(F.broadcast(scheduled.select("url_hash")),
+                           "url_hash", "left_anti"))
         frontier_next = (remaining.unionByName(children.select(*FRONTIER_COLS))
-                         .join(new_seen, "url_hash", "left_anti"))
-        if seen is not None:
-            frontier_next = frontier_next.join(seen, "url_hash", "left_anti")
-        wdup2 = W.partitionBy("url_hash").orderBy(
-            F.col("priority").desc(), F.col("discovered_seq").asc())
+                         .join(F.broadcast(new_seen), "url_hash", "left_anti"))
+        # dedup (A6) as an aggregation, not a window: max_by with a struct
+        # comparator gets map-side partial aggregation (combiners), so the
+        # shuffle carries one row per (partition, url_hash) instead of the
+        # full frontier sorted. Comparator = best by (priority desc,
+        # discovered_seq asc); ties are identical rows up to ref_url, with a
+        # ref_url hash as a deterministic final tiebreaker.
+        _cmp = F.struct(
+            F.col("priority"),
+            (-F.col("discovered_seq")).alias("_nds"),
+            (-F.xxhash64(F.coalesce(F.col("ref_url"), F.lit("")))).alias("_nrh"))
         frontier_next = (frontier_next
-                         .withColumn("_rn", F.row_number().over(wdup2))
-                         .filter(F.col("_rn") == 1).drop("_rn"))
+                         .groupBy("url_hash")
+                         .agg(F.max_by(F.struct(*FRONTIER_COLS), _cmp)
+                              .alias("_best"))
+                         .select("_best.*"))
 
         shards_next = self.filter.build(new_seen, existing_df=shards_df)
 

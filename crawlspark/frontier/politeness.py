@@ -16,15 +16,28 @@ host with ``crawl_delay_ms = d`` admits
 starvation of max-delay hosts).
 
 Skew ("salted repartition by host-bucket to kill hot-host skew", north rule):
-a naive ``Window.partitionBy(host)`` sends a 90 %-hot host to ONE task. We
-rank in two levels instead:
-  1. local: rank within (host, salt) where salt = pmod(url_hash, S) —
-     S-way parallel even for a single host; keep local rank ≤ budget.
-     (Any row with ≥ budget better rows in its own salt cell has ≥ budget
-     better rows in the whole host, so this prunes no true survivor.)
-  2. final: rank within host over ≤ S·budget survivors — tiny.
-This is the classic salted two-level top-K; AQE skew-join handles the join
-side, salting handles the grouped ranking side (SURVEY.md §4).
+a naive ``Window.partitionBy(host)`` sends a 90 %-hot host to ONE task, and
+ranking EVERY host shuffles the whole frontier twice. Two structural moves:
+
+  1. **Budget gate**: a map-side-combinable `groupBy(host).count()` (tiny
+     shuffle: n_hosts × P partial rows) finds the hosts whose row count
+     exceeds their budget. Only THOSE rows are ranked; everyone else passes
+     through untouched (count ≤ budget ⇒ every row survives top-budget).
+     In a typical frontier only the hot/throttled hosts are over budget, so
+     the two full-frontier window shuffles collapse to a shuffle of the hot
+     slice.
+  2. **Salted two-level rank** on the over-budget slice: rank within
+     (host, salt), salt = pmod(url_hash, S) — S-way parallel even for a
+     single host; keep local rank ≤ budget (any row with ≥ budget better
+     rows in its own salt cell has ≥ budget better rows in the whole host),
+     then final rank within host over ≤ S·budget survivors.
+
+`prune_to_global_topk` is the same idea for the GLOBAL take-k: an exact
+priority-histogram threshold shrinks the take-k input from O(frontier) to
+O(k) before the distributed sequencer sorts it. Bucket counts are exact, so
+the returned set provably contains the true top-k: every kept row has
+priority ≥ every dropped row, and ≥ k rows are kept (priority dominates the
+lexicographic order (priority desc, discovered_seq, url_hash)).
 """
 
 from __future__ import annotations
@@ -51,18 +64,58 @@ def topk_per_host(df, salt_buckets: int = 8):
     """Keep ≤ host_budget rows per host by ORDER_COLS, skew-safely.
 
     Expects columns: host, url_hash, priority, discovered_seq, host_budget.
+    Hosts within budget pass through with no shuffle at all (budget gate);
+    over-budget hosts get the salted two-level rank.
     """
-    salted = df.withColumn(
+    over = (df.groupBy("host")
+            .agg(F.count("*").alias("_cnt"),
+                 F.first("host_budget").alias("_bud"))
+            .filter(F.col("_cnt") > F.col("_bud"))
+            .select("host", F.lit(True).alias("_over")))
+    tagged = df.join(F.broadcast(over), "host", "left")
+    uncapped = tagged.filter(F.col("_over").isNull()).drop("_over")
+    capped = tagged.filter(F.col("_over")).drop("_over")
+
+    salted = capped.withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int"))
     local = W.partitionBy("host", "salt").orderBy(*order_cols())
     pruned = (salted
               .withColumn("local_rank", F.row_number().over(local))
               .filter(F.col("local_rank") <= F.col("host_budget")))
     final = W.partitionBy("host").orderBy(*order_cols())
-    return (pruned
-            .withColumn("host_rank", F.row_number().over(final))
-            .filter(F.col("host_rank") <= F.col("host_budget"))
-            .drop("salt", "local_rank", "host_rank"))
+    ranked = (pruned
+              .withColumn("host_rank", F.row_number().over(final))
+              .filter(F.col("host_rank") <= F.col("host_budget"))
+              .drop("salt", "local_rank", "host_rank"))
+    return uncapped.unionByName(ranked)
+
+
+def prune_to_global_topk(df, k: int, resolution: int = 64,
+                         max_buckets: int = 4096):
+    """Exact superset of the global top-k by ORDER_COLS, via a priority
+    histogram (bucket = floor(priority · resolution)).
+
+    Finds the largest bucket cut b* with count(bucket ≥ b*) ≥ k and keeps
+    those rows: every kept row has priority ≥ b*/resolution > every dropped
+    row's priority, and bucket counts are exact, so the true top-k (priority
+    is the leading sort key) is contained. Falls back to no pruning when the
+    histogram is too spread out or holds < k rows — never wrong, only ever
+    a no-op.
+    """
+    b = F.floor(F.col("priority") * resolution)
+    rows = (df.groupBy(b.alias("_b")).count()
+            .orderBy(F.col("_b").desc())
+            .limit(max_buckets)
+            .collect())
+    cum, cut = 0, None
+    for r in rows:
+        cum += r["count"]
+        if cum >= k:
+            cut = r["_b"]
+            break
+    if cut is None:
+        return df
+    return df.filter(F.floor(F.col("priority") * resolution) >= cut)
 
 
 def robots_allowed_col():

@@ -74,12 +74,24 @@ class SnapshotStore:
 
         ``tables``: {name: DataFrame}. A crash before the manifest replace
         leaves only invisible directories (cleaned on the next attempt).
+
+        The per-table writes are independent Spark jobs submitted from a
+        thread pool — the scheduler interleaves their stages, so small
+        tables (metrics, seen_shards) ride along with the big frontier
+        write instead of serializing behind it. Atomicity is unchanged:
+        nothing is visible until the single manifest replace.
         """
-        for name, df in tables.items():
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            name, df = item
             path = self._dir(name, round_no)
             if os.path.exists(path):  # stale uncommitted attempt
                 shutil.rmtree(path)
             df.write.mode("overwrite").parquet(path)
+
+        with ThreadPoolExecutor(max_workers=max(1, len(tables))) as ex:
+            list(ex.map(_write, tables.items()))  # propagate any failure
         manifest = self._read_manifest()
         manifest["rounds"] = [r for r in manifest["rounds"]
                               if r["round"] < round_no]

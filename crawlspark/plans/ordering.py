@@ -10,28 +10,31 @@ DataFrame-native):
 
   1. `repartitionByRange(P, keys)` + `sortWithinPartitions(keys)` — range
      exchange puts partition p strictly before p+1 in key order.
-  2. one Arrow pass stamps (partition_id, local_rank) — order-preserving
-     mapInPandas, numpy arange per batch, no per-row Python.
+  2. a JVM-side projection stamps (partition_id, local_rank) from
+     `monotonically_increasing_id()`: within one partition mii is
+     `pid * 2^33 + rowIndexInPartition`, and because mii is flagged
+     nondeterministic Catalyst will not reorder it below the sort, so the
+     row index IS the in-partition rank of the sorted order. No Python
+     worker, no Arrow round-trip — the whole stamp stays in codegen.
   3. per-partition counts (P rows, collected) become prefix offsets,
      broadcast-joined back: seq = start + offset[pid] + local_rank.
 
-Determinism: the sequence is a pure function of the SORT ORDER, not of the
-partition boundaries — range-sampling variation moves rows between
-partitions but never changes `offset[pid] + local_rank` for a given row
-(boundaries respect key order; ties within equal keys must be broken by the
-caller's key list being a total order, which the engine guarantees —
-SURVEY.md §3.4 bans non-data-derived ordering).
-
-The intermediate is eagerly localCheckpoint'ed: the counts pass and every
-downstream consumer then reuse one materialization (the engine was already
-checkpointing at this point in the round, so this adds no extra pass).
+Determinism: mii alone is banned on the hot path (SURVEY.md §3.4) because
+its raw value depends on partitioning; here it is sandwiched between an
+explicit range+sort and the offset normalization, which makes the OUTPUT a
+pure function of the SORT ORDER, not of the partition boundaries —
+range-sampling variation moves rows between partitions but never changes
+`offset[pid] + local_rank` for a given row (boundaries respect key order;
+ties within equal keys must be broken by the caller's key list being a
+total order, which the engine guarantees). The localCheckpoint freezes the
+stamped values before any consumer observes them.
 """
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+_MII_ROW_BITS = 33  # monotonically_increasing_id: pid << 33 | row index
 
 
 def with_global_seq(df: DataFrame, sort_cols, out: str = "seq",
@@ -45,23 +48,16 @@ def with_global_seq(df: DataFrame, sort_cols, out: str = "seq",
     ranged = (df.repartitionByRange(P, *sort_cols)
               .sortWithinPartitions(*sort_cols))
 
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField("_pid", IntegerType()),
-           StructField("_lrn", LongType())])
-
-    def stamp(batches):
-        from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
-        base = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_pid"] = np.int32(pid)
-            pdf["_lrn"] = np.arange(base, base + len(pdf), dtype=np.int64)
-            base += len(pdf)
-            yield pdf
-
-    stamped = ranged.mapInPandas(stamp, out_schema).localCheckpoint(eager=True)
+    mii = F.monotonically_increasing_id()
+    stamped = (ranged
+               .withColumn("_mii", mii)
+               .withColumn("_pid",
+                           F.shiftright(F.col("_mii"), _MII_ROW_BITS)
+                           .cast("int"))
+               .withColumn("_lrn",
+                           F.col("_mii").bitwiseAND((1 << _MII_ROW_BITS) - 1))
+               .drop("_mii")
+               .localCheckpoint(eager=True))
 
     counts = {r["_pid"]: r["c"] for r in
               stamped.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
