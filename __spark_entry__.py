@@ -494,6 +494,256 @@ FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+# -- form mutation with validation (SURVEY §2.4 F6) --------------------------
+
+def q_form_set_validate(spark, sf_dir):
+    """F6 Set/SetForce/Unset semantics (form.go:199-236): Set(v) succeeds
+    only if v ∈ AvailableValues (membership check), else the current value
+    stands; SetForce always takes the new value (inserts hidden); Unset
+    clears. Availables = each customer's order keys; the requested value is
+    current+3 (a value that exists for some customers and not others
+    — both paths exercised)."""
+    orders = _t(spark, sf_dir, "orders")
+    g = (orders.groupBy("o_custkey")
+         .agg(F.min("o_orderkey").alias("current_value")))
+    req = F.col("current_value") + 3
+    joined = g.join(orders, "o_custkey")
+    return (joined.groupBy("o_custkey", "current_value")
+            .agg((F.max(F.when(F.col("o_orderkey") == req, 1).otherwise(0))
+                  == 1).alias("set_ok"))
+            .select("o_custkey", "current_value",
+                    req.alias("requested"),
+                    "set_ok",
+                    F.when(F.col("set_ok"), req)
+                     .otherwise(F.col("current_value")).alias("set_value"),
+                    req.alias("force_value"),
+                    F.lit(None).cast("long").alias("unset_value")))
+
+
+SQL_FORM_SET_VALIDATE = """
+WITH g AS (SELECT o_custkey, min(o_orderkey) AS current_value
+           FROM orders GROUP BY 1)
+SELECT g.o_custkey, g.current_value,
+       g.current_value + 3 AS requested,
+       max(CASE WHEN o.o_orderkey = g.current_value + 3 THEN 1 ELSE 0 END)
+         = 1 AS set_ok,
+       CASE WHEN max(CASE WHEN o.o_orderkey = g.current_value + 3
+                     THEN 1 ELSE 0 END) = 1
+            THEN g.current_value + 3 ELSE g.current_value END AS set_value,
+       g.current_value + 3 AS force_value,
+       CAST(NULL AS BIGINT) AS unset_value
+FROM g JOIN orders o USING (o_custkey)
+GROUP BY g.o_custkey, g.current_value
+"""
+
+
+# -- form reverse lookup by label (SURVEY §2.4 F7) ---------------------------
+
+def q_form_value_by_label(spark, sf_dir):
+    """F7 ValueByLabel (form.go:239-265): available = sorted
+    array<struct<pos,label>> per nation; the target label is the 3rd
+    option's; the lookup filters the array by label equality and returns
+    that element's value."""
+    cust = _t(spark, sf_dir, "customer")
+    avail = F.array_sort(F.collect_list(
+        F.struct(F.col("c_custkey").alias("pos"),
+                 F.col("c_name").alias("label"))))
+    g = (cust.groupBy("c_nationkey").agg(avail.alias("avail")))
+    target = F.element_at(
+        F.col("avail"), F.least(F.lit(3), F.size("avail"))).getField("label")
+    hit = F.filter(F.col("avail"),
+                   lambda v: v.getField("label") == target)
+    return g.select(
+        "c_nationkey",
+        target.alias("target_label"),
+        F.element_at(hit, 1).getField("pos").alias("value"),
+        F.size("avail").cast("long").alias("n_available"))
+
+
+SQL_FORM_VALUE_BY_LABEL = """
+WITH g AS (
+  SELECT c_nationkey,
+         list_sort(list({'pos': c_custkey, 'label': c_name})) AS avail
+  FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey,
+       avail[least(3, len(avail))].label AS target_label,
+       list_filter(avail,
+                   v -> v.label = avail[least(3, len(avail))].label)[1].pos
+         AS value,
+       len(avail) AS n_available
+FROM g
+"""
+
+
+# -- form submit param assembly (SURVEY §2.4 F8) -----------------------------
+
+def q_form_submit_params(spark, sf_dir):
+    """F8 SubmitOpt assembly (form.go:344-376): value-carrying elements emit
+    name=value; the type=image element whose name matches the clicked
+    imageId emits name.x=0 and name.y=0 instead. Elements: one per
+    (customer, o_orderkey mod 8), value = min orderkey; 'p0' is the image."""
+    from crawlspark.operators.forms import submit_params
+    orders = _t(spark, sf_dir, "orders")
+    elements = (orders.groupBy(
+        F.col("o_custkey").alias("form_id"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 8).cast("string"))
+         .alias("name"))
+        .agg(F.min("o_orderkey").cast("string").alias("value"))
+        .withColumn("type", F.when(F.col("name") == "p0", F.lit("image"))
+                             .otherwise(F.lit("text"))))
+    return (submit_params(elements, image_id="p0")
+            .select("form_id", "param", "pvalue"))
+
+
+SQL_FORM_SUBMIT_PARAMS = """
+WITH el AS (
+  SELECT o_custkey AS form_id,
+         'p' || (o_orderkey % 8)::VARCHAR AS name,
+         min(o_orderkey)::VARCHAR AS value
+  FROM orders GROUP BY 1, 2)
+SELECT form_id, name AS param, value AS pvalue FROM el WHERE name <> 'p0'
+UNION ALL
+SELECT form_id, name || s.suffix AS param, '0' AS pvalue
+FROM el, (VALUES ('.x'), ('.y')) s(suffix) WHERE name = 'p0'
+"""
+
+
+# -- per-round metrics rollup (SURVEY §2.6 A7, user-facing) ------------------
+
+def q_metrics_rollup(spark, sf_dir):
+    """A7 metrics rollup as a query surface: fetch-log-shaped rollup per
+    (bucket, status class) — count, bytes sum, success rate. Events stand in
+    for the fetch log; bucket = pmod(user_id, 32) is the host_bucket analog
+    (the engine's own rollup over its fetch_log is pinned by the crawl
+    tests; this is the same shape over driver-checkable data)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.pmod(F.col("user_id"), F.lit(32)).cast("int")
+    ok = (F.col("event_type") != "error")
+    return (ev.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
+                  .cast("double").alias("sum_value"),
+                 F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok"),
+                 F.round(F.sum(F.when(ok, 1).otherwise(0))
+                         / F.count("*"), 6).alias("ok_rate")))
+
+
+SQL_METRICS_ROLLUP = """
+SELECT (((user_id % 32) + 32) % 32)::INTEGER AS bucket,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(28,6)), 4)::DOUBLE AS sum_value,
+       sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+       round(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS ok_rate
+FROM events GROUP BY 1
+"""
+
+
+# -- anchor-text link selection (SURVEY §2.2 P6 + P8) ------------------------
+
+def q_anchor_select(spark, sf_dir):
+    """P6 FollowAnchorText (session.go:399-427): filter anchors whose
+    trimmed text equals the target; P8 index selection picks Eq(0) of the
+    matches; the match count is the NumLink cardinality input (P7)."""
+    orders = _t(spark, sf_dir, "orders")
+    links = F.array_sort(F.collect_list(
+        F.struct(F.col("o_orderkey").alias("pos"),
+                 F.col("o_orderpriority").alias("text"))))
+    g = orders.groupBy("o_custkey").agg(links.alias("links"))
+    matched = F.filter(
+        F.col("links"), lambda l: F.trim(l.getField("text")) == "1-URGENT")
+    return g.select(
+        "o_custkey",
+        F.size(matched).cast("long").alias("n_matched"),
+        F.when(F.size(matched) > 0,
+               F.element_at(matched, 1).getField("pos"))
+         .alias("first_match_pos"))
+
+
+SQL_ANCHOR_SELECT = """
+WITH g AS (
+  SELECT o_custkey,
+         list_sort(list({'pos': o_orderkey, 'text': o_orderpriority}))
+           AS links
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey,
+       len(list_filter(links, l -> trim(l.text) = '1-URGENT')) AS n_matched,
+       CASE WHEN len(list_filter(links, l -> trim(l.text) = '1-URGENT')) > 0
+            THEN list_filter(links, l -> trim(l.text) = '1-URGENT')[1].pos
+       END AS first_match_pos
+FROM g
+"""
+
+
+# -- newest-matching-download scan (SURVEY §2.6 A4 + §2.8 C9) ----------------
+
+def q_download_latest(spark, sf_dir):
+    """A4 download-dir scan (chrome.go:426-450): newest file matching the
+    glob, partials (.crdownload) skipped; C9 glob→regex translation — glob
+    'f1*' becomes the anchored regex the filter uses."""
+    ev = _t(spark, sf_dir, "events")
+    name = F.concat(F.lit("f"), (F.col("event_id") % 137).cast("string"),
+                    F.when(F.col("event_id") % 11 == 0,
+                           F.lit(".crdownload")).otherwise(F.lit("")))
+    files = ev.select("user_id", "event_id", "ts", name.alias("name"))
+    cand = files.filter(F.col("name").rlike("^f1[0-9]*$"))  # glob f1*
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "name", F.col("event_id").alias("file_id")))
+
+
+SQL_DOWNLOAD_LATEST = """
+WITH files AS (
+  SELECT user_id, event_id, ts,
+         'f' || (event_id % 137)::VARCHAR ||
+         CASE WHEN event_id % 11 = 0 THEN '.crdownload' ELSE '' END AS name
+  FROM events),
+cand AS (SELECT * FROM files WHERE regexp_matches(name, '^f1[0-9]*$')),
+ranked AS (
+  SELECT user_id, name, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM cand)
+SELECT user_id, name, event_id AS file_id FROM ranked WHERE rn = 1
+"""
+
+
+# -- cookie-jar broadcast join (SURVEY §2.1 S7, §2.5 J3) ---------------------
+
+def q_cookie_join(spark, sf_dir):
+    """S7 persistent cookie jar → small host-keyed table broadcast into the
+    fetch stage (session.go:67-110, J3): each request picks up its host's
+    cookie; hosts without one fetch bare."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cookies = nation.select(
+        F.concat(F.lit("h"), F.col("n_nationkey").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("sess-"), F.col("n_name")).alias("cookie"))
+    reqs = cust.select(
+        "c_custkey",
+        F.concat(F.lit("h"), (F.col("c_custkey") % 40).cast("string"),
+                 F.lit(".example")).alias("host"))
+    return (reqs.join(F.broadcast(cookies), "host", "left")
+            .select("c_custkey", "host", "cookie"))
+
+
+SQL_COOKIE_JOIN = """
+WITH cookies AS (
+  SELECT 'h' || n_nationkey::VARCHAR || '.example' AS host,
+         'sess-' || n_name AS cookie
+  FROM nation),
+reqs AS (
+  SELECT c_custkey,
+         'h' || (c_custkey % 40)::VARCHAR || '.example' AS host
+  FROM customer)
+SELECT c_custkey, reqs.host AS host, cookie
+FROM reqs LEFT JOIN cookies USING (host)
+"""
+
+
 # -- URL canonicalization (SURVEY §2.3 U1, C10) ------------------------------
 
 def q_url_canonicalize(spark, sf_dir):
@@ -914,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "event_metrics": q_event_metrics,
+        "metrics_rollup": q_metrics_rollup,
         # ordering / politeness windows
         "fetch_seq": q_fetch_seq,
         "topk_per_host": q_topk_per_host,
@@ -933,6 +1184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nth_of_type": q_nth_of_type,
         "form_defaulting": q_form_defaulting,
         "form_label_join": q_form_label_join,
+        "form_set_validate": q_form_set_validate,
+        "form_value_by_label": q_form_value_by_label,
+        "form_submit_params": q_form_submit_params,
+        "anchor_select": q_anchor_select,
+        "download_latest": q_download_latest,
+        "cookie_join": q_cookie_join,
         "url_canonicalize": q_url_canonicalize,
         "json_props": q_json_props,
         "csv_source": q_csv_source,
@@ -965,6 +1222,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING,
         "order_revenue": SQL_ORDER_REVENUE,
         "event_metrics": SQL_EVENT_METRICS,
+        "metrics_rollup": SQL_METRICS_ROLLUP,
         "fetch_seq": SQL_FETCH_SEQ,
         "topk_per_host": SQL_TOPK_PER_HOST,
         "crawl_delay_lag": SQL_CRAWL_DELAY_LAG,
@@ -982,6 +1240,12 @@ def oracle_sql() -> dict[str, str]:
         "nth_of_type": SQL_NTH_OF_TYPE,
         "form_defaulting": SQL_FORM_DEFAULTING,
         "form_label_join": SQL_FORM_LABEL_JOIN,
+        "form_set_validate": SQL_FORM_SET_VALIDATE,
+        "form_value_by_label": SQL_FORM_VALUE_BY_LABEL,
+        "form_submit_params": SQL_FORM_SUBMIT_PARAMS,
+        "anchor_select": SQL_ANCHOR_SELECT,
+        "download_latest": SQL_DOWNLOAD_LATEST,
+        "cookie_join": SQL_COOKIE_JOIN,
         "url_canonicalize": SQL_URL_CANONICALIZE,
         "json_props": SQL_JSON_PROPS,
         "csv_source": SQL_CSV_SOURCE,

@@ -10,7 +10,10 @@ crawlspark.oracle — BASELINE.json demands exact crawl-order/URL-seen match):
    2. SEEN     drop rows whose url_hash ∈ seen — Bloom/cuckoo pre-filter,
                exact anti-join decides  [J4]
    3. ROBOTS   drop rows whose path matches a disallow prefix of their host
-   4. BUDGET   host_budget = k_global if delay==0 else max(1, round_ms//delay)
+   4. BUDGET   host_budget = k_global if delay==0 else
+               max(1, (round_ms + credit_ms)//delay), where credit_ms is the
+               host's carried-over unused round time (≤ one delay; committed
+               per round in host_state, updated by politeness.next_host_state)
    5. TOP-K    per host by (priority desc, discovered_seq, url_hash), keep
                ≤ budget — salted two-level ranking (hot-host skew)  [A5]
    6. LIMIT    global rank by the same key via the distributed range-
@@ -32,13 +35,18 @@ crawlspark.oracle — BASELINE.json demands exact crawl-order/URL-seen match):
                (pos = document order — the FollowLink tiebreaker,
                session.go:343-358).
   11. STATE    seen += scheduled ∪ refresh targets; frontier' = (survivors of
-               1-3 not scheduled) ∪ children, pre-deduped/pre-seen-filtered
-               (invisible: the pop-time rules of the next round make the
-               same choices — dedup keeps the min of a total order, which is
-               associative across rounds).
+               1-3 not scheduled) ∪ children, deduped (best of a total
+               order — associative across rounds) and filtered against THIS
+               round's fetches. Children are NOT exact-checked against the
+               historical seen set at insert: the next round's pop-time
+               bloom+exact filter makes the identical decision (seen-ness
+               is a function of url_hash alone, and dedup merges equal
+               hashes first), and each round rebuilds frontier' from
+               post-filter survivors, so stale rows never outlive a round.
+               Politeness credit (step 4) rolls forward in host_state.
   12. COMMIT   one atomic snapshot (frontier, fetch_log, seen, seen_shards,
-               metrics) — resume replays byte-identically (the record/replay
-               contract, session.go:147-266).
+               host_state, metrics) — resume replays byte-identically (the
+               record/replay contract, session.go:147-266).
 
 Non-2xx fetches are LOGGED and not expanded — the reference rejects non-2xx
 (session.go:197-199) as an error; our engine dead-letters them as rows, never
@@ -62,8 +70,9 @@ from pyspark.sql import functions as F
 
 from ..plans import with_global_seq
 from ..urltools import canonicalize_udf, host_udf, path_udf
-from .politeness import (budget_col, order_cols, prune_to_global_topk,
-                         robots_allowed_col, topk_per_host)
+from .politeness import (budget_col, next_host_state, order_cols,
+                         prune_to_global_topk, robots_allowed_col,
+                         topk_per_host)
 from .seen import SeenFilter
 from .state import SnapshotStore
 
@@ -158,6 +167,7 @@ class CrawlEngine:
         frontier = store.read("frontier")
         seen = store.read("seen")
         shards_df = store.read("seen_shards")
+        host_state = store.read("host_state")
         base_seq = store.counters().get("fetched_total", 0)
 
         if frontier is None:
@@ -176,7 +186,11 @@ class CrawlEngine:
         # commute (both are row filters), so applying robots first loses
         # nothing and lets one checkpoint serve both the scheduling chain
         # and the commit-time `remaining` computation.
-        allowed = (frontier.join(F.broadcast(self.robots), "host", "left")
+        robots_aug = (self.robots.join(host_state, "host", "left")
+                      if host_state is not None
+                      else self.robots.withColumn(
+                          "credit_ms", F.lit(0).cast("long")))
+        allowed = (frontier.join(F.broadcast(robots_aug), "host", "left")
                    .filter(robots_allowed_col())
                    .withColumn("host_budget",
                                budget_col(cfg.round_ms, cfg.k_global))
@@ -223,11 +237,11 @@ class CrawlEngine:
         # ~0.25 efficiency.
         survivors = topk_per_host(allowed, cfg.salt_buckets)
         pruned = prune_to_global_topk(survivors, cfg.k_global)
-        scheduled = (with_global_seq(pruned, order_cols(), out="idx",
-                                     start=0)
-                     .filter(F.col("idx") < cfg.k_global)
+        seq_df, n_pruned = with_global_seq(pruned, order_cols(), out="idx",
+                                           start=0, return_count=True)
+        scheduled = (seq_df.filter(F.col("idx") < cfg.k_global)
                      .drop("host_budget"))
-        n_scheduled = scheduled.count()
+        n_scheduled = min(cfg.k_global, n_pruned)
         _t = self._tick(_t, 'schedule+count')
         if n_scheduled == 0:
             self._unpersist_new_rdds(_rdds_before)
@@ -299,10 +313,10 @@ class CrawlEngine:
                     "is_refresh", "_slot"]
         all_pre = (primaries_pre.select(*pre_cols)
                    .unionByName(refresh_pre.select(*pre_cols)))
-        all_fetched = with_global_seq(
+        all_fetched, n_fetched = with_global_seq(
             all_pre, [F.col("_slot").asc(), F.col("is_refresh").asc()],
-            out="fetch_seq", start=base_seq + 1).drop("_slot")
-        n_fetched = all_fetched.count()
+            out="fetch_seq", start=base_seq + 1, return_count=True)
+        all_fetched = all_fetched.drop("_slot")
         _t = self._tick(_t, 'fetch+count')
 
         # 10. expansion: links of 2xx fetches → child frontier rows
@@ -360,6 +374,8 @@ class CrawlEngine:
                          .select("_best.*"))
 
         shards_next = self.filter.build(new_seen, existing_df=shards_df)
+        host_state_next = next_host_state(
+            self.robots, scheduled, host_state, cfg.round_ms)
 
         # 12. metrics + lineage (A7: per host and per partition)
         host_metrics = (all_fetched
@@ -401,6 +417,7 @@ class CrawlEngine:
             "fetch_log": fetch_log,
             "seen": new_seen,
             "seen_shards": shards_next,
+            "host_state": host_state_next,
             "metrics": metrics,
         }, counters={"fetched_total": int(base_seq + n_fetched)})
         _t = self._tick(_t, 'commit writes')

@@ -54,10 +54,42 @@ def order_cols():
 
 
 def budget_col(round_ms: int, k_global: int):
+    """Per-round budget with cross-round crawl-delay carryover (§2.7).
+
+    A throttled host's unused round time rolls into the next round as
+    ``credit_ms`` (≤ one delay — never a burst): budget =
+    (round_ms + credit) // delay. The analytic-window framing (lag of the
+    per-host last-fetch time) reduces to exactly this arithmetic because
+    fetch i of a round lands at offset i·delay; the oracle implements the
+    identical rule, and budgets stay *accounted*, never slept (the Sleep
+    record/replay contract, /root/reference/chrome.go:905-920)."""
     d = F.col("crawl_delay_ms")
+    t = F.lit(round_ms) + F.coalesce(F.col("credit_ms"), F.lit(0))
     return (F.when(d.isNull() | (d == 0), F.lit(k_global))
-            .otherwise(F.greatest(F.lit(1), (F.lit(round_ms) / d)
-                                  .cast("long"))).alias("host_budget"))
+            .otherwise(F.greatest(F.lit(1), (t / d).cast("long")))
+            .alias("host_budget"))
+
+
+def next_host_state(robots, scheduled, prev_state, round_ms: int):
+    """credit_ms' per throttled host after a round: min(delay,
+    max(0, round_ms + credit − used·delay)). ``used`` counts the round's
+    primary fetches (refreshes are outside politeness accounting, matching
+    the budget tests). All inputs are host-keyed small tables."""
+    used = scheduled.groupBy("host").agg(F.count("*").alias("_used"))
+    throttled = robots.filter(
+        F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0)
+    ).select("host", "crawl_delay_ms")
+    j = throttled.join(prev_state, "host", "left") if prev_state is not None \
+        else throttled.withColumn("credit_ms", F.lit(0).cast("long"))
+    d = F.col("crawl_delay_ms")
+    credit = F.least(
+        d,
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.lit(round_ms) + F.coalesce(F.col("credit_ms"), F.lit(0))
+             - F.coalesce(F.col("_used"), F.lit(0)) * d).cast("long")))
+    return (j.join(used, "host", "left")
+            .select("host", credit.alias("credit_ms")))
 
 
 def topk_per_host(df, salt_buckets: int = 8):

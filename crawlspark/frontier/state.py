@@ -29,7 +29,7 @@ import os
 import shutil
 
 APPEND_TABLES = {"fetch_log", "seen", "metrics"}
-REPLACE_TABLES = {"frontier", "seen_shards"}
+REPLACE_TABLES = {"frontier", "seen_shards", "host_state"}
 
 
 class SnapshotStore:

@@ -56,6 +56,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
             "priority": 0.0, "discovered_seq": pos, "ref_url": None,
         })
     base_seq = 0
+    credit: dict[str, int] = {}  # host -> credit_ms (§2.7 carryover)
 
     for r in range(max_rounds):
         # 1. dedup by url_hash — keep best by (priority desc, discovered_seq)
@@ -75,8 +76,11 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
             if any(row["path"].startswith(p) for p in prefixes):
                 continue
             row = dict(row)
-            row["budget"] = (k_global if delay == 0
-                             else max(1, round_ms // delay))
+            # budget with cross-round carryover: unused round time (≤ one
+            # delay) rolls forward — same arithmetic as politeness.budget_col
+            row["budget"] = (k_global if delay == 0 else
+                             max(1, (round_ms + credit.get(row["host"], 0))
+                                 // delay))
             allowed.append(row)
         # 5. per-host top-K
         survivors = []
@@ -144,6 +148,19 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                 if rpage is not None and rstatus // 100 == 2:
                     children.extend(_expand(rpage, rc, row["priority"], seq))
         base_seq = seq
+
+        # 11a. politeness carryover update (primaries only — refreshes are
+        # outside budget accounting): credit' = min(delay,
+        # max(0, round_ms + credit − used·delay)) per throttled host
+        used: dict[str, int] = {}
+        for row in scheduled:
+            used[row["host"]] = used.get(row["host"], 0) + 1
+        for host, (_prefixes, delay) in robots.items():
+            if delay and delay > 0:
+                c = credit.get(host, 0)
+                credit[host] = min(
+                    delay,
+                    max(0, round_ms + c - used.get(host, 0) * delay))
 
         # 11. next frontier: deferred survivors-of-1-3 + children
         remaining = [row for row in allowed

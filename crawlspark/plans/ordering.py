@@ -38,11 +38,14 @@ _MII_ROW_BITS = 33  # monotonically_increasing_id: pid << 33 | row index
 
 
 def with_global_seq(df: DataFrame, sort_cols, out: str = "seq",
-                    start: int = 0, num_partitions: int | None = None
-                    ) -> DataFrame:
+                    start: int = 0, num_partitions: int | None = None,
+                    return_count: bool = False):
     """Attach a gap-free global sequence `out` = start, start+1, ... ordered
     by `sort_cols` (list of Columns forming a total order). Returns an
-    eagerly-materialized (localCheckpoint) DataFrame."""
+    eagerly-materialized (localCheckpoint) DataFrame — or, with
+    ``return_count``, a (DataFrame, total_rows) pair: the per-partition
+    counts pass already knows the total, so callers never need a separate
+    count() action over the result."""
     spark = df.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(P, *sort_cols)
@@ -66,9 +69,11 @@ def with_global_seq(df: DataFrame, sort_cols, out: str = "seq",
         offsets.append((pid, acc))
         acc += counts[pid]
     if not offsets:
-        return stamped.withColumn(out, F.lit(None).cast("long")) \
-                      .drop("_pid", "_lrn")
+        res = stamped.withColumn(out, F.lit(None).cast("long")) \
+                     .drop("_pid", "_lrn")
+        return (res, 0) if return_count else res
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    return (stamped.join(F.broadcast(off_df), "_pid")
-            .withColumn(out, F.lit(start) + F.col("_off") + F.col("_lrn"))
-            .drop("_pid", "_lrn", "_off"))
+    res = (stamped.join(F.broadcast(off_df), "_pid")
+           .withColumn(out, F.lit(start) + F.col("_off") + F.col("_lrn"))
+           .drop("_pid", "_lrn", "_off"))
+    return (res, acc) if return_count else res

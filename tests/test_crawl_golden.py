@@ -100,8 +100,9 @@ def test_payload_validation_passes(spark, t1_data):
 
 
 def test_hot_host_budget_respected(spark, t1_data, oracle_result):
-    """Politeness: per-round per-host fetch counts never exceed budget
-    (round_ms // delay), refreshes excluded by contract."""
+    """Politeness: per-round per-host fetch counts never exceed the
+    carryover-aware budget ((round_ms + credit) // delay with credit ≤
+    delay), refreshes excluded by contract."""
     tier, pages, robots, seeds = t1_data
     delays = {r["host"]: int(r["crawl_delay_ms"])
               for r in synth.gen_robots_pdf(tier.n_hosts).to_dict("records")}
@@ -114,5 +115,5 @@ def test_hot_host_budget_respected(spark, t1_data, oracle_result):
         per[(r["round"], host)] += 1
     for (rnd, host), n in per.items():
         d = delays.get(host, 0)
-        budget = K if d == 0 else max(1, 30_000 // d)
+        budget = K if d == 0 else max(1, (30_000 + d) // d)
         assert n <= budget, (rnd, host, n, budget)
