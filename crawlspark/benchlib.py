@@ -95,9 +95,18 @@ def run_wide_round(spark: SparkSession, n_rows: int, k_global: int,
 
     from .frontier import CrawlConfig, CrawlEngine, SnapshotStore
 
-    frontier = make_wide_frontier(spark, n_rows, parallelism)
     corpus = make_wide_corpus(spark, n_rows, parallelism)
     robots = make_wide_robots(spark)
+    # the engine's invariant: frontier rows are robots-allowed at insert
+    # (engine.seed applies the same filter to seed lists)
+    from pyspark.sql import functions as F
+
+    from .frontier.politeness import robots_allowed_col
+    frontier = (make_wide_frontier(spark, n_rows, parallelism)
+                .join(F.broadcast(robots), "host", "left")
+                .filter(robots_allowed_col())
+                .select("canon", "url_hash", "host", "path", "priority",
+                        "discovered_seq", "ref_url"))
     cfg = CrawlConfig(k_global=k_global, max_rounds=rounds,
                       seen_shards=16, seen_m_bits=1 << 24,
                       salt_buckets=parallelism, validate_fraction=0)

@@ -84,6 +84,21 @@ FETCH_LOG_SCHEMA = ("round int, fetch_seq long, canon string, ref_url string, "
                     "host string, priority double")
 
 
+def _broadcast_lookup(big: DataFrame, probe: DataFrame, key: str) -> DataFrame:
+    """Left-outer lookup of ``probe`` (small) against ``big`` without ever
+    shuffling ``big``: inner broadcast-hash join (probe broadcast into a
+    plain scan of ``big``) unioned with the probe rows that matched nothing
+    (recovered by a broadcast anti-join against the hit keys; the hit-key
+    rebuild is a second scan of ``big`` — a scan, not a shuffle). Missing
+    rows carry nulls for ``big``'s columns."""
+    hits = big.join(F.broadcast(probe), key, "inner")
+    misses = probe.join(F.broadcast(hits.select(key)), key, "left_anti")
+    for f in big.schema.fields:
+        if f.name != key and f.name not in probe.columns:
+            misses = misses.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return hits.unionByName(misses.select(*hits.columns))
+
+
 @dataclass
 class CrawlConfig:
     round_ms: int = 30_000        # reference navigation timeout (30 s)
@@ -116,7 +131,13 @@ class CrawlEngine:
     # -- seeding ---------------------------------------------------------------
 
     def seed(self, seeds: DataFrame) -> None:
-        """Initialize round -0 state from seeds(url, seed_pos)."""
+        """Initialize round -0 state from seeds(url, seed_pos).
+
+        Robots disallow rules are applied at INSERT time (here and on
+        children in step 10): robots are static for a run, so insert-time
+        and pop-time filtering make identical decisions, and the invariant
+        "every frontier row is robots-allowed" lets each round skip the
+        robots join and the path column on both full-frontier passes."""
         fr = (seeds
               .withColumn("canon", canonicalize_udf(
                   F.col("url"), F.lit(None).cast("string")))
@@ -127,6 +148,8 @@ class CrawlEngine:
               .withColumn("priority", F.lit(0.0))
               .withColumn("discovered_seq", F.col("seed_pos").cast("long"))
               .withColumn("ref_url", F.lit(None).cast("string"))
+              .join(F.broadcast(self.robots), "host", "left")
+              .filter(robots_allowed_col())
               .select(*FRONTIER_COLS))
         wdup = W.partitionBy("url_hash").orderBy(
             F.col("priority").desc(), F.col("discovered_seq").asc())
@@ -179,23 +202,37 @@ class CrawlEngine:
         # pop-time dedup choose identically — associative across rounds).
         # Re-deduping here cost one full-frontier shuffle+sort per round.
         #
-        # 2-4 fused into ONE pass ending in the round's single full-frontier
+        # PROJECTION DISCIPLINE (SURVEY §4): the whole scheduling decision
+        # runs on NARROW columns — (url_hash, host, priority,
+        # discovered_seq) ≈ 50 B/row vs ~150 B with the canon/ref_url
+        # strings. Parquet is columnar, so the narrow scan never reads the
+        # string pages; wide rows are touched only by no-shuffle
+        # broadcast-filtered scans (scheduled join-back, commit). At 10^10
+        # rows this is the difference between shuffling keys and shuffling
+        # the crawl's entire string payload.
+        #
+        # 2-4 fused into ONE pass ending in the round's single narrow
         # materialization: robots broadcast join (no shuffle) → budget col →
-        # Bloom/cuckoo pre-filter UDF → fresh/suspect split → exact anti-join
-        # on suspects only → checkpoint. Seen-filter and robots-filter
-        # commute (both are row filters), so applying robots first loses
-        # nothing and lets one checkpoint serve both the scheduling chain
-        # and the commit-time `remaining` computation.
-        robots_aug = (self.robots.join(host_state, "host", "left")
+        # Bloom/cuckoo pre-filter UDF → fresh/suspect split → exact
+        # anti-join on suspects only → checkpoint. Seen-filter and
+        # robots-filter commute (both are row filters).
+        # frontier rows are robots-allowed by construction (insert-time
+        # filtering, see seed()); the pop path only needs crawl-delay
+        # budgets — no disallow re-check, no path column read.
+        delays = self.robots.select("host", "crawl_delay_ms")
+        robots_aug = (delays.join(host_state, "host", "left")
                       if host_state is not None
-                      else self.robots.withColumn(
+                      else delays.withColumn(
                           "credit_ms", F.lit(0).cast("long")))
-        allowed = (frontier.join(F.broadcast(robots_aug), "host", "left")
-                   .filter(robots_allowed_col())
+        narrow = frontier.select("url_hash", "host", "priority",
+                                 "discovered_seq")
+        allowed = (narrow.join(F.broadcast(robots_aug), "host", "left")
                    .withColumn("host_budget",
                                budget_col(cfg.round_ms, cfg.k_global))
-                   .select(*FRONTIER_COLS, "host_budget"))
+                   .select("url_hash", "host", "priority", "discovered_seq",
+                           "host_budget"))
 
+        confirmed_seen = None  # hashes the exact check removed this round
         if seen is not None:
             # Exact-join strategy: the approximate filter shrinks the LEFT
             # side to suspects; when the cumulative seen set is still small
@@ -212,10 +249,14 @@ class CrawlEngine:
                     shard_rows, F.col("url_hash"), self.spark)
                 allowed = allowed.withColumn("_maybe", maybe)
                 fresh = allowed.filter(~F.col("_maybe")).drop("_maybe")
-                suspect = (allowed.filter(F.col("_maybe")).drop("_maybe")
-                           .join(seen_keys, "url_hash", "left_anti"))
-                allowed = fresh.unionByName(suspect)
+                suspect = allowed.filter(F.col("_maybe")).drop("_maybe")
+                confirmed_seen = (suspect.select("url_hash")
+                                  .join(seen_keys, "url_hash", "left_semi"))
+                allowed = fresh.unionByName(
+                    suspect.join(seen_keys, "url_hash", "left_anti"))
             else:
+                confirmed_seen = (allowed.select("url_hash")
+                                  .join(seen_keys, "url_hash", "left_semi"))
                 allowed = allowed.join(seen_keys, "url_hash", "left_anti")
 
         # eager lineage truncation: deep round-DAGs otherwise re-run
@@ -247,14 +288,28 @@ class CrawlEngine:
             self._unpersist_new_rdds(_rdds_before)
             return {"round": r, "scheduled": 0, "fetched": 0, "done": True}
 
-        # 7. fetch = join the page corpus on canonical URL
+        # join-back: re-attach the wide columns (canon, ref_url) to the k
+        # scheduled rows by broadcasting the narrow schedule into a plain
+        # frontier scan — no shuffle of string payloads, ever.
+        scheduled_wide = (frontier.select("url_hash", "canon", "ref_url")
+                          .join(F.broadcast(scheduled), "url_hash"))
+
+        # 7. fetch = look up the k scheduled URLs in the page corpus. An
+        # outer join would have to shuffle the corpus (Spark cannot build
+        # the preserved side of an outer broadcast join), so the lookup is
+        # decomposed: inner join with the k rows BROADCAST into a plain
+        # corpus scan, plus an anti-join recovering the missing rows (page
+        # columns null ⇒ status 404 downstream). The corpus — the 100 TB
+        # side — is never shuffled, at any scale.
         pages = self.pages
-        fetched = (scheduled.join(
+        fetched = _broadcast_lookup(
             pages.withColumnRenamed("url", "canon")
                  .withColumnRenamed("host", "_phost"),
-            "canon", "left")
-            .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
-            .drop("_phost"))
+            scheduled_wide, "canon")
+        fetched = (fetched
+                   .withColumn("status", F.coalesce(F.col("status"),
+                                                    F.lit(404)))
+                   .drop("_phost"))
 
         # 8. meta-refresh (depth 1): resolve against base, claim targets
         is2xx = (F.floor(F.col("status") / 100) == 2)
@@ -293,10 +348,10 @@ class CrawlEngine:
                          .withColumn("is_refresh", F.lit(False))
                          .withColumn("_slot", F.col("idx")))
 
-        refresh_pre = (refr
-            .join(pages.withColumnRenamed("url", "refresh_canon")
-                       .withColumnRenamed("host", "_phost"),
-                  "refresh_canon", "left")
+        refresh_pre = (_broadcast_lookup(
+            pages.withColumnRenamed("url", "refresh_canon")
+                 .withColumnRenamed("host", "_phost"),
+            refr, "refresh_canon")
             .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
             .select(F.col("refresh_canon").alias("canon"),
                     F.col("r_hash").alias("url_hash"),
@@ -339,7 +394,12 @@ class CrawlEngine:
                             (F.col("fetch_seq") * 100
                              + F.col("link.pos")).cast("long")
                             .alias("discovered_seq"),
-                            F.col("canon").alias("ref_url")))
+                            F.col("canon").alias("ref_url"))
+                    # robots disallow applies at insert (static rules —
+                    # identical decision to the former pop-time check)
+                    .join(F.broadcast(self.robots), "host", "left")
+                    .filter(robots_allowed_col())
+                    .select(*FRONTIER_COLS))
 
         # 11. next state. `remaining` was already seen-filtered this round
         # (it is a subset of `allowed`), so only the round's own fetches
@@ -352,26 +412,60 @@ class CrawlEngine:
         # frontier' from post-filter survivors. This removes the former
         # full-frontier × full-seen anti-join from every commit.
         new_seen = (all_fetched.select("url_hash").distinct())
-        remaining = (allowed.select(*FRONTIER_COLS)
-                     .join(F.broadcast(scheduled.select("url_hash")),
-                           "url_hash", "left_anti"))
-        frontier_next = (remaining.unionByName(children.select(*FRONTIER_COLS))
-                         .join(F.broadcast(new_seen), "url_hash", "left_anti"))
-        # dedup (A6) as an aggregation, not a window: max_by with a struct
-        # comparator gets map-side partial aggregation (combiners), so the
-        # shuffle carries one row per (partition, url_hash) instead of the
-        # full frontier sorted. Comparator = best by (priority desc,
-        # discovered_seq asc); ties are identical rows up to ref_url, with a
-        # ref_url hash as a deterministic final tiebreaker.
+
+        # dedup (A6) without shuffling the frontier. Invariant: the standing
+        # frontier is unique by url_hash, so only (a) children vs children
+        # and (b) children vs standing rows can collide. (a) is a groupBy
+        # over the children alone (O(k·links) rows); (b) is resolved by
+        # broadcasting the deduped children into ONE narrow no-shuffle scan
+        # of the allowed checkpoint, emitting the collision list with both
+        # sides' (priority, discovered_seq) keys. The wide frontier' is then
+        # a plain frontier scan with broadcast anti-joins — the union+groupBy
+        # that previously shuffled every wide row per round is gone.
+        # Comparator = best by (priority desc, discovered_seq asc); exact
+        # key ties imply the same parent fetch, hence identical rows (a
+        # ref_url-hash tiebreaker keeps the order total regardless).
         _cmp = F.struct(
             F.col("priority"),
             (-F.col("discovered_seq")).alias("_nds"),
             (-F.xxhash64(F.coalesce(F.col("ref_url"), F.lit("")))).alias("_nrh"))
-        frontier_next = (frontier_next
-                         .groupBy("url_hash")
-                         .agg(F.max_by(F.struct(*FRONTIER_COLS), _cmp)
-                              .alias("_best"))
-                         .select("_best.*"))
+        child_best = (children
+                      .groupBy("url_hash")
+                      .agg(F.max_by(F.struct(*FRONTIER_COLS), _cmp)
+                           .alias("_best"))
+                      .select("_best.*")
+                      .join(F.broadcast(new_seen), "url_hash", "left_anti")
+                      .localCheckpoint(eager=True))
+
+        rem_meta = allowed.join(F.broadcast(new_seen), "url_hash",
+                                "left_anti")
+        conflicts = (rem_meta
+                     .select("url_hash",
+                             F.col("priority").alias("_rp"),
+                             F.col("discovered_seq").alias("_rd"))
+                     .join(F.broadcast(child_best.select(
+                         "url_hash",
+                         F.col("priority").alias("_cp"),
+                         F.col("discovered_seq").alias("_cd"))),
+                         "url_hash"))
+        child_wins = (
+            F.struct(F.col("_cp").alias("p"), (-F.col("_cd")).alias("n"))
+            > F.struct(F.col("_rp").alias("p"), (-F.col("_rd")).alias("n")))
+        replaced = conflicts.filter(child_wins).select("url_hash")
+        child_lost = conflicts.filter(~child_wins).select("url_hash")
+
+        # the wide `remaining` is rebuilt from a plain frontier scan with
+        # broadcast-only anti-joins (this round's removals) — identical set
+        # to (allowed minus scheduled), with zero string shuffles: the
+        # narrow checkpoint never carries canon/ref_url.
+        remaining = (frontier.select(*FRONTIER_COLS)
+                     .join(F.broadcast(new_seen), "url_hash", "left_anti")
+                     .join(F.broadcast(replaced), "url_hash", "left_anti"))
+        if confirmed_seen is not None:
+            remaining = remaining.join(F.broadcast(confirmed_seen),
+                                       "url_hash", "left_anti")
+        frontier_next = remaining.unionByName(
+            child_best.join(F.broadcast(child_lost), "url_hash", "left_anti"))
 
         shards_next = self.filter.build(new_seen, existing_df=shards_df)
         host_state_next = next_host_state(

@@ -45,14 +45,25 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     robots: host -> (disallow_prefixes, crawl_delay_ms);
     seeds: [url, ...] in seed_pos order."""
     res = OracleResult()
+
+    def robots_blocked(host: str, path: str) -> bool:
+        prefixes, _delay = robots.get(host, ([], 0))
+        return any(path.startswith(p) for p in prefixes)
+
+    # robots disallow rules apply at INSERT time (static per run — identical
+    # decisions to pop-time filtering), mirroring the engine invariant that
+    # every frontier row is robots-allowed.
     frontier: list[dict] = []
     for pos, url in enumerate(seeds):
         canon = canonicalize(url)
         if canon is None:
             continue
+        host, path = host_of(canon), path_of(canon)
+        if robots_blocked(host, path):
+            continue
         frontier.append({
             "canon": canon, "url_hash": xxh64_str(canon),
-            "host": host_of(canon), "path": path_of(canon),
+            "host": host, "path": path,
             "priority": 0.0, "discovered_seq": pos, "ref_url": None,
         })
     base_seq = 0
@@ -69,12 +80,10 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                 best[k] = row
         # 2. seen
         cand = [v for v in best.values() if v["url_hash"] not in res.seen]
-        # 3-4. robots + budget
+        # 3-4. budget (disallow rules were applied at insert)
         allowed = []
         for row in cand:
-            prefixes, delay = robots.get(row["host"], ([], 0))
-            if any(row["path"].startswith(p) for p in prefixes):
-                continue
+            _prefixes, delay = robots.get(row["host"], ([], 0))
             row = dict(row)
             # budget with cross-round carryover: unused round time (≤ one
             # delay) rolls forward — same arithmetic as politeness.budget_col
@@ -163,10 +172,13 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                     max(0, round_ms + c - used.get(host, 0) * delay))
 
         # 11. next frontier: deferred survivors-of-1-3 + children
+        # (children hit the insert-time robots filter here)
         remaining = [row for row in allowed
                      if row["url_hash"] not in scheduled_hashes]
-        frontier = remaining + [c for c in children
-                                if c["url_hash"] not in res.seen]
+        frontier = remaining + [
+            c for c in children
+            if c["url_hash"] not in res.seen
+            and not robots_blocked(c["host"], c["path"])]
         res.rounds = r + 1
     return res
 
