@@ -69,6 +69,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..plans import with_global_seq
+from ..session import ckpt, clear_ckpts
 from ..urltools import canonicalize_udf, host_udf, path_udf
 from .politeness import (budget_col, next_host_state, order_cols,
                          prune_to_global_topk, robots_allowed_col,
@@ -263,7 +264,7 @@ class CrawlEngine:
         # Catalyst analysis per action (driver-side seconds each). On a
         # cluster swap for reliable checkpoint or rely on Iceberg round
         # tables; local mode keeps blocks on executor memory/disk.
-        allowed = allowed.localCheckpoint(eager=True)
+        allowed = ckpt(allowed)
 
         # 5-6. politeness top-K (budget-gated: only over-budget hosts are
         # ranked — politeness.topk_per_host), then global take-k. The
@@ -286,6 +287,7 @@ class CrawlEngine:
         _t = self._tick(_t, 'schedule+count')
         if n_scheduled == 0:
             self._unpersist_new_rdds(_rdds_before)
+            clear_ckpts()
             return {"round": r, "scheduled": 0, "fetched": 0, "done": True}
 
         # join-back: re-attach the wide columns (canon, ref_url) to the k
@@ -319,7 +321,7 @@ class CrawlEngine:
                    canonicalize_udf(
                        F.col("meta_refresh_url"),
                        F.coalesce(F.col("base_href"), F.col("canon")))))
-        fetched = fetched.localCheckpoint(eager=True)
+        fetched = ckpt(fetched)
 
         refr = (fetched
                 .filter(F.col("refresh_canon").isNotNull())
@@ -435,7 +437,7 @@ class CrawlEngine:
                            .alias("_best"))
                       .select("_best.*")
                       .join(F.broadcast(new_seen), "url_hash", "left_anti")
-                      .localCheckpoint(eager=True))
+                      .transform(ckpt))
 
         rem_meta = allowed.join(F.broadcast(new_seen), "url_hash",
                                 "left_anti")
@@ -516,6 +518,7 @@ class CrawlEngine:
         }, counters={"fetched_total": int(base_seq + n_fetched)})
         _t = self._tick(_t, 'commit writes')
         self._unpersist_new_rdds(_rdds_before)
+        clear_ckpts()
 
         return {"round": r, "scheduled": int(n_scheduled),
                 "fetched": int(n_fetched), "done": False}

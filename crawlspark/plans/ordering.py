@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..session import ckpt
+
 _MII_ROW_BITS = 33  # monotonically_increasing_id: pid << 33 | row index
 
 
@@ -60,7 +62,7 @@ def with_global_seq(df: DataFrame, sort_cols, out: str = "seq",
                .withColumn("_lrn",
                            F.col("_mii").bitwiseAND((1 << _MII_ROW_BITS) - 1))
                .drop("_mii")
-               .localCheckpoint(eager=True))
+               .transform(ckpt))
 
     counts = {r["_pid"]: r["c"] for r in
               stamped.groupBy("_pid").agg(F.count("*").alias("c")).collect()}

@@ -20,6 +20,51 @@ def _scratch_dir() -> str:
     return d
 
 
+_CKPT_PATHS: list[str] = []
+_CKPT_SEQ = [0]
+
+
+def ckpt(df, eager: bool = True):
+    """Round-pivot materialization with switchable backing
+    (SPARK_GRAFT_CKPT):
+
+      parquet — write to a scratch parquet table (tmpfs) and read
+        it back. The JVM holds NO block-manager live set, so the GC never
+        traces checkpoint data (measured: deserialized blocks at 8-way
+        parallelism spent 60-90 s/stage in GC); reads come back through the
+        vectorized, largely off-heap parquet reader. This is also exactly
+        what the engine does on a real cluster (Iceberg round tables), so
+        local behavior matches the scale-out story. Call clear_ckpts() when
+        a round's pivots are dead.
+      deser (default) — stock localCheckpoint (deserialized blocks);
+        fastest locally under ParallelGC (A/B at n=16M: 104 s vs 173-190 s
+        parquet), and on a real cluster the narrow pivots are small per
+        executor. Use parquet mode where executor loss must be recoverable
+        without lineage (it is what Iceberg round tables give a cluster).
+      ser   — localCheckpoint with serialized block storage.
+    """
+    mode = os.environ.get("SPARK_GRAFT_CKPT", "deser")
+    if mode == "parquet":
+        d = os.path.join(_scratch_dir(), "ckpt",
+                         f"{os.getpid()}_{_CKPT_SEQ[0]}")
+        _CKPT_SEQ[0] += 1
+        df.write.mode("overwrite").parquet(d)
+        _CKPT_PATHS.append(d)
+        return df.sparkSession.read.parquet(d)
+    if mode == "ser":
+        from pyspark import StorageLevel
+        return df.localCheckpoint(eager=eager,
+                                  storageLevel=StorageLevel.MEMORY_AND_DISK)
+    return df.localCheckpoint(eager=eager)
+
+
+def clear_ckpts() -> None:
+    """Delete dead scratch-parquet checkpoints (parquet ckpt mode)."""
+    import shutil
+    while _CKPT_PATHS:
+        shutil.rmtree(_CKPT_PATHS.pop(), ignore_errors=True)
+
+
 def get_spark(app: str = "crawlspark", cores: int | None = None,
               shuffle_partitions: int | None = None,
               driver_mem: str | None = None,
@@ -44,13 +89,24 @@ def get_spark(app: str = "crawlspark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        .config("spark.driver.extraJavaOptions",
+                "-Djava.net.preferIPv4Stack=true"
+                + (" -XX:+UseParallelGC"
+                   if os.environ.get("SPARK_GRAFT_GC", "parallel") == "parallel"
+                   else ""))
         # Shuffle/spill scratch on tmpfs: the sandbox block device is IOPS-
         # throttled (~65 MB/s) and caused multi-10s random stalls; a real
         # cluster's executors write shuffle to fast local NVMe — tmpfs is
         # the honest local analog. Override with SPARK_GRAFT_LOCAL_DIR.
         .config("spark.local.dir", _scratch_dir())
     )
+    if os.environ.get("SPARK_GRAFT_EVENTLOG"):
+        ev_dir = os.path.join(_scratch_dir(), "spark-events")
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (builder
+                   .config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.compress", "false")
+                   .config("spark.eventLog.dir", ev_dir))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
