@@ -744,6 +744,49 @@ FROM reqs LEFT JOIN cookies USING (host)
 """
 
 
+# -- REP (robots.txt) longest-match decision (north-rule robots rules) -------
+
+def q_rep_match(spark, sf_dir):
+    """RFC 9309 §2.2.2 longest-match precedence as a pure Column expression
+    (crawlspark.frontier.robots.rep_allowed_col): most specific rule wins,
+    allow wins length ties; no match ⇒ allowed. Paths derived from part
+    types; a fixed rule set exercises all three outcomes."""
+    from crawlspark.frontier.robots import rep_allowed_col
+    part = _t(spark, sf_dir, "part")
+    path = F.concat(F.lit("/"),
+                    F.lower(F.replace(F.col("p_type"), F.lit(" "),
+                                      F.lit("/"))))
+    rules = F.array(
+        F.struct(F.lit(False).alias("allow"), F.lit("/s").alias("pattern")),
+        F.struct(F.lit(True).alias("allow"), F.lit("/sta").alias("pattern")),
+        F.struct(F.lit(False).alias("allow"),
+                 F.lit("/standard/p").alias("pattern")))
+    return part.select(
+        "p_partkey", path.alias("path"),
+        rep_allowed_col(path, rules).alias("allowed"))
+
+
+SQL_REP_MATCH = """
+WITH t AS (
+  SELECT p_partkey,
+         '/' || lower(replace(p_type, ' ', '/')) AS path,
+         [{'allow': FALSE, 'pattern': '/s'},
+          {'allow': TRUE,  'pattern': '/sta'},
+          {'allow': FALSE, 'pattern': '/standard/p'}] AS rules
+  FROM part),
+m AS (
+  SELECT p_partkey, path,
+         list_filter(rules, r -> starts_with(path, r.pattern)) AS matched
+  FROM t)
+SELECT p_partkey, path,
+       CASE WHEN len(matched) = 0 THEN TRUE
+            ELSE list_max(list_transform(
+                   matched, r -> {'l': len(r.pattern), 'a': r.allow})).a
+       END AS allowed
+FROM m
+"""
+
+
 # -- URL canonicalization (SURVEY §2.3 U1, C10) ------------------------------
 
 def q_url_canonicalize(spark, sf_dir):
@@ -1190,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_select": q_anchor_select,
         "download_latest": q_download_latest,
         "cookie_join": q_cookie_join,
+        "rep_match": q_rep_match,
         "url_canonicalize": q_url_canonicalize,
         "json_props": q_json_props,
         "csv_source": q_csv_source,
@@ -1246,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_select": SQL_ANCHOR_SELECT,
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,
+        "rep_match": SQL_REP_MATCH,
         "url_canonicalize": SQL_URL_CANONICALIZE,
         "json_props": SQL_JSON_PROPS,
         "csv_source": SQL_CSV_SOURCE,

@@ -74,6 +74,7 @@ from ..urltools import canonicalize_udf, host_udf, path_udf
 from .politeness import (budget_col, next_host_state, order_cols,
                          prune_to_global_topk, robots_allowed_col,
                          topk_per_host)
+from .robots import rep_allowed_col
 from .seen import SeenFilter
 from .state import SnapshotStore
 
@@ -128,6 +129,11 @@ class CrawlEngine:
         self.robots = robots
         self.images = images
         self.filter = SeenFilter(cfg.seen_kind, cfg.seen_shards, cfg.seen_m_bits)
+        # robots table shape: REP rules array (frontier.robots parser
+        # output) or the legacy disallow_prefixes fixture form
+        self._robots_allowed = (rep_allowed_col()
+                                if "rules" in robots.columns
+                                else robots_allowed_col())
 
     # -- seeding ---------------------------------------------------------------
 
@@ -150,7 +156,7 @@ class CrawlEngine:
               .withColumn("discovered_seq", F.col("seed_pos").cast("long"))
               .withColumn("ref_url", F.lit(None).cast("string"))
               .join(F.broadcast(self.robots), "host", "left")
-              .filter(robots_allowed_col())
+              .filter(self._robots_allowed)
               .select(*FRONTIER_COLS))
         wdup = W.partitionBy("url_hash").orderBy(
             F.col("priority").desc(), F.col("discovered_seq").asc())
@@ -241,30 +247,38 @@ class CrawlEngine:
             # broadcast hint shrinks the RIGHT side too, making the exact
             # decide shuffle-free. At 10^10 scale the hint drops out and
             # suspects shuffle against the bucketed seen table.
+            # The verdict rides the checkpoint as a _seen flag instead of
+            # dropping rows: `allowed` and `confirmed_seen` (needed again at
+            # commit) both read the SAME materialization — without the flag,
+            # rebuilding confirmed_seen at commit re-ran the bloom UDF over
+            # the whole frontier.
             seen_small = base_seq <= cfg.seen_broadcast_rows
-            seen_keys = F.broadcast(seen) if seen_small else seen
+            seen_flag = seen.withColumn("_seen", F.lit(True))
+            seen_keys = F.broadcast(seen_flag) if seen_small else seen_flag
             if shards_df is not None:
                 shard_rows = store.read_local("seen_shards")
                 _t = self._tick(_t, 'shards collect')
                 maybe = self.filter.might_contain_col(
                     shard_rows, F.col("url_hash"), self.spark)
                 allowed = allowed.withColumn("_maybe", maybe)
-                fresh = allowed.filter(~F.col("_maybe")).drop("_maybe")
-                suspect = allowed.filter(F.col("_maybe")).drop("_maybe")
-                confirmed_seen = (suspect.select("url_hash")
-                                  .join(seen_keys, "url_hash", "left_semi"))
-                allowed = fresh.unionByName(
-                    suspect.join(seen_keys, "url_hash", "left_anti"))
+                fresh = (allowed.filter(~F.col("_maybe")).drop("_maybe")
+                         .withColumn("_seen",
+                                     F.lit(None).cast("boolean")))
+                suspect = (allowed.filter(F.col("_maybe")).drop("_maybe")
+                           .join(seen_keys, "url_hash", "left"))
+                allowed = fresh.unionByName(suspect)
             else:
-                confirmed_seen = (allowed.select("url_hash")
-                                  .join(seen_keys, "url_hash", "left_semi"))
-                allowed = allowed.join(seen_keys, "url_hash", "left_anti")
+                allowed = allowed.join(seen_keys, "url_hash", "left")
 
         # eager lineage truncation: deep round-DAGs otherwise re-run
         # Catalyst analysis per action (driver-side seconds each). On a
         # cluster swap for reliable checkpoint or rely on Iceberg round
         # tables; local mode keeps blocks on executor memory/disk.
         allowed = ckpt(allowed)
+        if seen is not None:
+            confirmed_seen = (allowed.filter(F.col("_seen"))
+                              .select("url_hash"))
+            allowed = allowed.filter(F.col("_seen").isNull()).drop("_seen")
 
         # 5-6. politeness top-K (budget-gated: only over-budget hosts are
         # ranked — politeness.topk_per_host), then global take-k. The
@@ -400,7 +414,7 @@ class CrawlEngine:
                     # robots disallow applies at insert (static rules —
                     # identical decision to the former pop-time check)
                     .join(F.broadcast(self.robots), "host", "left")
-                    .filter(robots_allowed_col())
+                    .filter(self._robots_allowed)
                     .select(*FRONTIER_COLS))
 
         # 11. next state. `remaining` was already seen-filtered this round
@@ -413,7 +427,9 @@ class CrawlEngine:
         # in the frontier — self-cleaning, since each round rebuilds
         # frontier' from post-filter survivors. This removes the former
         # full-frontier × full-seen anti-join from every commit.
-        new_seen = (all_fetched.select("url_hash").distinct())
+        # materialized once: four downstream plans broadcast this set, each
+        # of which would otherwise redo the distinct shuffle
+        new_seen = ckpt(all_fetched.select("url_hash").distinct())
 
         # dedup (A6) without shuffling the frontier. Invariant: the standing
         # frontier is unique by url_hash, so only (a) children vs children
@@ -441,15 +457,17 @@ class CrawlEngine:
 
         rem_meta = allowed.join(F.broadcast(new_seen), "url_hash",
                                 "left_anti")
-        conflicts = (rem_meta
-                     .select("url_hash",
-                             F.col("priority").alias("_rp"),
-                             F.col("discovered_seq").alias("_rd"))
-                     .join(F.broadcast(child_best.select(
-                         "url_hash",
-                         F.col("priority").alias("_cp"),
-                         F.col("discovered_seq").alias("_cd"))),
-                         "url_hash"))
+        # materialized once (tiny): both broadcast consumers (replaced /
+        # child_lost) would otherwise re-scan the narrow checkpoint
+        conflicts = ckpt(rem_meta
+                         .select("url_hash",
+                                 F.col("priority").alias("_rp"),
+                                 F.col("discovered_seq").alias("_rd"))
+                         .join(F.broadcast(child_best.select(
+                             "url_hash",
+                             F.col("priority").alias("_cp"),
+                             F.col("discovered_seq").alias("_cd"))),
+                             "url_hash"))
         child_wins = (
             F.struct(F.col("_cp").alias("p"), (-F.col("_cd")).alias("n"))
             > F.struct(F.col("_rp").alias("p"), (-F.col("_rd")).alias("n")))

@@ -45,8 +45,29 @@ def canary() -> float:
     return round(time.time() - t, 2)
 
 
+def _burn(_):
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return x
+
+
+def agg_canary(procs: int = 8) -> float:
+    """AGGREGATE CPU probe: wall seconds for `procs` concurrent burn loops.
+    The hypervisor caps total CPU delivery in oscillating windows — a
+    single-thread canary cannot see that cap; this one can. On an uncapped
+    8-core window this ≈ the single-thread canary; under a 2-core cap it is
+    ~4× larger."""
+    import multiprocessing as mp
+    t = time.time()
+    with mp.Pool(procs) as p:
+        p.map(_burn, range(procs))
+    return round(time.time() - t, 2)
+
+
 def main():
     c = canary()
+    ac = agg_canary()
     p = subprocess.run(
         [sys.executable, "-c", CHILD, str(CORES), str(N_ROWS), str(K_GLOBAL)],
         capture_output=True, text=True, timeout=3600,
@@ -55,6 +76,8 @@ def main():
         if line.startswith("CHILD_RESULT "):
             r = json.loads(line[len("CHILD_RESULT "):])
             r["canary_s"] = c
+            r["agg_canary_s"] = ac
+            r["agg_canary_after_s"] = agg_canary()
             r["cores"] = CORES
             with open(OUT, "a") as f:
                 f.write(json.dumps(r) + "\n")
