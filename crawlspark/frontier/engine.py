@@ -113,9 +113,10 @@ class CrawlConfig:
     validate_fraction: float = 0.02  # payload fidelity sampling
     shuffle_partitions: int | None = None
     # broadcast the exact seen table into anti-joins while it has fewer rows
-    # than this (8M × 8B hashes ≈ 64 MB); beyond it, suspects shuffle against
-    # the (bucketed, at scale) seen table.
+    # than this (8M × 8B hashes ≈ 64 MB); beyond it, the per-bucket
+    # executor-side probe against the hash-partitioned seen table takes over.
     seen_broadcast_rows: int = 8_000_000
+    seen_buckets: int = 64        # hash partitions of the seen table at rest
 
 
 class CrawlEngine:
@@ -189,6 +190,49 @@ class CrawlEngine:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(i) for i in jmap.keySet().toArray()}
 
+    def _bucketed_seen_flag(self, df, hash_col: str = "url_hash"):
+        """Attach ``_seen`` (True / null) by probing the hash-partitioned
+        seen table bucket-by-bucket, executor-side: one applyInPandas task
+        per bucket reads ONLY its ``bucket=<b>`` parquet files from every
+        committed round (pyarrow, numpy isin — no per-row Python). The seen
+        table is never shuffled; only ``df`` exchanges, by bucket id. This
+        is the beyond-broadcast exact-decide path (J4 at 10^10 scale): the
+        Bloom prefilter bounds ``df`` to suspects, bucketing bounds each
+        task's read to |seen|/B keys. On a cluster the same code runs
+        against the shared store (executors read the table files directly,
+        the storage-partitioned-join pattern)."""
+        import glob as _glob
+
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        B = self.cfg.seen_buckets
+        dirs = self.store.table_dirs("seen") or []
+        schema = StructType(list(df.schema.fields)
+                            + [StructField("_seen", BooleanType())])
+
+        def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(key[0])
+            pdf = pdf.drop(columns=["_bkt"])
+            chunks = []
+            for d in dirs:
+                for f in sorted(_glob.glob(
+                        os.path.join(d, f"bucket={b}", "*.parquet"))):
+                    import pyarrow.parquet as pq
+                    chunks.append(pq.read_table(
+                        f, columns=["url_hash"]).column(0).to_numpy())
+            if chunks:
+                hit = np.isin(pdf[hash_col].to_numpy(),
+                              np.concatenate(chunks))
+            else:
+                hit = np.zeros(len(pdf), dtype=bool)
+            pdf["_seen"] = pd.array(
+                [True if h else None for h in hit], dtype="boolean")
+            return pdf
+
+        bkt = F.pmod(F.col(hash_col), F.lit(B)).cast("int")
+        return (df.withColumn("_bkt", bkt)
+                .groupBy("_bkt").applyInPandas(probe, schema))
+
     def run_round(self, r: int) -> dict:
         cfg = self.cfg
         store = self.store
@@ -253,7 +297,8 @@ class CrawlEngine:
             # rebuilding confirmed_seen at commit re-ran the bloom UDF over
             # the whole frontier.
             seen_small = base_seq <= cfg.seen_broadcast_rows
-            seen_flag = seen.withColumn("_seen", F.lit(True))
+            seen_flag = (seen.select("url_hash")
+                         .withColumn("_seen", F.lit(True)))
             seen_keys = F.broadcast(seen_flag) if seen_small else seen_flag
             if shards_df is not None:
                 shard_rows = store.read_local("seen_shards")
@@ -264,8 +309,15 @@ class CrawlEngine:
                 fresh = (allowed.filter(~F.col("_maybe")).drop("_maybe")
                          .withColumn("_seen",
                                      F.lit(None).cast("boolean")))
-                suspect = (allowed.filter(F.col("_maybe")).drop("_maybe")
-                           .join(seen_keys, "url_hash", "left"))
+                suspect = allowed.filter(F.col("_maybe")).drop("_maybe")
+                if seen_small:
+                    suspect = suspect.join(seen_keys, "url_hash", "left")
+                else:
+                    # beyond-broadcast regime: per-bucket executor-side
+                    # probe against the hash-partitioned seen table — the
+                    # seen set is read (its relevant buckets only), never
+                    # shuffled; only the suspects exchange, by bucket id.
+                    suspect = self._bucketed_seen_flag(suspect)
                 allowed = fresh.unionByName(suspect)
             else:
                 allowed = allowed.join(seen_keys, "url_hash", "left")
@@ -345,8 +397,12 @@ class CrawlEngine:
                         F.col("refresh_canon"),
                         F.xxhash64("refresh_canon").alias("r_hash")))
         if seen is not None:
-            refr = refr.join(seen_keys, refr.r_hash == seen.url_hash,
-                             "left_anti")
+            if seen_small:
+                refr = refr.join(seen_keys, refr.r_hash == seen.url_hash,
+                                 "left_anti")
+            else:
+                refr = (self._bucketed_seen_flag(refr, hash_col="r_hash")
+                        .filter(F.col("_seen").isNull()).drop("_seen"))
         refr = (refr.join(F.broadcast(scheduled.select(
                               F.col("url_hash").alias("r_hash"))),
                           "r_hash", "left_anti")
@@ -529,7 +585,9 @@ class CrawlEngine:
         store.commit(r, {
             "frontier": frontier_next,
             "fetch_log": fetch_log,
-            "seen": new_seen,
+            "seen": new_seen.withColumn(
+                "bucket", F.pmod(F.col("url_hash"),
+                                 F.lit(cfg.seen_buckets)).cast("int")),
             "seen_shards": shards_next,
             "host_state": host_state_next,
             "metrics": metrics,

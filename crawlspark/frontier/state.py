@@ -30,6 +30,10 @@ import shutil
 
 APPEND_TABLES = {"fetch_log", "seen", "metrics"}
 REPLACE_TABLES = {"frontier", "seen_shards", "host_state"}
+# hash-partitioned at rest (hive-style bucket=N dirs): the per-bucket
+# executor-side probe (engine._bucketed_seen_flag) reads only its bucket's
+# files — the at-scale exact-decide path that never shuffles the seen table
+PARTITIONED_TABLES = {"seen": "bucket"}
 
 
 class SnapshotStore:
@@ -88,7 +92,11 @@ class SnapshotStore:
             path = self._dir(name, round_no)
             if os.path.exists(path):  # stale uncommitted attempt
                 shutil.rmtree(path)
-            df.write.mode("overwrite").parquet(path)
+            w = df.write.mode("overwrite")
+            part = PARTITIONED_TABLES.get(name)
+            if part is not None and part in df.columns:
+                w = w.partitionBy(part)
+            w.parquet(path)
 
         with ThreadPoolExecutor(max_workers=max(1, len(tables))) as ex:
             list(ex.map(_write, tables.items()))  # propagate any failure
@@ -100,17 +108,28 @@ class SnapshotStore:
         manifest["counters"] = counters
         self._write_manifest(manifest)
 
-    def read(self, table: str, upto_round: int | None = None):
-        """Committed contents of ``table`` (append: union; replace: latest)."""
+    def table_dirs(self, table: str, upto_round: int | None = None
+                   ) -> list[str]:
+        """Committed round directories for ``table`` (oldest first)."""
         manifest = self._read_manifest()
         rounds = [r for r in manifest["rounds"]
                   if table in r["tables"]
                   and (upto_round is None or r["round"] <= upto_round)]
-        if not rounds:
-            return None
         if table in REPLACE_TABLES:
             rounds = rounds[-1:]
-        paths = [self._dir(table, r["round"]) for r in rounds]
+        return [self._dir(table, r["round"]) for r in rounds]
+
+    def read(self, table: str, upto_round: int | None = None):
+        """Committed contents of ``table`` (append: union; replace: latest)."""
+        paths = self.table_dirs(table, upto_round)
+        if not paths:
+            return None
+        if table in PARTITIONED_TABLES and len(paths) > 1:
+            # hive-partitioned roots cannot share one read.parquet call
+            # (CONFLICTING_DIRECTORY_STRUCTURES) — union per-round reads
+            from functools import reduce
+            return reduce(lambda a, b: a.unionByName(b),
+                          (self.spark.read.parquet(p) for p in paths))
         return self.spark.read.parquet(*paths)
 
     def read_local(self, table: str, upto_round: int | None = None):

@@ -117,3 +117,27 @@ def test_hot_host_budget_respected(spark, t1_data, oracle_result):
         d = delays.get(host, 0)
         budget = K if d == 0 else max(1, (30_000 + d) // d)
         assert n <= budget, (rnd, host, n, budget)
+
+
+def test_engine_matches_oracle_bucketed_seen(spark, t1_data, oracle_result):
+    """Forces the beyond-broadcast exact-decide path
+    (seen_broadcast_rows=0 -> per-bucket executor-side probe against the
+    hash-partitioned seen table) — order and seen set must still match the
+    oracle exactly."""
+    tier, pages, robots, seeds = t1_data
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      seen_broadcast_rows=0, seen_buckets=8)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_bkt_"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in oracle_result.fetch_log]
+    assert log == want
+    seen = {r["url_hash"] for r in store.read("seen").collect()}
+    assert seen == oracle_result.seen
+    store.destroy()
