@@ -45,8 +45,8 @@ CRAWL_K = int(os.environ.get("SPARK_GRAFT_CRAWL_K", "2000"))
 # the headline metric shape: one scheduling round over a WIDE frontier
 # (BASELINE.json: "frontier URLs scheduled+fetched/sec on a 10^10-URL
 # synthetic frontier", scaled down by the same pure-function generator)
-WIDE_N = int(os.environ.get("SPARK_GRAFT_WIDE_N", "2000000"))
-WIDE_K = int(os.environ.get("SPARK_GRAFT_WIDE_K", "200000"))
+WIDE_N = int(os.environ.get("SPARK_GRAFT_WIDE_N", "8000000"))
+WIDE_K = int(os.environ.get("SPARK_GRAFT_WIDE_K", "400000"))
 
 
 def bench_crawl(spark) -> dict:

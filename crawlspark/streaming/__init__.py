@@ -1,5 +1,7 @@
 from .seeds import drain_seed_stream, merge_seeds, watch_seed_dir
+from .politeness_stream import streaming_politeness
 from .seen_stream import streaming_url_seen
 
 __all__ = ["watch_seed_dir", "drain_seed_stream", "merge_seeds",
+           "streaming_politeness",
            "streaming_url_seen"]

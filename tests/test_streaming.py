@@ -92,3 +92,50 @@ def test_streaming_url_seen_dedup(spark):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 4
     assert {r["canon"] for r in rows} == got1 | {"http://d.example/4"}
+
+
+def test_streaming_politeness_carryover(spark):
+    """Stateful crawl-delay admission: budget oscillates 2,3 with a 12 s
+    delay in a 30 s round (carryover credit), matching the batch engine and
+    the oracle (tests/test_oracle_carryover.py)."""
+    from crawlspark.streaming import streaming_politeness
+
+    root = tempfile.mkdtemp(prefix="politestream_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    schema = ("host string, url_hash long, priority double, "
+              "discovered_seq long, crawl_delay_ms long")
+
+    def feed(start):
+        rows = [("h0.test", 1000 + i, 0.0, start + i, 12_000)
+                for i in range(10)]
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src)
+
+    def drain():
+        req = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_politeness(req, round_ms=30_000, k_default=100)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    feed(0)
+    drain()
+    got = spark.read.parquet(out).orderBy("discovered_seq").collect()
+    assert len(got) == 10
+    assert sum(r["admitted"] for r in got) == 2          # 30000 // 12000
+    assert got[0]["credit_ms"] == 6_000                  # remainder carried
+
+    feed(100)
+    drain()
+    got2 = [r for r in spark.read.parquet(out).collect()
+            if r["discovered_seq"] >= 100]
+    assert len(got2) == 10
+    assert sum(r["admitted"] for r in got2) == 3         # (30000+6000)//12000
+    assert got2[0]["credit_ms"] == 0                     # spent exactly
+    # admission follows the engine's total order: best discovered_seq first
+    admitted_seqs = sorted(r["discovered_seq"] for r in got2 if r["admitted"])
+    assert admitted_seqs == [100, 101, 102]
