@@ -387,7 +387,10 @@ class CrawlEngine:
                    canonicalize_udf(
                        F.col("meta_refresh_url"),
                        F.coalesce(F.col("base_href"), F.col("canon")))))
-        fetched = ckpt(fetched)
+        # not checkpointed: both consumers (refr, primaries) flow into the
+        # all_pre sequencer checkpoint below — recomputing the k-row lookup
+        # twice inside ONE job is cheaper than a whole extra driver job
+        # (job-launch latency is the measured serial floor at high cores)
 
         refr = (fetched
                 .filter(F.col("refresh_canon").isNotNull())

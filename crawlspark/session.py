@@ -70,7 +70,8 @@ def get_spark(app: str = "crawlspark", cores: int | None = None,
               driver_mem: str | None = None,
               adaptive: bool | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle = shuffle_partitions or max(cores, 8)
+    shuffle = shuffle_partitions or int(os.environ.get(
+        "SPARK_GRAFT_SHUFFLE", str(max(cores, 8))))
     # Heap: big enough for checkpoint blocks, small enough that full GCs
     # stay short — 48g heaps showed multi-10s GC variance in bench runs.
     driver_mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
