@@ -235,6 +235,21 @@ def gen_robots_pdf(n_hosts: int) -> pd.DataFrame:
     return pd.DataFrame([gen_robots_row(h) for h in range(n_hosts)])
 
 
+def gen_robots_body(h: int) -> str:
+    """Raw robots.txt text equivalent to gen_robots_row(h) for agent '*',
+    with a decoy group for an unrelated agent (exercises RFC 9309 group
+    selection in the parser). Round-trips exactly through
+    frontier.robots.parse_robots."""
+    row = gen_robots_row(h)
+    lines = ["# synthetic robots.txt (seed=42, host %d)" % h,
+             "User-agent: unrelatedbot", "Disallow: /decoy", "",
+             "User-agent: *"]
+    lines += [f"Disallow: {p}" for p in row["disallow_prefixes"]]
+    if row["crawl_delay_ms"]:
+        lines.append("Crawl-delay: %g" % (row["crawl_delay_ms"] / 1000))
+    return "\n".join(lines) + "\n"
+
+
 def gen_seeds_pdf(tier: Tier, n_seeds: int | None = None) -> pd.DataFrame:
     """Seeds: page 0 of each host, then page 1 of each host, ... (list order
     = seed_pos, the reference's program order of the initial GetPage calls)."""
@@ -290,6 +305,14 @@ def spark_pages(spark, tier: Tier, parallelism: int = 32):
 
 def spark_robots(spark, tier: Tier):
     return spark.createDataFrame(gen_robots_pdf(tier.n_hosts), ROBOTS_SCHEMA)
+
+
+def spark_robots_bodies(spark, tier: Tier):
+    """Raw robots.txt bodies per host (host string, body string) — input to
+    frontier.robots.robots_cache_from_bodies for the parse-at-crawl path."""
+    rows = [(f"host{h}.test", gen_robots_body(h))
+            for h in range(tier.n_hosts)]
+    return spark.createDataFrame(rows, "host string, body string")
 
 
 def spark_seeds(spark, tier: Tier, n_seeds: int | None = None):

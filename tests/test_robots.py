@@ -144,3 +144,42 @@ def test_engine_accepts_rep_rules_shape(spark, tmp_path):
         store.destroy()
     assert logs[0] == logs[1]
     assert len(logs[0]) > 0
+
+
+def test_engine_with_parsed_robots_bodies_matches_oracle(spark, tmp_path):
+    """End-to-end parse-at-crawl path: raw robots.txt bodies →
+    robots_cache_from_bodies (REP rules + crawl-delay) → engine. The crawl
+    must equal the sequential oracle run on the pre-parsed fixture rules
+    (the bodies round-trip the same policy)."""
+    from crawlspark import oracle, synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+    from crawlspark.frontier.robots import robots_cache_from_bodies
+
+    tier = synth.TIERS["t1"]
+    pages = synth.spark_pages(spark, tier, parallelism=4)
+    seeds = synth.spark_seeds(spark, tier)
+    bodies = synth.spark_robots_bodies(spark, tier)
+    cache = robots_cache_from_bodies(bodies, agent="crawlspark")
+
+    cfg = CrawlConfig(k_global=150, max_rounds=3, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0)
+    store = SnapshotStore(spark, str(tmp_path / "robots_e2e"))
+    eng = CrawlEngine(spark, store, pages, cache, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+
+    counts = synth.page_counts(tier)
+    pdf = synth.gen_pages_pdf(0, tier.n_pages, counts, tier.n_images)
+    pages_by_url = {d["url"]: d for d in pdf.to_dict("records")}
+    robots = {r["host"]: (list(r["disallow_prefixes"]),
+                          int(r["crawl_delay_ms"]))
+              for r in synth.gen_robots_pdf(tier.n_hosts).to_dict("records")}
+    want = oracle.simulate(pages_by_url,
+                           robots, list(synth.gen_seeds_pdf(tier)["url"]),
+                           round_ms=30_000, k_global=150, max_rounds=3)
+    assert log == [(r["fetch_seq"], r["canon"], r["status"])
+                   for r in want.fetch_log]
+    assert len(log) > 0
+    store.destroy()
