@@ -1,0 +1,173 @@
+"""Catalog-backed snapshot store — the SnapshotStore contract over SQL
+tables instead of raw parquet directories.
+
+`SnapshotStore` (state.py) is the local parquet+manifest implementation;
+this class speaks the same interface through the Spark catalog, so swapping
+the engine onto an Iceberg (or any V2) catalog is configuration, not code:
+
+  * each logical table lives as ``<db>.<prefix>_<table>`` with a ``_round``
+    column; append tables accumulate rounds, replace tables are read at
+    their latest committed round (Iceberg's snapshot-per-commit model maps
+    1:1 — with an Iceberg catalog each round IS a table snapshot and
+    ``upto_round`` reads could use time travel instead of the filter);
+  * the COMMIT POINT is a single atomic overwrite of the tiny
+    ``<prefix>_manifest`` table (one row per committed round + counters
+    JSON): writers prepare all round data first, readers only trust rounds
+    listed there — the same all-or-nothing property the file store gets
+    from its ``os.replace`` and Iceberg from a snapshot commit;
+  * tables are created EXTERNAL under ``root`` so the store works against
+    any warehouse/catalog configuration (and on Iceberg, ``USING iceberg``
+    replaces ``USING parquet`` — see ``provider``).
+
+In-sandbox this runs on the built-in session catalog with parquet tables
+(no Iceberg runtime jar is available); the full engine passes its golden
+oracle tests on it (tests/test_catalog_store.py), which is the evidence the
+store swap is behavior-preserving.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ..session import ckpt
+from .state import APPEND_TABLES, PARTITIONED_TABLES, REPLACE_TABLES
+
+
+class CatalogStore:
+    def __init__(self, spark, root: str, prefix: str = "crawl",
+                 provider: str = "parquet", database: str = "default"):
+        self.spark = spark
+        self.root = root
+        self.prefix = prefix
+        self.provider = provider
+        self.db = database
+
+    # -- naming ---------------------------------------------------------------
+
+    def _tbl(self, table: str) -> str:
+        return f"{self.db}.{self.prefix}_{table}"
+
+    def _exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(table))
+
+    # -- manifest -------------------------------------------------------------
+
+    def _read_manifest(self) -> dict:
+        if not self._exists("manifest"):
+            return {"rounds": [], "counters": {}}
+        rows = (self.spark.table(self._tbl("manifest"))
+                .orderBy("round").collect())
+        return {
+            "rounds": [{"round": int(r["round"]),
+                        "tables": json.loads(r["tables"])} for r in rows],
+            "counters": (json.loads(rows[-1]["counters"]) if rows else {}),
+        }
+
+    def last_round(self) -> int:
+        rounds = self._read_manifest()["rounds"]
+        return rounds[-1]["round"] if rounds else -1
+
+    def counters(self) -> dict:
+        return dict(self._read_manifest()["counters"])
+
+    # -- IO -------------------------------------------------------------------
+
+    def _write_round(self, name: str, df, round_no: int) -> None:
+        tbl = self._tbl(name)
+        data = df.withColumn("_round", F.lit(round_no))
+        part_cols = ["_round"]
+        extra = PARTITIONED_TABLES.get(name)
+        if extra is not None and extra in df.columns:
+            part_cols.append(extra)
+        # insertInto matches POSITIONALLY and upstream joins reorder
+        # columns — canonicalize to sorted(non-partition) + partition cols
+        # on both the CREATE and every insert (partition columns must sit
+        # at the end of a datasource table's schema)
+        non_part = sorted(c for c in data.columns if c not in part_cols)
+        data = data.select(*non_part, *part_cols)
+        if not self._exists(name):
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in data.schema.fields)
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING {self.provider} "
+                f"PARTITIONED BY ({', '.join(part_cols)}) "
+                f"LOCATION '{self.root}/{name}'")
+        # idempotent per-round overwrite: a crashed attempt's partition is
+        # replaced wholesale on retry (dynamic partition overwrite). The
+        # session catalog refuses to overwrite a table its own lineage
+        # reads (the new round derives from the previous one), so the data
+        # is materialized first; Iceberg's snapshot isolation makes that
+        # unnecessary there.
+        if self.provider != "iceberg":
+            data = ckpt(data)
+        data.write.mode("overwrite").insertInto(tbl)
+
+    def commit(self, round_no: int, tables: dict, counters: dict) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # dynamic partition overwrite must be a SESSION conf for insertInto
+        # (the writer option is ignored on that path) — without it a commit
+        # would wipe every previous round's partition
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf, "STATIC")
+        self.spark.conf.set(conf, "dynamic")
+        try:
+            with ThreadPoolExecutor(max_workers=max(1, len(tables))) as ex:
+                list(ex.map(
+                    lambda kv: self._write_round(kv[0], kv[1], round_no),
+                    tables.items()))
+        finally:
+            self.spark.conf.set(conf, prev)
+        manifest = self._read_manifest()
+        rounds = [r for r in manifest["rounds"] if r["round"] < round_no]
+        rounds.append({"round": round_no, "tables": sorted(tables)})
+        rows = [(r["round"], json.dumps(r["tables"]), json.dumps(counters))
+                for r in rounds]
+        mdf = self.spark.createDataFrame(
+            rows, "round int, tables string, counters string")
+        if not self._exists("manifest"):
+            self.spark.sql(
+                f"CREATE TABLE {self._tbl('manifest')} "
+                f"(round int, tables string, counters string) "
+                f"USING {self.provider} "
+                f"LOCATION '{self.root}/_manifest'")
+        # the commit point: on Iceberg this overwrite is one atomic
+        # snapshot commit; on the plain-parquet session catalog it is
+        # best-effort (the golden tests are the behavioral evidence there)
+        mdf.write.mode("overwrite").insertInto(self._tbl("manifest"))
+
+    def read(self, table: str, upto_round: int | None = None):
+        manifest = self._read_manifest()
+        rounds = [r["round"] for r in manifest["rounds"]
+                  if table in r["tables"]
+                  and (upto_round is None or r["round"] <= upto_round)]
+        if not rounds or not self._exists(table):
+            return None
+        df = self.spark.table(self._tbl(table))
+        if table in REPLACE_TABLES:
+            df = df.filter(F.col("_round") == rounds[-1])
+        else:
+            df = df.filter(F.col("_round").isin(rounds))
+        return df.drop("_round")
+
+    def read_local(self, table: str, upto_round: int | None = None):
+        df = self.read(table, upto_round)
+        if df is None:
+            return None
+        return [row.asDict() for row in df.collect()]
+
+    def table_dirs(self, table: str, upto_round: int | None = None):
+        """File-layout hook used by the per-bucket seen probe. For catalog
+        tables the engine falls back to the join path when this returns
+        empty; on Iceberg the probe would instead use the metadata tables
+        to list per-bucket data files."""
+        return []
+
+    def destroy(self) -> None:
+        import shutil
+        for t in sorted(APPEND_TABLES | REPLACE_TABLES | {"manifest"}):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(t)}")
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -312,12 +312,14 @@ class CrawlEngine:
                 suspect = allowed.filter(F.col("_maybe")).drop("_maybe")
                 if seen_small:
                     suspect = suspect.join(seen_keys, "url_hash", "left")
-                else:
+                elif self.store.table_dirs("seen"):
                     # beyond-broadcast regime: per-bucket executor-side
                     # probe against the hash-partitioned seen table — the
                     # seen set is read (its relevant buckets only), never
                     # shuffled; only the suspects exchange, by bucket id.
                     suspect = self._bucketed_seen_flag(suspect)
+                else:  # store without a file layout (catalog adapter)
+                    suspect = suspect.join(seen_keys, "url_hash", "left")
                 allowed = fresh.unionByName(suspect)
             else:
                 allowed = allowed.join(seen_keys, "url_hash", "left")
@@ -400,7 +402,7 @@ class CrawlEngine:
                         F.col("refresh_canon"),
                         F.xxhash64("refresh_canon").alias("r_hash")))
         if seen is not None:
-            if seen_small:
+            if seen_small or not self.store.table_dirs("seen"):
                 refr = refr.join(seen_keys, refr.r_hash == seen.url_hash,
                                  "left_anti")
             else:
