@@ -57,8 +57,18 @@ class CatalogStore:
     def _read_manifest(self) -> dict:
         if not self._exists("manifest"):
             return {"rounds": [], "counters": {}}
-        rows = (self.spark.table(self._tbl("manifest"))
-                .orderBy("round").collect())
+        all_rows = self.spark.table(self._tbl("manifest")).collect()
+        if not all_rows:
+            return {"rounds": [], "counters": {}}
+        # readers trust only the newest complete manifest snapshot: each
+        # commit appends the FULL round list as ONE file under a fresh
+        # commit_seq (file rename is the atomic publish on the parquet
+        # session catalog; on Iceberg the append is a snapshot commit), so
+        # a crash mid-commit leaves the previous snapshot intact instead of
+        # a truncated table.
+        top = max(r["commit_seq"] for r in all_rows)
+        rows = sorted((r for r in all_rows if r["commit_seq"] == top),
+                      key=lambda r: r["round"])
         return {
             "rounds": [{"round": int(r["round"]),
                         "tables": json.loads(r["tables"])} for r in rows],
@@ -122,22 +132,36 @@ class CatalogStore:
         finally:
             self.spark.conf.set(conf, prev)
         manifest = self._read_manifest()
+        next_seq = self._next_commit_seq()
         rounds = [r for r in manifest["rounds"] if r["round"] < round_no]
         rounds.append({"round": round_no, "tables": sorted(tables)})
-        rows = [(r["round"], json.dumps(r["tables"]), json.dumps(counters))
+        rows = [(r["round"], json.dumps(r["tables"]), json.dumps(counters),
+                 next_seq)
                 for r in rounds]
         mdf = self.spark.createDataFrame(
-            rows, "round int, tables string, counters string")
+            rows, "round int, tables string, counters string, "
+                  "commit_seq int")
         if not self._exists("manifest"):
             self.spark.sql(
                 f"CREATE TABLE {self._tbl('manifest')} "
-                f"(round int, tables string, counters string) "
+                f"(round int, tables string, counters string, "
+                f"commit_seq int) "
                 f"USING {self.provider} "
                 f"LOCATION '{self.root}/_manifest'")
-        # the commit point: on Iceberg this overwrite is one atomic
-        # snapshot commit; on the plain-parquet session catalog it is
-        # best-effort (the golden tests are the behavioral evidence there)
-        mdf.write.mode("overwrite").insertInto(self._tbl("manifest"))
+        # the commit point: a full manifest snapshot APPENDED as one file
+        # under a fresh commit_seq — the single-file rename publishes
+        # all-or-nothing on the parquet session catalog (readers pick the
+        # max complete commit_seq); on Iceberg the append is itself an
+        # atomic snapshot commit. Never truncate-then-rewrite: a crash in
+        # between would lose every committed round.
+        mdf.coalesce(1).write.mode("append").insertInto(self._tbl("manifest"))
+
+    def _next_commit_seq(self) -> int:
+        if not self._exists("manifest"):
+            return 0
+        row = (self.spark.table(self._tbl("manifest"))
+               .agg(F.max("commit_seq").alias("m")).collect()[0])
+        return 0 if row["m"] is None else int(row["m"]) + 1
 
     def read(self, table: str, upto_round: int | None = None):
         manifest = self._read_manifest()

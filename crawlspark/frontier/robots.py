@@ -81,21 +81,33 @@ def parse_robots(body: str, agent: str = "crawlspark") -> dict:
             except ValueError:
                 pass
 
-    best, best_spec = None, -1
+    # RFC 9309 §2.2.1: rules from ALL groups matching the agent at the
+    # winning specificity are combined (e.g. two separate 'User-agent: *'
+    # groups merge) — keeping only one group would silently drop disallow
+    # rules in later duplicate groups. Specificity per group = best of its
+    # agent tokens; winners = every group at the max specificity, merged in
+    # document order; crawl-delay = first non-None among the winners.
+    spec_of: list[int] = []
     for g in groups:
+        spec = -1
         for a in g["agents"]:
             if a == "*":
-                spec = 0
+                spec = max(spec, 0)
             elif a and a in agent_l:
-                spec = len(a)
-            else:
-                continue
-            if spec > best_spec:
-                best, best_spec = g, spec
-    if best is None:
+                spec = max(spec, len(a))
+        spec_of.append(spec)
+    best_spec = max(spec_of, default=-1)
+    if best_spec < 0:
         return {"rules": [], "crawl_delay_ms": 0}
-    return {"rules": best["rules"],
-            "crawl_delay_ms": best["delay"] or 0}
+    rules: list[tuple[bool, str]] = []
+    delay = None
+    for g, spec in zip(groups, spec_of):
+        if spec != best_spec:
+            continue
+        rules.extend(g["rules"])
+        if delay is None:
+            delay = g["delay"]
+    return {"rules": rules, "crawl_delay_ms": delay or 0}
 
 
 def _pattern_to_regex(pattern: str) -> str:

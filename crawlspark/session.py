@@ -21,7 +21,12 @@ def _scratch_dir() -> str:
 
 
 _CKPT_PATHS: list[str] = []
-_CKPT_SEQ = [0]
+# itertools.count is atomic under the GIL — CatalogStore.commit calls ckpt
+# from a ThreadPoolExecutor (one thread per table), so a read-then-increment
+# seq would let two tables race to the same scratch directory.
+import itertools as _itertools
+
+_CKPT_SEQ = _itertools.count()
 
 
 def ckpt(df, eager: bool = True):
@@ -46,8 +51,7 @@ def ckpt(df, eager: bool = True):
     mode = os.environ.get("SPARK_GRAFT_CKPT", "deser")
     if mode == "parquet":
         d = os.path.join(_scratch_dir(), "ckpt",
-                         f"{os.getpid()}_{_CKPT_SEQ[0]}")
-        _CKPT_SEQ[0] += 1
+                         f"{os.getpid()}_{next(_CKPT_SEQ)}")
         df.write.mode("overwrite").parquet(d)
         _CKPT_PATHS.append(d)
         return df.sparkSession.read.parquet(d)

@@ -15,6 +15,18 @@ One applyInPandasWithState group per host: state = (credit_ms,), the
 micro-batch's requests arrive as pandas chunks and are ranked with numpy —
 no per-row Python. Deferred rows are emitted with admitted=false (the
 caller re-queues them), mirroring the batch engine's frontier carry.
+
+KNOWN DIVERGENCE from the batch engine, by design: the batch engine's
+next_host_state advances EVERY throttled host's credit each round (an idle
+host accrues min(delay, credit + round_ms)), while streaming state only
+updates when the host appears in a micro-batch — an idle host's credit is
+frozen, not accrued. The divergence is bounded: credit is capped at one
+delay, so budgets differ by at most 1 admission on the host's first batch
+after an idle stretch, and whenever round_ms ≥ delay (the default 30 s
+round vs typical ≤30 s delays) one non-idle batch restores exact agreement.
+Deterministically closing even that gap would need per-batch ticks for
+every known host (a roster joined into each micro-batch) — wall-clock state
+timeouts are ruled out by the engine's no-wall-clock determinism contract.
 """
 
 from __future__ import annotations

@@ -72,12 +72,18 @@ def drain_seed_stream(spark: SparkSession, seed_dir: str, inbox_dir: str,
 
 
 def merge_seeds(spark: SparkSession, store: SnapshotStore,
-                inbox_dir: str) -> int:
+                inbox_dir: str, robots: DataFrame | None = None) -> int:
     """Merge the seed inbox into the frontier as a seed-ingest round.
 
     Already-seen and already-queued URLs are dropped (exact anti-joins);
     survivors enter with seed priority 0 and a canonical-hash-derived
     discovered_seq (arrival-order independence). Returns #rows added.
+
+    ``robots``: the run's robots table (REP-rules or legacy
+    disallow_prefixes shape). The engine maintains the invariant "every
+    frontier row is robots-allowed at insert" (engine.seed), so streamed
+    seeds MUST pass the same filter here — without it, disallowed URLs
+    merged via the inbox would be scheduled and fetched.
     """
     if not os.path.isdir(inbox_dir) or not any(
             f.endswith(".parquet") for f in os.listdir(inbox_dir)):
@@ -94,6 +100,14 @@ def merge_seeds(spark: SparkSession, store: SnapshotStore,
              .withColumn("ref_url", F.lit(None).cast("string"))
              .select(*FRONTIER_COLS)
              .dropDuplicates(["url_hash"]))
+    if robots is not None:
+        from ..frontier.politeness import robots_allowed_col
+        from ..frontier.robots import rep_allowed_col
+        allowed = (rep_allowed_col() if "rules" in robots.columns
+                   else robots_allowed_col())
+        fresh = (fresh.join(F.broadcast(robots), "host", "left")
+                 .filter(allowed)
+                 .select(*FRONTIER_COLS))
     if frontier is not None:
         fresh = fresh.join(frontier.select("url_hash"), "url_hash",
                            "left_anti")

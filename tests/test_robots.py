@@ -47,6 +47,30 @@ def test_rules_before_any_group_ignored_and_empty_disallow():
     assert d["rules"] == [(True, "/x")]
 
 
+def test_duplicate_groups_merge_rules():
+    """RFC 9309 §2.2.1: rules from ALL groups matching the agent combine —
+    a second 'User-agent: *' group's disallows must not be dropped."""
+    body = ("User-agent: *\nDisallow: /a/\nCrawl-delay: 3\n\n"
+            "User-agent: *\nDisallow: /b/\nAllow: /b/open\n")
+    d = parse_robots(body, agent="anybot")
+    assert d["rules"] == [(False, "/a/"), (False, "/b/"), (True, "/b/open")]
+    assert d["crawl_delay_ms"] == 3000  # first non-None delay among winners
+    # the merged rule set actually blocks both subtrees
+    assert rule_allows("/a/x", d["rules"]) is False
+    assert rule_allows("/b/x", d["rules"]) is False
+    assert rule_allows("/b/open/x", d["rules"]) is True
+
+
+def test_duplicate_groups_merge_only_at_winning_specificity():
+    """A duplicate '*' group does NOT leak into a more specific agent's
+    decision: only groups at the max specificity merge."""
+    body = ("User-agent: *\nDisallow: /star/\n\n"
+            "User-agent: crawlspark\nDisallow: /us/\n\n"
+            "User-agent: crawlspark\nDisallow: /us2/\n")
+    d = parse_robots(body, agent="crawlspark")
+    assert d["rules"] == [(False, "/us/"), (False, "/us2/")]
+
+
 # longest-match precedence — RFC 9309 §5.2 / Google REP example table
 CASES = [
     ("/page",       [(True, "/p"), (False, "/")],            True),

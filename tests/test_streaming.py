@@ -54,6 +54,37 @@ def test_seed_drain_and_merge(spark):
     assert all(v is not None and v >= 0 for v in seqs.values())
 
 
+def test_merge_seeds_applies_robots_filter(spark):
+    """Streamed seeds must pass the same robots filter as engine.seed():
+    the frontier invariant is 'every row is robots-allowed at insert', so a
+    disallowed URL arriving via the seed inbox must NOT be merged."""
+    root = tempfile.mkdtemp(prefix="seedrobots_")
+    seed_dir = os.path.join(root, "seeds")
+    inbox = os.path.join(root, "inbox")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(seed_dir)
+    _write_seed_file(seed_dir, "a.txt", [
+        "http://h0.example/private/page",   # disallowed by REP rules below
+        "http://h0.example/public/page",
+        "http://h1.example/anything",       # host absent from robots: allowed
+    ])
+    drain_seed_stream(spark, seed_dir, inbox, ckpt)
+
+    store = SnapshotStore(spark, os.path.join(root, "store"))
+    empty = spark.createDataFrame(
+        [], "canon string, url_hash long, host string, path string, "
+            "priority double, discovered_seq long, ref_url string")
+    store.commit(-1, {"frontier": empty}, counters={"fetched_total": 0})
+    robots = spark.createDataFrame(
+        [("h0.example", [{"allow": False, "pattern": "/private/"}], 0)],
+        "host string, rules array<struct<allow:boolean,pattern:string>>, "
+        "crawl_delay_ms long")
+    assert merge_seeds(spark, store, inbox, robots=robots) == 2
+    got = {r["canon"] for r in store.read("frontier").collect()}
+    assert got == {"http://h0.example/public/page",
+                   "http://h1.example/anything"}
+
+
 def test_streaming_url_seen_dedup(spark):
     root = tempfile.mkdtemp(prefix="seenstream_")
     src = os.path.join(root, "src")
