@@ -1184,11 +1184,18 @@ def q_crawl_fetch_log(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
+    """Per-image decode + features. ``luma_hist`` is emitted as a
+    comma-joined string so every output column is driver-hashable (the
+    driver canonicalizes with pandas sort_values, which cannot hash a
+    Python list column)."""
     from crawlspark import synth
     from crawlspark.functions.multimodal import image_features
     tier = synth.TIERS["t1"]
     images = synth.spark_images(spark, tier, parallelism=8).limit(200)
-    return image_features(images)
+    return (image_features(images)
+            .withColumn("luma_hist",
+                        F.array_join(F.col("luma_hist"), ","))
+            .orderBy("media_id"))
 
 
 def q_phash_dup_pairs(spark, sf_dir):

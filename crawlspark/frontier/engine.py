@@ -117,12 +117,15 @@ class CrawlConfig:
     # executor-side probe against the hash-partitioned seen table takes over.
     seen_broadcast_rows: int = 8_000_000
     seen_buckets: int = 64        # hash partitions of the seen table at rest
+    # raw-body corpus mode (pages carry `body binary` + `content_type`):
+    forced_charset: str | None = None   # session.Encoding analog (U4 chain)
+    debug_sample_rows: int = 100  # S11: non-2xx samples kept per round
 
 
 class CrawlEngine:
     def __init__(self, spark, store: SnapshotStore, pages: DataFrame,
                  robots: DataFrame, images: DataFrame | None = None,
-                 cfg: CrawlConfig = CrawlConfig()):
+                 cfg: CrawlConfig = CrawlConfig(), body_filter=None):
         self.spark = spark
         self.store = store
         self.cfg = cfg
@@ -130,11 +133,37 @@ class CrawlEngine:
         self.robots = robots
         self.images = images
         self.filter = SeenFilter(cfg.seen_kind, cfg.seen_shards, cfg.seen_m_bits)
+        # corpus shape: raw (body binary + content_type — pages are parsed
+        # at fetch time, the reference's P1/U4 body path) or pre-structured
+        # (links/base_href/meta_refresh_url columns, the fast fixture form)
+        self._raw = "body" in pages.columns
+        # BodyFilter hook (P10, session.go:40/response.go:71-76): decoded
+        # body rewrite between fetch and parse; raw-corpus mode only
+        self.body_filter = body_filter
         # robots table shape: REP rules array (frontier.robots parser
         # output) or the legacy disallow_prefixes fixture form
         self._robots_allowed = (rep_allowed_col()
                                 if "rules" in robots.columns
                                 else robots_allowed_col())
+
+    def _corpus_lookup(self, probe: DataFrame, key: str) -> DataFrame:
+        """Look up ``probe`` (≤k scheduled rows) in the page corpus by
+        canonical URL — corpus never shuffled (see _broadcast_lookup). In
+        raw mode the k hit rows are then parsed (decode chain + link
+        extraction, Arrow-batched): the parse cost rides on FETCHED rows
+        only, exactly like a real crawl — the 100 TB corpus scan stays a
+        narrow (url, body-offsets) columnar read and the per-round Python
+        work is O(k), not O(|corpus|)."""
+        pages = (self.pages.withColumnRenamed("url", key)
+                 .withColumnRenamed("host", "_phost"))
+        looked = _broadcast_lookup(pages, probe, key)
+        if self._raw:
+            from ..operators.parse import parse_pages
+            looked = parse_pages(looked, body_col="body",
+                                 ct_col="content_type",
+                                 forced_charset=self.cfg.forced_charset,
+                                 body_filter=self.body_filter)
+        return looked
 
     # -- seeding ---------------------------------------------------------------
 
@@ -371,11 +400,7 @@ class CrawlEngine:
         # corpus scan, plus an anti-join recovering the missing rows (page
         # columns null ⇒ status 404 downstream). The corpus — the 100 TB
         # side — is never shuffled, at any scale.
-        pages = self.pages
-        fetched = _broadcast_lookup(
-            pages.withColumnRenamed("url", "canon")
-                 .withColumnRenamed("host", "_phost"),
-            scheduled_wide, "canon")
+        fetched = self._corpus_lookup(scheduled_wide, "canon")
         fetched = (fetched
                    .withColumn("status", F.coalesce(F.col("status"),
                                                     F.lit(404)))
@@ -425,10 +450,7 @@ class CrawlEngine:
                          .withColumn("is_refresh", F.lit(False))
                          .withColumn("_slot", F.col("idx")))
 
-        refresh_pre = (_broadcast_lookup(
-            pages.withColumnRenamed("url", "refresh_canon")
-                 .withColumnRenamed("host", "_phost"),
-            refr, "refresh_canon")
+        refresh_pre = (self._corpus_lookup(refr, "refresh_canon")
             .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
             .select(F.col("refresh_canon").alias("canon"),
                     F.col("r_hash").alias("url_hash"),
@@ -578,6 +600,17 @@ class CrawlEngine:
                              "status", "is_refresh", "image_id", "host",
                              "priority"))
 
+        # S11 (chrome.go:53-95 analog): on-failure debug snapshots — the
+        # round's non-2xx fetches, capped deterministically by fetch_seq
+        # (orderBy+limit over ≤k rows, never the corpus).
+        debug_samples = (all_fetched
+                         .filter(F.floor(F.col("status") / 100) != 2)
+                         .withColumn("round", F.lit(r))
+                         .select("round", "fetch_seq", "canon", "ref_url",
+                                 "status", "is_refresh", "host")
+                         .orderBy("fetch_seq")
+                         .limit(cfg.debug_sample_rows))
+
         # payload fidelity sampling (input_hint invariant), if corpus present
         if self.images is not None and cfg.validate_fraction > 0:
             from .validate import validate_payloads
@@ -596,6 +629,7 @@ class CrawlEngine:
             "seen_shards": shards_next,
             "host_state": host_state_next,
             "metrics": metrics,
+            "debug_samples": debug_samples,
         }, counters={"fetched_total": int(base_seq + n_fetched)})
         _t = self._tick(_t, 'commit writes')
         self._unpersist_new_rdds(_rdds_before)

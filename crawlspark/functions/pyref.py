@@ -1,0 +1,215 @@
+"""Pure-Python reference implementations of the hash-based dedup/ANN
+operators — the differential oracles for the Spark paths.
+
+These mirror the EXACT semantics of functions.dedup / functions.similarity
+(same xxhash64 seed-42 string hashes via crawlspark.hashing — bit-equal to
+Spark's F.xxhash64, proven in tests/test_hashing.py; same splitmix64 perm
+mixing; same band/bucket/probe construction) with none of the Spark code:
+plain dicts, loops and numpy. The driver's DuckDB oracle reads their output
+materialized to parquet (__spark_entry__._ensure_oracle_files), giving the
+formerly rows-only LSH entries a real value-hash check.
+
+Two of them are exhaustive rather than replicated, which makes them strictly
+stronger oracles:
+  * py_simhash_pairs is ALL-PAIRS popcount — equal to the Spark pigeonhole
+    bucketing by construction (Hamming ≤ 3 ⇒ ≥1 of 4 16-bit chunks equal,
+    so chunk-bucketing loses nothing: a mathematical identity, not a
+    probabilistic one).
+  * jaccard/cosine verification emits RAW numerators (ints / unrounded
+    doubles); the final round/filter/rank happens in the DuckDB SQL so both
+    sides share one rounding implementation.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ..hashing import mix64, to_signed64, xxh64_str
+
+_WS = re.compile(r"\s+")
+
+
+def py_tokens(text: str) -> list[str]:
+    """Mirror F.split(F.lower(F.trim(c)), r'\\s+') — including the
+    empty-string token a blank text produces."""
+    return _WS.split((text or "").strip().lower())
+
+
+def py_word_ngrams(text: str, n: int = 3) -> list[str]:
+    """Mirror functions.dedup.word_ngrams: sorted distinct word n-grams;
+    a doc shorter than n yields its whole token string as the single gram
+    (F.slice clamps at the array end)."""
+    toks = py_tokens(text)
+    n_grams = max(len(toks) - n + 1, 1)
+    grams = {" ".join(toks[i:i + n]) for i in range(n_grams)}
+    return sorted(grams)
+
+
+# -- MinHash + LSH banding ----------------------------------------------------
+
+def py_minhash_sig(gram_hashes: list[int], n_perm: int = 64) -> np.ndarray:
+    """Mirror dedup._minhash_batch for one doc (uint64 signature)."""
+    seeds = (np.arange(1, n_perm + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+    if not gram_hashes:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    base = np.asarray(gram_hashes, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        perms = mix64(base[:, None] ^ seeds[None, :])
+    return perms.min(axis=0)
+
+
+def py_minhash_lsh_pairs(docs: list[tuple[int, str]], n: int = 3,
+                         bands: int = 16, n_perm: int = 64) -> list[dict]:
+    """Mirror dedup.minhash_lsh_pairs UP TO the jaccard round/filter:
+    emits every LSH candidate pair with integer intersection/union sizes
+    (the SQL computes round(inter/union, 6) and applies the threshold)."""
+    rows = n_perm // bands
+    grams = {i: py_word_ngrams(t, n) for i, t in docs}
+    sigs = {}
+    for i, _ in docs:
+        hashes = [xxh64_str(g) for g in grams[i]]
+        sigs[i] = py_minhash_sig(hashes, n_perm).astype(np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, _ in docs:
+        for b in range(bands):
+            # F.xxhash64(concat_ws(',', values..., band)) on the signed
+            # long decimal renderings — identical string, identical hash
+            key = ",".join(str(int(v))
+                           for v in sigs[i][b * rows:(b + 1) * rows])
+            bucket = xxh64_str(f"{key},{b}")
+            buckets.setdefault((b, bucket), []).append(i)
+    cands = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cands.add((ms[x], ms[y]))
+    out = []
+    for left, right in sorted(cands):
+        lg, rg = set(grams[left]), set(grams[right])
+        out.append({"left_id": left, "right_id": right,
+                    "n_inter": len(lg & rg), "n_union": len(lg | rg)})
+    return out
+
+
+# -- SimHash ------------------------------------------------------------------
+
+def py_simhash(text: str, n_bits: int = 64) -> int:
+    """Mirror dedup.simhash_col (signed 64-bit)."""
+    toks = py_tokens(text)
+    hashes = [xxh64_str(t) & 0xFFFFFFFFFFFFFFFF for t in toks]
+    n = len(toks)
+    acc = 0
+    for i in range(n_bits):
+        votes = sum(1 for h in hashes if (h >> i) & 1)
+        if votes * 2 > n:
+            acc |= (1 << i)
+    return to_signed64(acc)
+
+
+def py_simhash_pairs(docs: list[tuple[int, str]], max_distance: int = 3
+                     ) -> list[dict]:
+    """ALL-PAIRS Hamming ≤ max_distance over py_simhash — equals the Spark
+    chunk-bucketed result exactly (pigeonhole identity, see module doc)."""
+    sh = [(i, py_simhash(t) & 0xFFFFFFFFFFFFFFFF) for i, t in docs]
+    out = []
+    for x in range(len(sh)):
+        for y in range(x + 1, len(sh)):
+            d = bin(sh[x][1] ^ sh[y][1]).count("1")
+            if d <= max_distance:
+                left, right = sorted((sh[x][0], sh[y][0]))
+                out.append({"left_id": left, "right_id": right,
+                            "distance": d})
+    return sorted(out, key=lambda r: (r["left_id"], r["right_id"]))
+
+
+# -- sign-LSH over embeddings -------------------------------------------------
+
+def py_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Mirror similarity._planes (identical numpy ops ⇒ identical bits)."""
+    n = n_planes * dim
+    idx = (np.arange(2 * n, dtype=np.uint64)
+           + np.uint64(seed) * np.uint64(1 << 32))
+    u = (mix64(idx).astype(np.float64) + 1.0) / 2.0**64
+    u1, u2 = u[:n], u[n:]
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    return g.reshape(n_planes, dim)
+
+
+def py_sign_buckets(vecs: np.ndarray, n_planes: int, seed: int = 42
+                    ) -> np.ndarray:
+    """Mirror similarity.signhash_udf over a (n, dim) float64 matrix."""
+    planes = py_planes(n_planes, vecs.shape[1], seed)
+    signs = (vecs @ planes.T) >= 0
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    return signs.astype(np.int64) @ weights
+
+
+def _cosine(a: np.ndarray, b: np.ndarray) -> float:
+    na = float(np.sqrt((a * a).sum()))
+    nb = float(np.sqrt((b * b).sum()))
+    if na > 0 and nb > 0:
+        return float((a * b).sum() / (na * nb))
+    return 0.0
+
+
+def py_embedding_lsh_pairs(emb: list[tuple[int, list[float]]],
+                           n_planes: int = 8, seed: int = 42) -> list[dict]:
+    """Mirror dedup.embedding_neardup_pairs up to the round/threshold:
+    every same-bucket pair with its RAW float64 cosine (SQL rounds and
+    filters)."""
+    ids = [i for i, _ in emb]
+    mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in emb])
+    buckets = py_sign_buckets(mat, n_planes, seed)
+    by_bucket: dict[int, list[int]] = {}
+    for pos, b in enumerate(buckets):
+        by_bucket.setdefault(int(b), []).append(pos)
+    out = []
+    seen = set()
+    for members in by_bucket.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                px, py_ = members[x], members[y]
+                left, right = sorted((ids[px], ids[py_]))
+                if left == right or (left, right) in seen:
+                    continue
+                seen.add((left, right))
+                out.append({"left_id": left, "right_id": right,
+                            "cosine_raw": _cosine(mat[px], mat[py_])})
+    return sorted(out, key=lambda r: (r["left_id"], r["right_id"]))
+
+
+def py_lsh_topk_candidates(queries: list[tuple[int, list[float]]],
+                           corpus: list[tuple[int, list[float]]],
+                           n_planes: int = 8, seed: int = 42,
+                           multiprobe: bool = True) -> list[dict]:
+    """Mirror similarity.lsh_topk up to the round/rank: the distinct
+    (query, neighbor) candidate set with RAW cosines (SQL rounds, windows,
+    keeps rank ≤ k)."""
+    c_ids = [i for i, _ in corpus]
+    c_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in corpus])
+    q_ids = [i for i, _ in queries]
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    c_buckets = py_sign_buckets(c_mat, n_planes, seed)
+    q_buckets = py_sign_buckets(q_mat, n_planes, seed)
+    by_bucket: dict[int, list[int]] = {}
+    for pos, b in enumerate(c_buckets):
+        by_bucket.setdefault(int(b), []).append(pos)
+    out = []
+    for qpos, q0 in enumerate(q_buckets):
+        probes = [int(q0)]
+        if multiprobe:
+            probes += [int(q0) ^ (1 << i) for i in range(n_planes)]
+        cand_pos = set()
+        for p in probes:
+            cand_pos.update(by_bucket.get(p, []))
+        for cpos in sorted(cand_pos):
+            if c_ids[cpos] == q_ids[qpos]:
+                continue
+            out.append({"query_id": q_ids[qpos],
+                        "neighbor_id": c_ids[cpos],
+                        "cosine_raw": _cosine(q_mat[qpos], c_mat[cpos])})
+    return out

@@ -26,13 +26,8 @@ from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-_JP_CODECS = {
-    "shift_jis": "shift_jis", "windows-31j": "cp932", "x-sjis": "shift_jis",
-    "sjis": "shift_jis", "cp932": "cp932", "shift-jis": "shift_jis",
-    "euc-jp": "euc_jp", "iso-2022-jp": "iso2022_jp",
-}
-
-_CHARSET_RE = r".*\bcharset=(.*)"
+from ..charsets import CHARSET_RE as _CHARSET_RE
+from ..charsets import JP_CODECS as _JP_CODECS
 
 
 def charset_from_content_type(ct: Column) -> Column:

@@ -155,6 +155,48 @@ def _link_href(h: int, k: int, j: int, counts: list[int]) -> tuple[str, str]:
     return href, target
 
 
+#: declared-charset spellings per codec family (exercises the reference's
+#: case-insensitive alias table, response.go:129-141)
+_SJIS_NAMES = ["Shift_JIS", "shift-jis", "x-sjis", "sjis", "cp932",
+               "windows-31j"]
+_EUC_NAMES = ["EUC-JP", "euc-jp"]
+_ISO_NAMES = ["ISO-2022-JP", "iso-2022-jp"]
+
+
+def page_charset_decl(h: int, k: int) -> tuple[str | None, str, str]:
+    """(declared_charset, channel, python_codec) for page (h, k).
+
+    channel ∈ {meta_charset, http_equiv, header, none} — the three
+    precedence sources of the U4 decode chain (response.go:27-38, 106-127)
+    plus undeclared (UTF-8 passthrough). ~30% of pages are Japanese-encoded.
+    """
+    v = _h(h, k, 20) % 10
+    if v == 0:
+        name = _SJIS_NAMES[_h(h, k, 22) % len(_SJIS_NAMES)]
+        codec = {"cp932": "cp932", "windows-31j": "cp932"}.get(
+            name.lower(), "shift_jis")
+    elif v == 1:
+        name, codec = _EUC_NAMES[_h(h, k, 22) % 2], "euc_jp"
+    elif v == 2:
+        name, codec = _ISO_NAMES[_h(h, k, 22) % 2], "iso2022_jp"
+    else:
+        if _h(h, k, 21) % 2 == 0:
+            return None, "none", "utf-8"
+        name, codec = ("utf-8", "utf-8") if _h(h, k, 22) % 2 else \
+                      ("UTF-8", "utf-8")
+    channel = ["meta_charset", "http_equiv", "header"][_h(h, k, 21) % 3]
+    return name, channel, codec
+
+
+def gen_page_title(h: int, k: int) -> str:
+    tok = _TOKENS[_h(h, k, 23) % len(_TOKENS)]
+    title = f"Page {k} of host{h} - {tok}"
+    _, _, codec = page_charset_decl(h, k)
+    if codec != "utf-8" or _h(h, k, 24) % 5 == 0:
+        title += " " + _JP_TOKENS[_h(h, k, 25) % len(_JP_TOKENS)]
+    return title
+
+
 def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
                  global_idx: int) -> dict:
     hv = _h(h, k, 3)
@@ -182,10 +224,86 @@ def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
         "base_href": base_href,
         "meta_refresh_url": refresh,
         "links": links,
+        "title": gen_page_title(h, k),
         "image_id": (f"img{(global_idx * 2654435761) % n_images:010d}"
                      if status == 200 else None),
         "status": np.int32(status),
     }
+
+
+def render_page_html(h: int, k: int, counts: list[int]) -> tuple[bytes, str]:
+    """(body_bytes, content_type) for page (h, k): real HTML whose parse
+    (operators.parse.parse_page) round-trips EXACTLY to gen_page_row's
+    structured fields (the golden-oracle contract for the raw-body path —
+    pinned by tests/test_parse.py over every t1 page).
+
+    Structure exercised: charset declared via all three precedence channels
+    (or undeclared), decoy first <meta> (the goquery first-element Attr
+    semantics), double-<base> edge (≠1 ⇒ ignored), href-less anchors
+    (skipped), entity-escaped hrefs, case-varied url= in meta refresh."""
+    from html import escape
+
+    row = gen_page_row(h, k, counts, 1, 0)  # image/global idx irrelevant here
+    declared, channel, codec = page_charset_decl(h, k)
+
+    head = []
+    if channel != "meta_charset" and _h(h, k, 26) % 2 == 0:
+        # decoy FIRST meta without a charset attr: the head-sniff must not
+        # find a charset on it (goquery Attr reads the first element only)
+        head.append('<meta name="generator" content="crawlspark-synth">')
+    if channel == "meta_charset":
+        head.append(f'<meta charset="{declared}">')
+    elif channel == "http_equiv":
+        head.append('<meta http-equiv="Content-Type" '
+                    f'content="text/html; charset={declared}">')
+    if row["base_href"]:
+        head.append(f'<base href="{escape(row["base_href"], quote=True)}">')
+    elif _h(h, k, 27) % 50 == 0:
+        # two <base> tags: Length()!=1 ⇒ no override (response.go:86-94)
+        head.append('<base href="/wrong/a/"><base href="/wrong/b/">')
+    head.append(f'<title>{escape(row["title"])}</title>')
+    if row["meta_refresh_url"]:
+        u = "URL" if _h(h, k, 28) % 2 else "url"
+        head.append('<meta http-equiv="refresh" content="5; '
+                    f'{u}={escape(row["meta_refresh_url"], quote=True)}">')
+
+    body = [f'<h1>{escape(row["title"])}</h1>',
+            f'<p>synthetic page body for {escape(row["url"])}</p>']
+    if _h(h, k, 29) % 7 == 0:
+        body.append(f'<a name="s{k}">section anchor without href</a>')
+    body.append("<ul>")
+    for ln in row["links"]:
+        img = (f'<img src="/t/{ln["pos"]}.png" '
+               f'alt="{escape(ln["img_alt"], quote=True)}">'
+               if ln["img_alt"] is not None else "")
+        body.append(f'<li><a href="{escape(ln["href"], quote=True)}">'
+                    f'{escape(ln["text"])}{img}</a></li>')
+    body.append("</ul>")
+
+    html = ("<!DOCTYPE html>\n<html>\n<head>\n" + "\n".join(head)
+            + "\n</head>\n<body>\n" + "\n".join(body) + "\n</body>\n</html>\n")
+    content_type = (f"text/html; charset={declared}"
+                    if channel == "header" else "text/html")
+    return html.encode(codec), content_type
+
+
+def gen_raw_pages_pdf(lo: int, hi: int, counts: list[int], n_images: int
+                      ) -> pd.DataFrame:
+    """Raw-body page corpus rows (url, host, body, content_type, image_id,
+    status): fetch-level fields stay structured (they model the HTTP
+    response envelope); the page content is real HTML bytes."""
+    starts = page_index_bounds(counts)
+    rows = []
+    for g in range(lo, hi):
+        h, k = locate_page(g, starts)
+        row = gen_page_row(h, k, counts, n_images, g)
+        body, ct = render_page_html(h, k, counts)
+        rows.append({
+            "url": row["url"], "host": row["host"], "body": body,
+            "content_type": ct, "image_id": row["image_id"],
+            "status": row["status"],
+        })
+    return pd.DataFrame(rows)
 
 
 def page_index_bounds(counts: list[int]) -> list[int]:
@@ -269,8 +387,10 @@ def gen_seeds_pdf(tier: Tier, n_seeds: int | None = None) -> pd.DataFrame:
 PAGES_SCHEMA = (
     "url string, host string, base_href string, meta_refresh_url string, "
     "links array<struct<href:string,text:string,img_alt:string,pos:int>>, "
-    "image_id string, status int"
+    "title string, image_id string, status int"
 )
+RAW_PAGES_SCHEMA = ("url string, host string, body binary, "
+                    "content_type string, image_id string, status int")
 IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                  "caption string, phash long")
 ROBOTS_SCHEMA = "host string, disallow_prefixes array<string>, crawl_delay_ms long"
@@ -301,6 +421,22 @@ def spark_pages(spark, tier: Tier, parallelism: int = 32):
 
     return (spark.range(0, tier.n_pages, 1, parallelism)
             .mapInPandas(gen, PAGES_SCHEMA))
+
+
+def spark_raw_pages(spark, tier: Tier, parallelism: int = 32):
+    """The raw-body page corpus, Spark-distributed (same pure generator as
+    gen_raw_pages_pdf — byte-identical regardless of partitioning)."""
+    counts = page_counts(tier)
+    n_images = tier.n_images
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield gen_raw_pages_pdf(int(ids.min()), int(ids.max()) + 1,
+                                    counts, n_images)
+
+    return (spark.range(0, tier.n_pages, 1, parallelism)
+            .mapInPandas(gen, RAW_PAGES_SCHEMA))
 
 
 def spark_robots(spark, tier: Tier):

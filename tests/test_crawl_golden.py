@@ -119,6 +119,69 @@ def test_hot_host_budget_respected(spark, t1_data, oracle_result):
         assert n <= budget, (rnd, host, n, budget)
 
 
+def test_engine_matches_oracle_raw_bodies(spark, t1_data, oracle_result):
+    """The raw-body path: the corpus carries HTML BYTES (+ Content-Type),
+    pages are decoded (U4 charset chain) and parsed (P1 link extraction)
+    at fetch time — and the crawl order / seen set still match the
+    sequential oracle exactly. This is the reference's actual body path
+    (response.go:27-94, session.go:343-358) end-to-end."""
+    tier, _, robots, seeds = t1_data
+    raw_pages = synth.spark_raw_pages(spark, tier, parallelism=8).cache()
+    raw_pages.count()
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_raw_"))
+    eng = CrawlEngine(spark, store, raw_pages, robots, None, cfg)
+    assert eng._raw
+    eng.seed(seeds)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in oracle_result.fetch_log]
+    assert len(log) == len(want)
+    assert log == want
+    seen = {r["url_hash"] for r in store.read("seen").collect()}
+    assert seen == oracle_result.seen
+
+    # S11: the failure table holds exactly the non-2xx fetches (≤cap/round)
+    dbg = store.read("debug_samples").collect()
+    want_bad = [r for r in oracle_result.fetch_log
+                if not (200 <= r["status"] <= 299)]
+    assert {(r["fetch_seq"], r["status"]) for r in dbg} \
+        == {(r["fetch_seq"], r["status"]) for r in want_bad}
+    store.destroy()
+    raw_pages.unpersist()
+
+
+def test_body_filter_changes_crawl(spark, t1_data):
+    """P10 end-to-end: a BodyFilter that strips every link leaves the crawl
+    with no discoveries — only seeds (and their meta-refreshes) are ever
+    fetched. The same run without the filter expands normally."""
+    tier, _, robots, seeds = t1_data
+    raw_pages = synth.spark_raw_pages(spark, tier, parallelism=8)
+    cfg = CrawlConfig(k_global=K, max_rounds=2, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0)
+
+    def run(flt):
+        store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_bf_"))
+        eng = CrawlEngine(spark, store, raw_pages, robots, None, cfg,
+                          body_filter=flt)
+        eng.seed(seeds)
+        eng.run()
+        n = store.read("fetch_log").count()
+        store.destroy()
+        return n
+
+    strip = lambda b: b.replace(b"<a href=", b"<a data-href=")
+    n_filtered = run(strip)
+    n_plain = run(None)
+    n_seeds = seeds.count()
+    assert n_filtered <= n_seeds * 2      # seeds + their refreshes only
+    assert n_plain > n_filtered
+
+
 def test_engine_matches_oracle_bucketed_seen(spark, t1_data, oracle_result):
     """Forces the beyond-broadcast exact-decide path
     (seen_broadcast_rows=0 -> per-bucket executor-side probe against the
