@@ -98,15 +98,14 @@ def py_minhash_lsh_pairs(docs: list[tuple[int, str]], n: int = 3,
 # -- SimHash ------------------------------------------------------------------
 
 def py_simhash(text: str, n_bits: int = 64) -> int:
-    """Mirror dedup.simhash_col (signed 64-bit)."""
+    """Mirror dedup.simhash_col (signed 64-bit); votes vectorized."""
     toks = py_tokens(text)
-    hashes = [xxh64_str(t) & 0xFFFFFFFFFFFFFFFF for t in toks]
-    n = len(toks)
+    h = np.array([xxh64_str(t) for t in toks], dtype=np.int64).view(np.uint64)
+    bits = (h[:, None] >> np.arange(n_bits, dtype=np.uint64)[None, :]) & 1
+    votes = bits.sum(axis=0)
     acc = 0
-    for i in range(n_bits):
-        votes = sum(1 for h in hashes if (h >> i) & 1)
-        if votes * 2 > n:
-            acc |= (1 << i)
+    for i in np.nonzero(votes * 2 > len(toks))[0]:
+        acc |= (1 << int(i))
     return to_signed64(acc)
 
 
