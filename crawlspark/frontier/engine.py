@@ -117,6 +117,13 @@ class CrawlConfig:
     # executor-side probe against the hash-partitioned seen table takes over.
     seen_broadcast_rows: int = 8_000_000
     seen_buckets: int = 64        # hash partitions of the seen table at rest
+    # broadcast the Bloom/cuckoo shard blobs into the probe UDF while their
+    # total size stays under this; beyond it (the 10^10 sizing is 16-64
+    # shards × 128 MiB = 2-8 GiB) the probe goes shard-partitioned instead:
+    # rows exchange by pmod(url_hash, n_shards) and each task reads only its
+    # own shard's blob from the shard-partitioned seen_shards files — peak
+    # filter memory per task is ONE shard, the driver never loads a blob.
+    seen_blob_broadcast_bytes: int = 256 << 20
     # raw-body corpus mode (pages carry `body binary` + `content_type`):
     forced_charset: str | None = None   # session.Encoding analog (U4 chain)
     debug_sample_rows: int = 100  # S11: non-2xx samples kept per round
@@ -330,11 +337,21 @@ class CrawlEngine:
                          .withColumn("_seen", F.lit(True)))
             seen_keys = F.broadcast(seen_flag) if seen_small else seen_flag
             if shards_df is not None:
-                shard_rows = store.read_local("seen_shards")
-                _t = self._tick(_t, 'shards collect')
-                maybe = self.filter.might_contain_col(
-                    shard_rows, F.col("url_hash"), self.spark)
-                allowed = allowed.withColumn("_maybe", maybe)
+                shard_dirs = store.table_dirs("seen_shards") or []
+                blob_bytes = cfg.seen_shards * (cfg.seen_m_bits // 8)
+                if shard_dirs and blob_bytes > cfg.seen_blob_broadcast_bytes:
+                    # beyond-broadcast filter regime (see cfg note): one
+                    # narrow exchange of the frontier by shard id; blobs
+                    # are read where they probe, never driver-collected
+                    allowed = self.filter.might_contain_sharded(
+                        allowed, "url_hash", shard_dirs)
+                    _t = self._tick(_t, 'sharded probe plan')
+                else:
+                    shard_rows = store.read_local("seen_shards")
+                    _t = self._tick(_t, 'shards collect')
+                    maybe = self.filter.might_contain_col(
+                        shard_rows, F.col("url_hash"), self.spark)
+                    allowed = allowed.withColumn("_maybe", maybe)
                 fresh = (allowed.filter(~F.col("_maybe")).drop("_maybe")
                          .withColumn("_seen",
                                      F.lit(None).cast("boolean")))
@@ -570,7 +587,11 @@ class CrawlEngine:
         frontier_next = remaining.unionByName(
             child_best.join(F.broadcast(child_lost), "url_hash", "left_anti"))
 
-        shards_next = self.filter.build(new_seen, existing_df=shards_df)
+        shards_next = self.filter.build(
+            new_seen, existing_df=shards_df,
+            # file layout present → each build task reads its own shard's
+            # prior blob executor-side (no driver blob load/broadcast)
+            existing_dirs=(store.table_dirs("seen_shards") or None))
         host_state_next = next_host_state(
             self.robots, scheduled, host_state, cfg.round_ms)
 

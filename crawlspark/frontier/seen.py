@@ -148,33 +148,50 @@ class SeenFilter:
         self.m_bits = m_bits
         self.k = k
 
-    def build(self, hashes_df, existing_df=None):
+    def build(self, hashes_df, existing_df=None, existing_dirs=None):
         """(Re)build shard rows from a DataFrame with column ``url_hash``.
 
         ``existing_df``: prior seen_shards rows — new hashes are OR'd into the
         existing bit arrays (incremental per-round update, no full rebuild).
         One applyInPandas task per shard; the build loop is numpy-vectorized.
+
+        ``existing_dirs``: shard-partitioned (``shard=<s>`` hive dirs) file
+        roots of the prior seen_shards table. When given, each build task
+        reads ONLY its own shard's prior blob from those files,
+        executor-side — the driver never loads or broadcasts the blob set.
+        This is the at-scale path (SURVEY §7.5 sizing: 16-64 shards ×
+        128 MiB): the driver-blob broadcast below would put the FULL
+        multi-GiB filter on the driver and every executor each round.
         """
         kind, m_bits, k, n_shards = self.kind, self.m_bits, self.k, self.n_shards
         with_shard = hashes_df.select(
             F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard"),
             F.col("url_hash"),
         )
-        # Prior bits ride a Spark broadcast, never the task closure: at the
-        # sized-for-10^10 shard counts the blobs are tens-to-hundreds of MB,
-        # and a closure would re-serialize them into EVERY task binary.
         spark = hashes_df.sparkSession
-        base = {}
-        if existing_df is not None:
-            for row in _shard_rows(existing_df):
-                base[int(row["shard"])] = np.frombuffer(
-                    bytes(row["bits"]), dtype=np.uint8)
-        base_bc = spark.sparkContext.broadcast(base)
+        if existing_dirs:
+            base_bc = None
+            dirs = list(existing_dirs)
+        else:
+            # Prior bits ride a Spark broadcast, never the task closure: at
+            # the sized-for-10^10 shard counts the blobs are tens-to-hundreds
+            # of MB, and a closure would re-serialize them into EVERY task
+            # binary.
+            dirs = None
+            base = {}
+            if existing_df is not None:
+                for row in _shard_rows(existing_df):
+                    base[int(row["shard"])] = np.frombuffer(
+                        bytes(row["bits"]), dtype=np.uint8)
+            base_bc = spark.sparkContext.broadcast(base)
 
         def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(key[0])
+            if dirs is not None:
+                prior = _read_shard_blob(dirs, shard)
+            else:
+                prior = base_bc.value.get(shard)
             hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-            prior = base_bc.value.get(shard)
             if kind == "bloom":
                 bits = _bloom_build(hashes, m_bits, k, prior)
             else:
@@ -190,7 +207,8 @@ class SeenFilter:
                  .applyInPandas(build_shard, SHARDS_SCHEMA))
         if existing_df is not None:
             untouched = existing_df.join(
-                with_shard.select("shard").distinct(), "shard", "left_anti")
+                F.broadcast(with_shard.select("shard").distinct()),
+                "shard", "left_anti")
             built = built.unionByName(untouched)
         return built
 
@@ -230,15 +248,101 @@ class SeenFilter:
 
         return maybe_seen(hash_col)
 
+    def might_contain_sharded(self, df, hash_col: str, shard_dirs: list):
+        """``df`` + boolean ``_maybe``: the shard-partitioned probe regime.
+
+        The broadcast probe above ships the FULL blob set to the driver and
+        every executor — at the 10^10-key sizing (16-64 shards × 128 MiB)
+        that is 2-8 GiB of resident filter per executor, a scale-killer.
+        Here instead the PROBE moves to the blobs: ``df`` exchanges once by
+        ``pmod(hash, n_shards)`` (narrow scheduling columns, ~50 B/row) and
+        each applyInPandas task reads ONLY its own shard's blob from the
+        shard-partitioned seen_shards files (``shard=<s>`` hive dirs —
+        the same storage-partitioned pattern as engine._bucketed_seen_flag).
+        Peak filter memory per task = ONE shard (128 MiB), independent of
+        shard count; the driver never touches a blob.
+
+        Semantics are identical to might_contain_col: True = maybe seen
+        (exact check decides), False = definitely new.
+        """
+        kind, m_bits, k, n_shards = self.kind, self.m_bits, self.k, self.n_shards
+        dirs = list(shard_dirs)
+
+        from pyspark.sql.types import BooleanType, StructField, StructType
+        schema = StructType(list(df.schema.fields)
+                            + [StructField("_maybe", BooleanType())])
+
+        def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(key[0])
+            pdf = pdf.drop(columns=["_shard"])
+            bits = _read_shard_blob(dirs, shard)
+            if bits is None:
+                pdf["_maybe"] = False
+                return pdf
+            hv = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            if kind == "bloom":
+                pdf["_maybe"] = _bloom_contains(bits, hv, m_bits, k)
+            else:
+                pdf["_maybe"] = _ck_contains(bits, hv, m_bits)
+            return pdf
+
+        return (df.withColumn(
+                    "_shard",
+                    F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int"))
+                .groupBy("_shard").applyInPandas(probe, schema))
+
+
+def _read_shard_blob(dirs: list, shard: int):
+    """OR of a shard's blob files under ``<dir>/shard=<s>/*.parquet``
+    (replace-table reads see one dir; defensive OR if several exist).
+    Returns None when the shard has no committed blob yet."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    blobs = []
+    for d in dirs:
+        for f in sorted(_glob.glob(_os.path.join(d, f"shard={shard}",
+                                                 "*.parquet"))):
+            t = pq.read_table(f, columns=["bits", "kind"])
+            for blob, kind in zip(t.column(0).to_pylist(),
+                                  t.column(1).to_pylist()):
+                blobs.append((np.frombuffer(blob, dtype=np.uint8), kind))
+    if not blobs:
+        return None
+    if len(blobs) == 1:
+        return blobs[0][0].copy()
+    # a replace-table read sees one dir with one row per shard; if several
+    # blobs surface anyway, merging must stay conservative (a false
+    # negative would skip the exact check and break the exactness contract)
+    if any(k != "bloom" for _, k in blobs):
+        raise RuntimeError(
+            "multiple cuckoo blobs for one shard cannot be merged — "
+            "rebuild seen_shards (cuckoo tables are not OR-able)")
+    acc = blobs[0][0].copy()
+    for b, _ in blobs[1:]:
+        acc |= b
+    return acc
+
 
 def _shard_rows(existing_df):
     """Rows of an existing seen_shards DataFrame, avoiding py4j collect of
-    binary columns when the underlying files are locally readable."""
+    binary columns when the underlying files are locally readable. With the
+    shard-partitioned layout the ``shard`` value is directory-encoded
+    (``shard=<s>/``), not stored in the leaf file — recover it from the
+    path."""
+    import re
+
     files = [f.replace("file:", "") for f in existing_df.inputFiles()]
     if files and all(f.endswith(".parquet") for f in files):
         import pyarrow.parquet as pq
         rows = []
         for f in sorted(files):
-            rows.extend(pq.read_table(f).to_pylist())
+            part = re.search(r"[\\/]shard=(\d+)[\\/]", f)
+            for row in pq.read_table(f).to_pylist():
+                if part is not None and "shard" not in row:
+                    row["shard"] = int(part.group(1))
+                rows.append(row)
         return rows
     return existing_df.collect()

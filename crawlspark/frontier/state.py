@@ -30,10 +30,13 @@ import shutil
 
 APPEND_TABLES = {"fetch_log", "seen", "metrics"}
 REPLACE_TABLES = {"frontier", "seen_shards", "host_state"}
-# hash-partitioned at rest (hive-style bucket=N dirs): the per-bucket
-# executor-side probe (engine._bucketed_seen_flag) reads only its bucket's
-# files — the at-scale exact-decide path that never shuffles the seen table
-PARTITIONED_TABLES = {"seen": "bucket"}
+# hash-partitioned at rest (hive-style bucket=N / shard=N dirs): the
+# per-bucket executor-side probe (engine._bucketed_seen_flag) reads only its
+# bucket's files — the at-scale exact-decide path that never shuffles the
+# seen table — and the sharded Bloom/cuckoo probe (SeenFilter
+# .might_contain_sharded) reads only its shard's filter blob, so no task or
+# executor ever holds the full multi-GiB blob set
+PARTITIONED_TABLES = {"seen": "bucket", "seen_shards": "shard"}
 
 
 class SnapshotStore:
@@ -153,10 +156,19 @@ class SnapshotStore:
         rows = []
         for r in rounds:
             d = self._dir(table, r["round"])
-            for fn in sorted(os.listdir(d)):
-                if fn.endswith(".parquet"):
+            flat = [fn for fn in sorted(os.listdir(d))
+                    if fn.endswith(".parquet")]
+            if flat:
+                for fn in flat:
                     rows.extend(pq.read_table(os.path.join(d, fn))
                                 .to_pylist())
+            else:
+                # hive-partitioned layout (bucket=N / shard=N subdirs):
+                # dataset discovery restores the partition column
+                import pyarrow.dataset as pads
+                rows.extend(pads.dataset(d, format="parquet",
+                                         partitioning="hive")
+                            .to_table().to_pylist())
         return rows
 
     def destroy(self) -> None:

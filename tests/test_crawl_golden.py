@@ -182,6 +182,34 @@ def test_body_filter_changes_crawl(spark, t1_data):
     assert n_plain > n_filtered
 
 
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_engine_matches_oracle_sharded_blobs(spark, t1_data, oracle_result,
+                                             kind):
+    """Forces the beyond-broadcast FILTER regime
+    (seen_blob_broadcast_bytes=0): the Bloom/cuckoo probe exchanges the
+    frontier by shard id and each task reads only its own shard's blob from
+    the shard-partitioned seen_shards files; the incremental build likewise
+    reads prior blobs executor-side. No driver blob load, no broadcast —
+    and the crawl order / seen set still match the oracle exactly."""
+    tier, pages, robots, seeds = t1_data
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_kind=kind,
+                      seen_shards=4, seen_m_bits=1 << 16,
+                      validate_fraction=0, seen_blob_broadcast_bytes=0)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_shblob_"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in oracle_result.fetch_log]
+    assert log == want
+    seen = {r["url_hash"] for r in store.read("seen").collect()}
+    assert seen == oracle_result.seen
+    store.destroy()
+
+
 def test_engine_matches_oracle_bucketed_seen(spark, t1_data, oracle_result):
     """Forces the beyond-broadcast exact-decide path
     (seen_broadcast_rows=0 -> per-bucket executor-side probe against the
