@@ -1196,7 +1196,7 @@ def q_ann_topk_lsh(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v2"
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v3"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -1303,6 +1303,45 @@ def _ensure_oracle_files() -> None:
         sorted(prows, key=lambda r: (r["left_id"], r["right_id"])),
         columns=["left_id", "right_id", "phash"]))
 
+    # image features from ground-truth PIXELS (no codec in the loop): the
+    # Spark side decodes png_encode'd bytes, so matching these rows proves
+    # the encode→decode roundtrip is the identity AND the feature kernel is
+    # right. Lossless (i%3!=0) rows of images 0-299 — the q_image_features
+    # subset.
+    import numpy as np
+
+    from crawlspark import imaging
+    irows = []
+    for i in range(300):
+        if i % 3 == 0:          # fake-lossy fmt — excluded by design
+            continue
+        row = synth.gen_image_row(i, materialize_bytes=False)
+        src = i - 1 if (i % 101 == 100 and i > 0) else i
+        px = imaging.make_pixels(src, int(row["w"]), int(row["h"]))
+        luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        hist = np.histogram(luma, bins=16, range=(0, 256))[0]
+        irows.append({
+            "media_id": row["image_id"],
+            "w": int(row["w"]), "h": int(row["h"]),
+            "mean_r": float(px[..., 0].mean()),
+            "mean_g": float(px[..., 1].mean()),
+            "mean_b": float(px[..., 2].mean()),
+            "phash": int(row["phash"]),
+            "luma_hist": ",".join(str(int(v)) for v in hist),
+        })
+    write("image_features", pd.DataFrame(
+        irows, columns=["media_id", "w", "h", "mean_r", "mean_g",
+                        "mean_b", "phash", "luma_hist"]))
+
+    # U5 outbound re-encode: independent urlencoder over the same fixture
+    fix = pyref.u5_form_fixture()
+    urows = [{"form_id": fid, "body": body, "encoding": label}
+             for codec, label in (("shift_jis", "shift_jis"),
+                                  (None, "utf-8"))
+             for fid, body in pyref.py_urlencode_forms(fix, codec)]
+    write("form_urlencode", pd.DataFrame(
+        urows, columns=["form_id", "body", "encoding"]))
+
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -1320,18 +1359,44 @@ def q_crawl_fetch_log(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
-    """Per-image decode + features. ``luma_hist`` is emitted as a
-    comma-joined string so every output column is driver-hashable (the
-    driver canonicalizes with pandas sort_values, which cannot hash a
-    Python list column)."""
+    """Per-image decode + features over the LOSSLESS subset (images 0-299
+    with fmt='png' — i%3!=0, 200 rows). The oracle computes the same
+    features from the generator's ground-truth PIXELS, never touching the
+    codec, so the check is differential over the full
+    png_encode→png_decode→feature path. (The deterministic fake-lossy rows
+    are excluded: their decoded pixels differ from ground truth by design;
+    that path is pinned by test_imaging + the engine's PSNR payload
+    validation instead.) ``luma_hist`` is emitted as a comma-joined string
+    so every output column is driver-hashable."""
+    _ensure_oracle_files()
     from crawlspark import synth
     from crawlspark.functions.multimodal import image_features
     tier = synth.TIERS["t1"]
-    images = synth.spark_images(spark, tier, parallelism=8).limit(200)
+    images = (synth.spark_images(spark, tier, parallelism=8)
+              .filter((F.col("image_id") < "img0000000300")
+                      & (F.col("fmt") == "png")))
     return (image_features(images)
             .withColumn("luma_hist",
-                        F.array_join(F.col("luma_hist"), ","))
-            .orderBy("media_id"))
+                        F.array_join(F.col("luma_hist"), ",")))
+
+
+def q_form_urlencode(spark, sf_dir):
+    """U5 outbound re-encode + submit-body assembly (form.go:378-401):
+    values transformed UTF-8 → session encoding (keeping the encodable
+    prefix on unmappable chars, the reference's ignored transform.String
+    error), then Go-QueryEscape'd and joined sorted-by-key. Run against
+    both a Shift_JIS session encoding and no session encoding; oracle =
+    pyref.py_urlencode_forms, an independent percent-encoder."""
+    _ensure_oracle_files()
+    from crawlspark.functions.pyref import u5_form_fixture
+    from crawlspark.operators.forms import encoded_body
+    df = spark.createDataFrame(
+        u5_form_fixture(), "form_id int, param string, pvalue string")
+    sj = (encoded_body(df, "shift_jis")
+          .withColumn("encoding", F.lit("shift_jis")))
+    u8 = (encoded_body(df, None)
+          .withColumn("encoding", F.lit("utf-8")))
+    return sj.unionByName(u8)
 
 
 def q_phash_dup_pairs(spark, sf_dir):
@@ -1419,6 +1484,16 @@ SELECT left_id, right_id, phash
 FROM read_parquet('{_ORACLE_DIR}/phash_dup_pairs.parquet')
 """
 
+SQL_IMAGE_FEATURES = f"""
+SELECT media_id, w, h, mean_r, mean_g, mean_b, phash, luma_hist
+FROM read_parquet('{_ORACLE_DIR}/image_features.parquet')
+"""
+
+SQL_FORM_URLENCODE = f"""
+SELECT form_id, body, encoding
+FROM read_parquet('{_ORACLE_DIR}/form_urlencode.parquet')
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -1451,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "form_set_validate": q_form_set_validate,
         "form_value_by_label": q_form_value_by_label,
         "form_submit_params": q_form_submit_params,
+        "form_urlencode": q_form_urlencode,
         "anchor_select": q_anchor_select,
         "download_latest": q_download_latest,
         "cookie_join": q_cookie_join,
@@ -1516,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "form_set_validate": SQL_FORM_SET_VALIDATE,
         "form_value_by_label": SQL_FORM_VALUE_BY_LABEL,
         "form_submit_params": SQL_FORM_SUBMIT_PARAMS,
+        "form_urlencode": SQL_FORM_URLENCODE,
         "anchor_select": SQL_ANCHOR_SELECT,
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,
@@ -1542,7 +1619,6 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fetch_log": SQL_CRAWL_FETCH_LOG,
         "page_parse": SQL_PAGE_PARSE,
         "phash_dup_pairs": SQL_PHASH_DUP_PAIRS,
-        # image_features stays rows-only: its features come from the real
-        # image decode UDF (no SQL or independent reimplementation exists);
-        # pinned by tests/test_functions.py instead.
+        # differential over ground-truth pixels (codec-free oracle):
+        "image_features": SQL_IMAGE_FEATURES,
     }

@@ -212,3 +212,66 @@ def py_lsh_topk_candidates(queries: list[tuple[int, list[float]]],
                         "neighbor_id": c_ids[cpos],
                         "cosine_raw": _cosine(q_mat[qpos], c_mat[cpos])})
     return out
+
+
+# -- U5 outbound re-encode oracle ---------------------------------------------
+
+def u5_form_fixture(n_forms: int = 200) -> list[tuple[int, str, str]]:
+    """Deterministic mixed-charset form params: ASCII, spaces, reserved
+    chars, Shift_JIS-encodable Japanese, and chars UNMAPPABLE in Shift_JIS
+    (é, emoji — exercising the transformed-prefix truncation,
+    /root/reference/form.go:378-386 transform.String ignored error)."""
+    words = ["hello world", "a&b=c", "テスト", "価格 1,234円", "café",
+             "naïve+plus", "emoji😀tail", "日本語とlatin", "100%",
+             "~tilde_ok.txt"]
+    rows = []
+    for f in range(n_forms):
+        for p in range(1 + f % 4):
+            w = words[(f * 7 + p * 3) % len(words)]
+            rows.append((f, f"field{p}", f"{w}#{f}"))
+    return rows
+
+
+def _py_query_escape(bs: bytes) -> str:
+    """Independent Go-QueryEscape reimplementation (own safe-set logic;
+    the Spark operator uses a frozenset byte table instead)."""
+    res = []
+    for b in bs:
+        c = chr(b)
+        if c.isascii() and (c.isalnum() or c in "-_.~"):
+            res.append(c)
+        elif b == 0x20:
+            res.append("+")
+        else:
+            res.append(f"%{b:02X}")
+    return "".join(res)
+
+
+def py_urlencode_forms(rows: list[tuple[int, str, str]],
+                       encoding: str | None = None
+                       ) -> list[tuple[int, str]]:
+    """Mirror operators.forms.encoded_body: per form, keys sorted raw,
+    values re-encoded into ``encoding`` keeping the encodable PREFIX on
+    error (char-by-char — equivalent to transform.String for stateless
+    codecs), then percent-encoded."""
+    groups: dict[int, list[tuple[str, str]]] = {}
+    for fid, name, val in rows:
+        groups.setdefault(fid, []).append((name, val))
+    out = []
+    for fid in sorted(groups):
+        parts = []
+        for k, v in sorted(groups[fid]):
+            if encoding is None:
+                vb = v.encode("utf-8")
+            else:
+                acc = bytearray()
+                for ch in v:
+                    try:
+                        acc += ch.encode(encoding)
+                    except UnicodeEncodeError:
+                        break
+                vb = bytes(acc)
+            parts.append(_py_query_escape(k.encode("utf-8")) + "="
+                         + _py_query_escape(vb))
+        out.append((fid, "&".join(parts)))
+    return out

@@ -22,6 +22,7 @@ All built-ins: min_by/first over sorted collect_list — no UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -102,6 +103,61 @@ def submit_params(resolved: DataFrame, image_id: str | None = None
         )).alias("param"))
         .withColumn("pvalue", F.lit("0")))
     return base.unionByName(clicks)
+
+
+# U5 — outbound re-encode + body assembly (form.go:378-401). The reference
+# transforms every form value from UTF-8 into session.Encoding before
+# url-encoding (transform.String ignores the error and keeps the transformed
+# PREFIX when a rune is unmappable), then url.Values.Encode() sorts by key
+# and percent-encodes Go-QueryEscape-style (space → '+', unreserved
+# [A-Za-z0-9-_.~] kept, every other byte %XX uppercase).
+
+_URLENC_SAFE = frozenset(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_.~")
+
+
+def _go_query_escape(bs: bytes) -> str:
+    return "".join(chr(b) if b in _URLENC_SAFE
+                   else "+" if b == 0x20
+                   else "%%%02X" % b
+                   for b in bs)
+
+
+def _encode_prefix(s: str, codec: str | None) -> bytes:
+    """UTF-8 → target-charset bytes; on an unmappable char keep the
+    transformed prefix (transform.String's ignored-error behavior)."""
+    if codec is None:
+        return s.encode("utf-8")
+    try:
+        return s.encode(codec)
+    except UnicodeEncodeError as e:
+        return s[:e.start].encode(codec)
+
+
+def encoded_body(params: DataFrame, encoding: str | None = None
+                 ) -> DataFrame:
+    """(form_id, param, pvalue) → one row per form: the
+    application/x-www-form-urlencoded submit body, values re-encoded into
+    ``encoding`` first (U5). Sort order is the raw key (url.Values.Encode
+    sorts before escaping; UTF-8 byte order == codepoint order, so
+    sort_array on the struct matches Go's sort.Strings)."""
+
+    def kernel(kvs: pd.Series) -> pd.Series:
+        out = []
+        for kv in kvs:
+            parts = ["%s=%s" % (_go_query_escape(d["param"].encode("utf-8")),
+                                _go_query_escape(
+                                    _encode_prefix(d["pvalue"], encoding)))
+                     for d in kv]
+            out.append("&".join(parts))
+        return pd.Series(out)
+
+    udf = F.pandas_udf(kernel, "string")
+    return (params
+            .groupBy("form_id")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("param", "pvalue"))).alias("_kv"))
+            .select("form_id", udf(F.col("_kv")).alias("body")))
 
 
 def value_by_label(resolved_with_available: DataFrame, label: str):

@@ -71,3 +71,40 @@ def test_submit_params_image_click(spark):
     base = {(r["param"], r["pvalue"])
             for r in forms.submit_params(resolved).collect()}
     assert base == {("q", "hello")}  # null values + image skipped
+
+
+def test_encoded_body_u5_reencode(spark):
+    """U5 (form.go:378-401): values re-encoded into the session encoding
+    (keeping the encodable prefix on unmappable chars) before
+    Go-QueryEscape; keys sorted raw; space -> '+'."""
+    df = spark.createDataFrame(
+        [(1, "b", "a b"),          # space -> +
+         (1, "a", "テスト"),        # SJIS 83 65 83 58 83 67
+         (2, "q", "a&b=c"),        # reserved escaped
+         (2, "r", "café"),         # é unmappable in SJIS -> prefix "caf"
+         (3, "x", "emoji😀tail")],  # prefix stops at the emoji
+        "form_id int, param string, pvalue string")
+    got = {r["form_id"]: r["body"]
+           for r in forms.encoded_body(df, "shift_jis").collect()}
+    assert got[1] == "a=%83e%83X%83g&b=a+b"
+    assert got[2] == "q=a%26b%3Dc&r=caf"
+    assert got[3] == "x=emoji"
+    # no session encoding -> UTF-8 bytes escaped
+    got8 = {r["form_id"]: r["body"]
+            for r in forms.encoded_body(df, None).collect()}
+    assert got8[2] == "q=a%26b%3Dc&r=caf%C3%A9"
+    assert got8[3] == "x=emoji%F0%9F%98%80tail"
+
+
+def test_encoded_body_matches_pyref(spark):
+    """Spark operator vs the independent pure-Python urlencoder over the
+    full mixed-charset fixture, both encodings."""
+    from crawlspark.functions import pyref
+    rows = pyref.u5_form_fixture()
+    df = spark.createDataFrame(rows,
+                               "form_id int, param string, pvalue string")
+    for codec in ("shift_jis", None):
+        got = {r["form_id"]: r["body"]
+               for r in forms.encoded_body(df, codec).collect()}
+        want = dict(pyref.py_urlencode_forms(rows, codec))
+        assert got == want
