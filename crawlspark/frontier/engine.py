@@ -86,19 +86,8 @@ FETCH_LOG_SCHEMA = ("round int, fetch_seq long, canon string, ref_url string, "
                     "host string, priority double")
 
 
-def _broadcast_lookup(big: DataFrame, probe: DataFrame, key: str) -> DataFrame:
-    """Left-outer lookup of ``probe`` (small) against ``big`` without ever
-    shuffling ``big``: inner broadcast-hash join (probe broadcast into a
-    plain scan of ``big``) unioned with the probe rows that matched nothing
-    (recovered by a broadcast anti-join against the hit keys; the hit-key
-    rebuild is a second scan of ``big`` — a scan, not a shuffle). Missing
-    rows carry nulls for ``big``'s columns."""
-    hits = big.join(F.broadcast(probe), key, "inner")
-    misses = probe.join(F.broadcast(hits.select(key)), key, "left_anti")
-    for f in big.schema.fields:
-        if f.name != key and f.name not in probe.columns:
-            misses = misses.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return hits.unionByName(misses.select(*hits.columns))
+from .fetcher import CorpusFetcher, Fetcher, _broadcast_lookup  # noqa: E402,F401
+# (_broadcast_lookup re-exported for API stability; it moved to fetcher.py)
 
 
 @dataclass
@@ -132,7 +121,8 @@ class CrawlConfig:
 class CrawlEngine:
     def __init__(self, spark, store: SnapshotStore, pages: DataFrame,
                  robots: DataFrame, images: DataFrame | None = None,
-                 cfg: CrawlConfig = CrawlConfig(), body_filter=None):
+                 cfg: CrawlConfig = CrawlConfig(), body_filter=None,
+                 fetcher: Fetcher | None = None):
         self.spark = spark
         self.store = store
         self.cfg = cfg
@@ -140,12 +130,13 @@ class CrawlEngine:
         self.robots = robots
         self.images = images
         self.filter = SeenFilter(cfg.seen_kind, cfg.seen_shards, cfg.seen_m_bits)
-        # corpus shape: raw (body binary + content_type — pages are parsed
-        # at fetch time, the reference's P1/U4 body path) or pre-structured
-        # (links/base_href/meta_refresh_url columns, the fast fixture form)
-        self._raw = "body" in pages.columns
-        # BodyFilter hook (P10, session.go:40/response.go:71-76): decoded
-        # body rewrite between fetch and parse; raw-corpus mode only
+        # fetch strategy (the UnifiedScraper analog — see fetcher.py):
+        # default = corpus lookup, auto-selecting the structured or raw
+        # (parse-at-fetch, P1/U4 body path) flavor by corpus shape. Any
+        # object with .lookup(probe, key) swaps in.
+        self.fetcher = fetcher if fetcher is not None else CorpusFetcher(
+            pages, forced_charset=cfg.forced_charset, body_filter=body_filter)
+        self._raw = getattr(self.fetcher, "raw", "body" in pages.columns)
         self.body_filter = body_filter
         # robots table shape: REP rules array (frontier.robots parser
         # output) or the legacy disallow_prefixes fixture form
@@ -154,23 +145,8 @@ class CrawlEngine:
                                 else robots_allowed_col())
 
     def _corpus_lookup(self, probe: DataFrame, key: str) -> DataFrame:
-        """Look up ``probe`` (≤k scheduled rows) in the page corpus by
-        canonical URL — corpus never shuffled (see _broadcast_lookup). In
-        raw mode the k hit rows are then parsed (decode chain + link
-        extraction, Arrow-batched): the parse cost rides on FETCHED rows
-        only, exactly like a real crawl — the 100 TB corpus scan stays a
-        narrow (url, body-offsets) columnar read and the per-round Python
-        work is O(k), not O(|corpus|)."""
-        pages = (self.pages.withColumnRenamed("url", key)
-                 .withColumnRenamed("host", "_phost"))
-        looked = _broadcast_lookup(pages, probe, key)
-        if self._raw:
-            from ..operators.parse import parse_pages
-            looked = parse_pages(looked, body_col="body",
-                                 ct_col="content_type",
-                                 forced_charset=self.cfg.forced_charset,
-                                 body_filter=self.body_filter)
-        return looked
+        """Fetch via the configured strategy (see fetcher.Fetcher)."""
+        return self.fetcher.lookup(probe, key)
 
     # -- seeding ---------------------------------------------------------------
 
