@@ -1264,6 +1264,19 @@ def _ensure_oracle_files() -> None:
          "is_refresh", "image_id", "host"]].astype(
         {"round": "int32", "status": "int32"}))
 
+    # same crawl with auto-submitted GET forms (S3): the engine must fetch
+    # each form's submit URL (action + sorted urlencoded defaults) in the
+    # reserved document-order slot
+    res_f = oracle.simulate(pages_by_url, robots, seeds,
+                            round_ms=30_000, k_global=100, max_rounds=3,
+                            auto_submit_forms=True)
+    flog_f = pd.DataFrame(res_f.fetch_log)
+    flog_f["host"] = flog_f["canon"].map(host_of)
+    write("crawl_form_submit", flog_f[
+        ["round", "fetch_seq", "canon", "ref_url", "status",
+         "is_refresh", "image_id", "host"]].astype(
+        {"round": "int32", "status": "int32"}))
+
     # page_parse expected: the structured generator output, flattened to
     # driver-hashable scalars (the Spark side re-derives these by PARSING
     # the rendered HTML bytes — a true render→parse differential check)
@@ -1380,6 +1393,32 @@ def q_image_features(spark, sf_dir):
                         F.array_join(F.col("luma_hist"), ",")))
 
 
+def q_crawl_form_submit(spark, sf_dir):
+    """S3 end-to-end at the driver: the t1 crawl (2 rounds, k=100) with
+    auto_submit_forms on — GET forms discover their submit URL (resolved
+    defaults, sorted urlencode) as a child fetch. Oracle = the sequential
+    simulator with its independent form resolver/urlencoder."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+    tier = synth.TIERS["t1"]
+    pages = synth.spark_pages(spark, tier, parallelism=8)
+    robots = synth.spark_robots(spark, tier)
+    seeds = synth.spark_seeds(spark, tier)
+    cfg = CrawlConfig(k_global=100, max_rounds=3, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      auto_submit_forms=True)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="entry_form_crawl_", dir=scratch))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    return (store.read("fetch_log").orderBy("fetch_seq")
+            .select("round", "fetch_seq", "canon", "ref_url", "status",
+                    "is_refresh", "image_id", "host"))
+
+
 def q_form_urlencode(spark, sf_dir):
     """U5 outbound re-encode + submit-body assembly (form.go:378-401):
     values transformed UTF-8 → session encoding (keeping the encodable
@@ -1494,6 +1533,11 @@ SELECT form_id, body, encoding
 FROM read_parquet('{_ORACLE_DIR}/form_urlencode.parquet')
 """
 
+SQL_CRAWL_FORM_SUBMIT = f"""
+SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
+FROM read_parquet('{_ORACLE_DIR}/crawl_form_submit.parquet')
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -1527,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "form_value_by_label": q_form_value_by_label,
         "form_submit_params": q_form_submit_params,
         "form_urlencode": q_form_urlencode,
+        "crawl_form_submit": q_crawl_form_submit,
         "anchor_select": q_anchor_select,
         "download_latest": q_download_latest,
         "cookie_join": q_cookie_join,
@@ -1593,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         "form_value_by_label": SQL_FORM_VALUE_BY_LABEL,
         "form_submit_params": SQL_FORM_SUBMIT_PARAMS,
         "form_urlencode": SQL_FORM_URLENCODE,
+        "crawl_form_submit": SQL_CRAWL_FORM_SUBMIT,
         "anchor_select": SQL_ANCHOR_SELECT,
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,

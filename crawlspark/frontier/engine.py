@@ -116,6 +116,12 @@ class CrawlConfig:
     # raw-body corpus mode (pages carry `body binary` + `content_type`):
     forced_charset: str | None = None   # session.Encoding analog (U4 chain)
     debug_sample_rows: int = 100  # S11: non-2xx samples kept per round
+    # S3 (form.go:338-401): a 2xx page carrying a GET form also discovers
+    # its submit URL (action + sorted urlencoded defaults, values
+    # re-encoded into forced_charset — the U5 outbound path) as a child in
+    # document-order slot oracle.FORM_POS. Off by default: submitting is a
+    # crawl POLICY (the reference leaves it to user code).
+    auto_submit_forms: bool = False
 
 
 class CrawlEngine:
@@ -443,6 +449,9 @@ class CrawlEngine:
                          .withColumn("is_refresh", F.lit(False))
                          .withColumn("_slot", F.col("idx")))
 
+        # form columns ride along only when the corpus/parse provides them
+        form_cols = [c for c in ("form_action", "form_method", "form_inputs")
+                     if c in fetched.columns]
         refresh_pre = (self._corpus_lookup(refr, "refresh_canon")
             .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
             .select(F.col("refresh_canon").alias("canon"),
@@ -452,12 +461,13 @@ class CrawlEngine:
                     F.col("parent_priority").alias("priority"),
                     F.col("status"), F.col("base_href"),
                     F.col("links"), F.col("image_id"),
+                    *[F.col(c) for c in form_cols],
                     F.lit(True).alias("is_refresh"),
                     F.col("parent_idx").alias("_slot")))
 
         pre_cols = ["canon", "url_hash", "host", "ref_url", "priority",
                     "status", "base_href", "links", "image_id",
-                    "is_refresh", "_slot"]
+                    *form_cols, "is_refresh", "_slot"]
         all_pre = (primaries_pre.select(*pre_cols)
                    .unionByName(refresh_pre.select(*pre_cols)))
         all_fetched, n_fetched = with_global_seq(
@@ -466,17 +476,47 @@ class CrawlEngine:
         all_fetched = all_fetched.drop("_slot")
         _t = self._tick(_t, 'fetch+count')
 
-        # 10. expansion: links of 2xx fetches → child frontier rows
+        # 10. expansion: links (and, opted in, form-submit URLs) of 2xx
+        # fetches → child frontier rows
+        is2 = F.floor(F.col("status") / 100) == 2
         exp = (all_fetched
-               .filter(F.floor(F.col("status") / 100) == 2)
+               .filter(is2)
                .filter(F.size(F.col("links")) > 0)
                .select("canon", "priority", "fetch_seq",
                        F.coalesce(F.col("base_href"), F.col("canon"))
                         .alias("base"),
-                       F.explode("links").alias("link")))
+                       F.explode("links").alias("link"))
+               .select("canon", "priority", "fetch_seq", "base",
+                       F.col("link.href").alias("href"),
+                       F.col("link.pos").alias("pos")))
+        if cfg.auto_submit_forms and "form_action" in all_fetched.columns:
+            from ..operators.forms import submit_href
+            from ..oracle import FORM_POS
+            enc = cfg.forced_charset
+
+            def _submit_kernel(actions: pd.Series, inputs: pd.Series
+                               ) -> pd.Series:
+                return pd.Series(
+                    [None if a is None else submit_href(a, ins, enc)
+                     for a, ins in zip(actions, inputs)])
+
+            submit_udf = F.pandas_udf(_submit_kernel, "string")
+            forms_exp = (all_fetched
+                         .filter(is2)
+                         .filter(F.col("form_action").isNotNull())
+                         .filter(F.lower(F.coalesce(
+                             F.col("form_method"), F.lit("get"))) == "get")
+                         .select("canon", "priority", "fetch_seq",
+                                 F.coalesce(F.col("base_href"),
+                                            F.col("canon")).alias("base"),
+                                 submit_udf(
+                                     F.col("form_action"),
+                                     F.col("form_inputs")).alias("href"),
+                                 F.lit(FORM_POS).cast("int").alias("pos")))
+            exp = exp.unionByName(forms_exp)
         children = (exp
                     .withColumn("child", canonicalize_udf(
-                        F.col("link.href"), F.col("base")))
+                        F.col("href"), F.col("base")))
                     .filter(F.col("child").isNotNull())
                     .select(F.col("child").alias("canon"),
                             F.xxhash64("child").alias("url_hash"),
@@ -484,7 +524,7 @@ class CrawlEngine:
                             path_udf("child").alias("path"),
                             (F.col("priority") - 1).alias("priority"),
                             (F.col("fetch_seq") * 100
-                             + F.col("link.pos")).cast("long")
+                             + F.col("pos")).cast("long")
                             .alias("discovered_seq"),
                             F.col("canon").alias("ref_url"))
                     # robots disallow applies at insert (static rules —

@@ -30,6 +30,18 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..hashing import mix64
 
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Spread a too-few-partitions input (e.g. one unsplittable parquet
+    row group — Spark can split files only at row-group boundaries) across
+    the session's parallelism before the heavy per-doc gram/hash work.
+    No-op when the scan already has enough partitions, so at scale (many
+    splits) this adds no shuffle."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, key)
+    return df
+
+
 # -- exact ---------------------------------------------------------------------
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -79,8 +91,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     prunes by a shared-first-gram bucket join (cheap candidate generation:
     near-identical docs share their first shingle); with `candidates`
     (left_id, right_id) it verifies those pairs exactly."""
-    with_grams = docs.select(F.col(id_col).alias("id"),
-                             word_ngrams(F.col(text_col), n).alias("grams"))
+    with_grams = (_fan_out(docs, id_col)
+                  .select(F.col(id_col).alias("id"),
+                          word_ngrams(F.col(text_col), n).alias("grams")))
     if candidates is None:
         # Candidate buckets = each doc's K RAREST grams (min document
         # frequency, lexicographic tiebreak) — prefix filtering. Rare grams
@@ -90,15 +103,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         # shuffle — the standard prefix-filter statistics step; near-dup
         # pairs share one of their K rarest grams with high probability
         # (and the oracle mirrors the scheme exactly).
-        from pyspark.sql import Window as W
         k_rarest = 5
         exploded = with_grams.select("id", F.explode("grams").alias("gram"))
         gram_df = exploded.groupBy("gram").agg(F.count("*").alias("df"))
-        wrare = W.partitionBy("id").orderBy("df", "gram")
+        # K smallest (df, gram) per doc via hash-agg (collect_list is
+        # bounded by the doc's gram count) — same selection as a
+        # row_number window over (df, gram) but without the per-partition
+        # SORT a window imposes on the whole exploded×df join
         buckets = (exploded.join(gram_df, "gram")
-                   .withColumn("_rn", F.row_number().over(wrare))
-                   .filter(F.col("_rn") <= k_rarest)
-                   .select("id", F.col("gram").alias("bucket")))
+                   .groupBy("id")
+                   .agg(F.slice(F.array_sort(F.collect_list(
+                       F.struct("df", "gram"))), 1, k_rarest)
+                       .alias("_rare"))
+                   .select("id", F.explode("_rare.gram").alias("bucket")))
         a = buckets.select(F.col("id").alias("left_id"), "bucket")
         b = buckets.select(F.col("id").alias("right_id"), "bucket")
         cand = (a.join(b, "bucket")
@@ -156,7 +173,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = N_PERM,
     xxhash64, seed 42 — bit-equal to crawlspark.hashing.xxh64); Python only
     runs the vectorized per-permutation mix/min, so the hot path ships
     array<long> through Arrow, never strings."""
-    with_hashes = docs.select(
+    with_hashes = _fan_out(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.transform(word_ngrams(F.col(text_col), n),
                     lambda g: F.xxhash64(g)).alias("gram_hashes"))
@@ -256,8 +273,9 @@ def simhash_pairs(docs: DataFrame, max_distance: int = 3,
     """Pairs within Hamming distance ≤ max_distance. Candidates: 4×16-bit
     chunk buckets (pigeonhole: d≤3 ⇒ ≥1 of 4 chunks equal), then exact
     popcount verify."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     simhash_col(F.col(text_col)).alias("simhash"))
+    sh = _fan_out(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        simhash_col(F.col(text_col)).alias("simhash"))
     chunked = sh.select(
         "id", "simhash",
         F.posexplode(F.array(*[

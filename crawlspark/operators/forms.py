@@ -160,6 +160,74 @@ def encoded_body(params: DataFrame, encoding: str | None = None
             .select("form_id", udf(F.col("_kv")).alias("body")))
 
 
+def resolve_submit(inputs: list[dict]) -> list[tuple[str, str]]:
+    """Pure-Python twin of resolve_values→submit_params for the crawl
+    loop's per-row auto-submit (the ≤k fetched rows — not a hot path):
+    element dicts (name, type, value, checked, selected, pos) → submit
+    params [(name, value)]. Same defaulting matrix (F1-F4): type defaults
+    'text'; radio value defaults 'on'; null values dropped (valueless
+    options ignored); chosen = checked/selected (min pos) else first;
+    checkbox contributes only when checked. Nameless elements are skipped
+    (they cannot produce a param)."""
+    groups: dict[str, list[dict]] = {}
+    order: list[str] = []
+    # Arrow hands the struct array over as a numpy array of dicts, whose
+    # truthiness is ambiguous — test None/len explicitly
+    if inputs is None or len(inputs) == 0:
+        inputs = []
+    for el in inputs:
+        name = el.get("name")
+        if name is None:
+            continue
+        typ = el.get("type") or "text"
+        value = el.get("value")
+        if typ == "radio" and value is None:
+            value = "on"
+        if value is None:
+            continue
+        el = {"type": typ, "value": value,
+              "checked": bool(el.get("checked")),
+              "selected": bool(el.get("selected")),
+              "pos": el.get("pos", 0)}
+        if name not in groups:
+            order.append(name)
+        groups.setdefault(name, []).append(el)
+    params = []
+    for name in order:
+        els = sorted(groups[name], key=lambda e: e["pos"])
+        typ = els[0]["type"]
+        if typ == "radio":
+            hit = [e for e in els if e["checked"]] or els
+            chosen = hit[0]
+        elif typ == "checkbox":
+            hit = [e for e in els if e["checked"]]
+            chosen = hit[0] if hit else None
+        elif typ == "select":
+            hit = [e for e in els if e["selected"]] or els
+            chosen = hit[0]
+        else:
+            chosen = els[0]
+        if chosen is not None:
+            params.append((name, chosen["value"]))
+    return params
+
+
+def submit_href(action: str, inputs: list[dict],
+                encoding: str | None = None) -> str | None:
+    """GET auto-submit target: action + '?' + sorted urlencoded defaults
+    (U5 re-encode applied to values). Resolution against the page base
+    happens downstream, exactly like a link href."""
+    if action is None:
+        return None
+    params = resolve_submit(inputs)
+    query = "&".join(
+        "%s=%s" % (_go_query_escape(k.encode("utf-8")),
+                   _go_query_escape(_encode_prefix(v, encoding)))
+        for k, v in sorted(params))
+    sep = "&" if "?" in action else "?"
+    return action + sep + query if query else action
+
+
 def value_by_label(resolved_with_available: DataFrame, label: str):
     """F7 reverse lookup: available array<struct<value,label>> → value."""
     avail = F.col("available")

@@ -57,16 +57,33 @@ LINK_TYPE = ArrayType(StructType([
     StructField("pos", IntegerType()),
 ]))
 
+# form elements in document order (Page.Form's input/select collection,
+# /root/reference/form.go:71-178): the shape forms.resolve_values consumes
+from pyspark.sql.types import BooleanType  # noqa: E402
+
+FORM_INPUT_TYPE = ArrayType(StructType([
+    StructField("name", StringType()),
+    StructField("type", StringType()),
+    StructField("value", StringType()),
+    StructField("checked", BooleanType()),
+    StructField("selected", BooleanType()),
+    StructField("pos", IntegerType()),
+]))
+
 PARSED_FIELDS = [
     StructField("base_href", StringType()),
     StructField("meta_refresh_url", StringType()),
     StructField("links", LINK_TYPE),
     StructField("title", StringType()),
     StructField("effective_charset", StringType()),
+    StructField("form_action", StringType()),
+    StructField("form_method", StringType()),
+    StructField("form_inputs", FORM_INPUT_TYPE),
 ]
 
 _EMPTY = {"base_href": None, "meta_refresh_url": None, "links": None,
-          "title": None, "effective_charset": None}
+          "title": None, "effective_charset": None,
+          "form_action": None, "form_method": None, "form_inputs": None}
 
 _VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
          "meta", "param", "source", "track", "wbr"}
@@ -88,6 +105,14 @@ class _PageParser(HTMLParser):
         self._in_title = False
         self._a: dict | None = None          # open anchor being collected
         self._a_text: list[str] = []
+        # FIRST form only (the crawl auto-submit target; the reference's
+        # Page.Form takes a selector — a crawl rule has no user in the loop)
+        self.form_action: str | None = None
+        self.form_method: str | None = None
+        self.form_inputs: list[dict] = []
+        self._in_form = False        # inside the captured (first) form
+        self._form_seen = False
+        self._in_select: str | None = None   # open <select name=...>
 
     def handle_starttag(self, tag, attrs):
         ad = dict(attrs)
@@ -112,6 +137,29 @@ class _PageParser(HTMLParser):
         elif tag == "a":
             self._a = {"href": ad.get("href"), "img_alt": None}
             self._a_text = []
+        elif tag == "form":
+            if not self._form_seen:
+                self._form_seen = True
+                self._in_form = True
+                self.form_action = ad.get("action")
+                self.form_method = (ad.get("method") or "get").lower()
+        elif tag == "input" and self._in_form:
+            self.form_inputs.append({
+                "name": ad.get("name"), "type": ad.get("type"),
+                "value": ad.get("value"),
+                "checked": "checked" in ad, "selected": False,
+                "pos": len(self.form_inputs)})
+        elif tag == "select" and self._in_form:
+            self._in_select = ad.get("name")
+        elif tag == "option" and self._in_select is not None:
+            # options become type='select' rows under the select's name;
+            # a missing value attr stays None (ignored by resolution,
+            # form.go:140-178)
+            self.form_inputs.append({
+                "name": self._in_select, "type": "select",
+                "value": ad.get("value"),
+                "checked": False, "selected": "selected" in ad,
+                "pos": len(self.form_inputs)})
         elif tag == "img":
             if (self._a is not None and self._a["img_alt"] is None
                     and ad.get("alt") is not None):
@@ -128,6 +176,10 @@ class _PageParser(HTMLParser):
             self._in_head = False
         elif tag == "title":
             self._in_title = False
+        elif tag == "form":
+            self._in_form = False
+        elif tag == "select":
+            self._in_select = None
         elif tag == "a" and self._a is not None:
             a = self._a
             self._a = None
@@ -210,6 +262,9 @@ def parse_page(body: bytes | None, content_type: str | None = None,
         "links": p.anchors,
         "title": "".join(p.title_parts) or None,
         "effective_charset": charset,
+        "form_action": p.form_action,
+        "form_method": p.form_method,
+        "form_inputs": p.form_inputs if p.form_action is not None else None,
     }
 
 

@@ -40,10 +40,16 @@ def _key(row) -> tuple:
 
 def simulate(pages_by_url: dict, robots: dict, seeds: list,
              round_ms: int = 30_000, k_global: int = 1_000,
-             max_rounds: int = 100) -> OracleResult:
+             max_rounds: int = 100, auto_submit_forms: bool = False,
+             form_encoding: str | None = None) -> OracleResult:
     """pages_by_url: canonical url -> page dict (FIXTURES.md §2 row shape);
     robots: host -> (disallow_prefixes, crawl_delay_ms);
-    seeds: [url, ...] in seed_pos order."""
+    seeds: [url, ...] in seed_pos order.
+
+    ``auto_submit_forms``: S3 (/root/reference/form.go:338-401) — a 2xx
+    page carrying a GET form also discovers its submit URL (action +
+    sorted urlencoded defaults, values re-encoded into ``form_encoding``),
+    as a child in the reserved document-order slot FORM_POS."""
     res = OracleResult()
 
     def robots_blocked(host: str, path: str) -> bool:
@@ -140,7 +146,8 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
             res.seen.add(row["url_hash"])
             if page is not None and status // 100 == 2:
                 children.extend(_expand(page, row["canon"], row["priority"],
-                                        seq))
+                                        seq, auto_submit_forms,
+                                        form_encoding))
             if refresh is not None:
                 rc, rh = refresh
                 rpage = pages_by_url.get(rc)
@@ -155,7 +162,9 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                 })
                 res.seen.add(rh)
                 if rpage is not None and rstatus // 100 == 2:
-                    children.extend(_expand(rpage, rc, row["priority"], seq))
+                    children.extend(_expand(rpage, rc, row["priority"], seq,
+                                            auto_submit_forms,
+                                            form_encoding))
         base_seq = seq
 
         # 11a. politeness carryover update (primaries only — refreshes are
@@ -183,19 +192,83 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     return res
 
 
+# document-order slot of the auto-submitted form child: after every link
+# (synthetic pages top out well below it; equal-seq ties would still be
+# broken by the url_hash tiebreaker)
+FORM_POS = 99
+
+
 def _expand(page: dict, parent_canon: str, parent_priority: float,
-            parent_seq: int) -> list[dict]:
+            parent_seq: int, auto_submit_forms: bool = False,
+            form_encoding: str | None = None) -> list[dict]:
     base = page.get("base_href") or parent_canon
     out = []
-    for link in page.get("links") or []:
-        child = canonicalize(link["href"], base)
+    hrefs = [(link["href"], link["pos"])
+             for link in page.get("links") or []]
+    if (auto_submit_forms and page.get("form_action")
+            and (page.get("form_method") or "get").lower() == "get"):
+        href = _form_submit_href(page, form_encoding)
+        if href is not None:
+            hrefs.append((href, FORM_POS))
+    for href, pos in hrefs:
+        child = canonicalize(href, base)
         if child is None:
             continue
         out.append({
             "canon": child, "url_hash": xxh64_str(child),
             "host": host_of(child), "path": path_of(child),
             "priority": parent_priority - 1,
-            "discovered_seq": parent_seq * 100 + link["pos"],
+            "discovered_seq": parent_seq * 100 + pos,
             "ref_url": parent_canon,
         })
     return out
+
+
+def _form_submit_href(page: dict, encoding: str | None) -> str | None:
+    """Independent twin of forms.submit_href (the golden contract wants the
+    oracle to re-derive, not share, the engine's resolution code): one
+    rank-based pass chooses each group's element, then sorted urlencode
+    via pyref's own percent-encoder."""
+    from .functions.pyref import _py_query_escape
+
+    best: dict[str, tuple] = {}   # name -> (rank, pos, type, value)
+    for el in page.get("form_inputs") or []:
+        name = el.get("name")
+        if name is None:
+            continue
+        typ = el.get("type") or "text"
+        value = el.get("value")
+        if typ == "radio" and value is None:
+            value = "on"
+        if value is None:
+            continue
+        if typ == "radio":
+            rank = 0 if el.get("checked") else 1
+        elif typ == "checkbox":
+            rank = 0 if el.get("checked") else 2   # 2 = never chosen
+        elif typ == "select":
+            rank = 0 if el.get("selected") else 1
+        else:
+            rank = 1
+        key = (rank, el.get("pos", 0))
+        if name not in best or key < best[name][:2]:
+            best[name] = (key[0], key[1], typ, value)
+    params = [(n, v) for n, (rank, _pos, _t, v) in best.items() if rank < 2]
+    if encoding is not None:
+        enc = []
+        for n, v in params:
+            acc = bytearray()
+            for ch in v:
+                try:
+                    acc += ch.encode(encoding)
+                except UnicodeEncodeError:
+                    break
+            enc.append((n, bytes(acc)))
+    else:
+        enc = [(n, v.encode("utf-8")) for n, v in params]
+    query = "&".join(
+        _py_query_escape(n.encode("utf-8")) + "=" + _py_query_escape(vb)
+        for n, vb in sorted(enc))
+    action = page["form_action"]
+    sep = "&" if "?" in action else "?"
+    return action + sep + query if query else action

@@ -218,6 +218,7 @@ def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
     if _h(h, k, 7) % 33 == 0:  # ~3%
         rk = (k + 1) % max(counts[h], 1)
         refresh = (f"/p/{rk}" if _h(h, k, 8) % 2 else page_url(h, rk))
+    form_action, form_inputs = gen_page_form(h, k, status)
     return {
         "url": page_url(h, k),
         "host": f"host{h}.test",
@@ -228,7 +229,45 @@ def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
         "image_id": (f"img{(global_idx * 2654435761) % n_images:010d}"
                      if status == 200 else None),
         "status": np.int32(status),
+        "form_action": form_action,
+        "form_method": "get" if form_action else None,
+        "form_inputs": form_inputs,
     }
+
+
+def gen_page_form(h: int, k: int, status: int):
+    """~10% of 2xx pages carry ONE GET form (the crawl auto-submit target,
+    S3 — /root/reference/form.go:338-401). Elements exercise the F1-F4
+    defaulting matrix: text value, a radio group (second-checked / none ⇒
+    first wins), a select (selected / first, plus a valueless decoy
+    option), a checkbox that only contributes when checked."""
+    if status != 200 or _h(h, k, 30) % 10 != 0:
+        return None, None
+    fv = _h(h, k, 31)
+    action = (f"/search/{k % 5}" if fv % 3 else
+              f"http://host{h}.test/find")
+    inputs = [
+        {"name": "q", "type": None, "value": f"t{k % 97}",
+         "checked": False, "selected": False, "pos": 0},
+        {"name": "mode", "type": "radio", "value": "a",
+         "checked": False, "selected": False, "pos": 1},
+        {"name": "mode", "type": "radio", "value": "b",
+         "checked": fv % 4 == 0, "selected": False, "pos": 2},
+        {"name": "cat", "type": "select", "value": None,   # valueless decoy
+         "checked": False, "selected": False, "pos": 3},
+        {"name": "cat", "type": "select", "value": "c1",
+         "checked": False, "selected": False, "pos": 4},
+        {"name": "cat", "type": "select", "value": "c2",
+         "checked": False, "selected": fv % 5 == 0, "pos": 5},
+    ]
+    if fv % 2 == 0:
+        inputs.append({"name": "flag", "type": "checkbox", "value": "yes",
+                       "checked": fv % 8 == 0, "selected": False, "pos": 6})
+    # nameless submit button: parsed but contributes no param
+    inputs.append({"name": None, "type": "submit", "value": "go",
+                   "checked": False, "selected": False,
+                   "pos": inputs[-1]["pos"] + 1})
+    return action, inputs
 
 
 def render_page_html(h: int, k: int, counts: list[int]) -> tuple[bytes, str]:
@@ -279,6 +318,33 @@ def render_page_html(h: int, k: int, counts: list[int]) -> tuple[bytes, str]:
         body.append(f'<li><a href="{escape(ln["href"], quote=True)}">'
                     f'{escape(ln["text"])}{img}</a></li>')
     body.append("</ul>")
+
+    if row["form_action"]:
+        body.append(f'<form action="{escape(row["form_action"], quote=True)}"'
+                    ' method="get">')
+        in_select = False
+        for el in row["form_inputs"]:
+            if el["type"] == "select":
+                if not in_select:
+                    body.append(f'<select name="{el["name"]}">')
+                    in_select = True
+                val = ('' if el["value"] is None
+                       else f' value="{escape(el["value"], quote=True)}"')
+                sel = " selected" if el["selected"] else ""
+                body.append(f'<option{val}{sel}>opt {el["pos"]}</option>')
+            else:
+                if in_select:
+                    body.append("</select>")
+                    in_select = False
+                nm = (f' name="{el["name"]}"' if el["name"] is not None
+                      else "")
+                typ = f' type="{el["type"]}"' if el["type"] else ""
+                chk = " checked" if el["checked"] else ""
+                body.append(f'<input{nm}{typ} '
+                            f'value="{escape(el["value"], quote=True)}"{chk}>')
+        if in_select:
+            body.append("</select>")
+        body.append("</form>")
 
     html = ("<!DOCTYPE html>\n<html>\n<head>\n" + "\n".join(head)
             + "\n</head>\n<body>\n" + "\n".join(body) + "\n</body>\n</html>\n")
@@ -387,7 +453,10 @@ def gen_seeds_pdf(tier: Tier, n_seeds: int | None = None) -> pd.DataFrame:
 PAGES_SCHEMA = (
     "url string, host string, base_href string, meta_refresh_url string, "
     "links array<struct<href:string,text:string,img_alt:string,pos:int>>, "
-    "title string, image_id string, status int"
+    "title string, image_id string, status int, "
+    "form_action string, form_method string, "
+    "form_inputs array<struct<name:string,type:string,value:string,"
+    "checked:boolean,selected:boolean,pos:int>>"
 )
 RAW_PAGES_SCHEMA = ("url string, host string, body binary, "
                     "content_type string, image_id string, status int")

@@ -232,3 +232,67 @@ def test_engine_matches_oracle_bucketed_seen(spark, t1_data, oracle_result):
     seen = {r["url_hash"] for r in store.read("seen").collect()}
     assert seen == oracle_result.seen
     store.destroy()
+
+
+def test_engine_matches_oracle_auto_submit_forms(spark, t1_data):
+    """S3 end-to-end (form.go:338-401): with auto_submit_forms on, a 2xx
+    page carrying a GET form also discovers its submit URL (action +
+    sorted urlencoded defaults) in the reserved document-order slot — and
+    the crawl STILL matches the sequential oracle exactly. The oracle
+    resolves defaults and urlencodes with its own independent
+    implementation (oracle._form_submit_href vs forms.submit_href)."""
+    tier, pages, robots, seeds = t1_data
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      auto_submit_forms=True)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_form_"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+
+    counts = synth.page_counts(tier)
+    pdf = synth.gen_pages_pdf(0, tier.n_pages, counts, tier.n_images)
+    pages_by_url = {d["url"]: d for d in pdf.to_dict("records")}
+    robots_d = {r["host"]: (list(r["disallow_prefixes"]),
+                            int(r["crawl_delay_ms"]))
+                for r in synth.gen_robots_pdf(
+                    tier.n_hosts).to_dict("records")}
+    seeds_l = list(synth.gen_seeds_pdf(tier)["url"])
+    want_res = oracle.simulate(pages_by_url, robots_d, seeds_l,
+                               round_ms=30_000, k_global=K,
+                               max_rounds=ROUNDS, auto_submit_forms=True)
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in want_res.fetch_log]
+    assert log == want
+    # the form path visibly changes the crawl: submit URLs got fetched
+    assert any("?" in c and ("q=" in c) for _s, c, *_ in log)
+    seen = {r["url_hash"] for r in store.read("seen").collect()}
+    assert seen == want_res.seen
+    store.destroy()
+
+
+def test_engine_auto_submit_raw_bodies(spark, t1_data):
+    """Same as above but over RAW HTML bodies: the form is extracted by the
+    parse kernel at fetch time (inputs/selects in document order), then
+    resolved and submitted — identical crawl to the structured run."""
+    tier, pages, robots, seeds = t1_data
+    raw_pages = synth.spark_raw_pages(spark, tier, parallelism=8)
+    cfg = CrawlConfig(k_global=K, max_rounds=2, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      auto_submit_forms=True)
+
+    def run(corpus):
+        store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_fr_"))
+        eng = CrawlEngine(spark, store, corpus, robots, None, cfg)
+        eng.seed(seeds)
+        eng.run()
+        log = [(r["fetch_seq"], r["canon"], r["status"])
+               for r in store.read("fetch_log")
+               .orderBy("fetch_seq").collect()]
+        store.destroy()
+        return log
+
+    assert run(raw_pages) == run(pages)

@@ -108,3 +108,33 @@ def test_encoded_body_matches_pyref(spark):
                for r in forms.encoded_body(df, codec).collect()}
         want = dict(pyref.py_urlencode_forms(rows, codec))
         assert got == want
+
+
+def test_resolve_submit_matches_dataframe_ops(spark):
+    """The crawl loop's per-row resolver (resolve_submit) agrees with the
+    reference-pinned DataFrame path (resolve_values -> submit_params) on
+    every synthetic form."""
+    from crawlspark import synth
+    checked = 0
+    for h in range(8):
+        for k in range(0, 250):
+            action, inputs = synth.gen_page_form(h, k, 200)
+            if action is None:
+                continue
+            checked += 1
+            rows = [("f", e["name"], e["type"], e["value"],
+                     bool(e["checked"]), bool(e["selected"]), e["pos"],
+                     None)
+                    for e in inputs if e["name"] is not None]
+            df = spark.createDataFrame(
+                rows, "form_id string, name string, type string, "
+                      "value string, checked boolean, selected boolean, "
+                      "pos int, label string")
+            want = {(r["param"], r["pvalue"]) for r in
+                    forms.submit_params(
+                        forms.resolve_values(df)).collect()}
+            got = set(forms.resolve_submit(inputs))
+            assert got == want, (h, k)
+            if checked >= 12:
+                return
+    assert checked > 0
