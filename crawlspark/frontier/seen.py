@@ -303,12 +303,27 @@ def _read_shard_blob(dirs: list, shard: int):
 
     blobs = []
     for d in dirs:
-        for f in sorted(_glob.glob(_os.path.join(d, f"shard={shard}",
-                                                 "*.parquet"))):
-            t = pq.read_table(f, columns=["bits", "kind"])
-            for blob, kind in zip(t.column(0).to_pylist(),
-                                  t.column(1).to_pylist()):
-                blobs.append((np.frombuffer(blob, dtype=np.uint8), kind))
+        hit = sorted(_glob.glob(_os.path.join(d, f"shard={shard}",
+                                              "*.parquet")))
+        if hit:
+            for f in hit:
+                t = pq.read_table(f, columns=["bits", "kind"])
+                for blob, kind in zip(t.column(0).to_pylist(),
+                                      t.column(1).to_pylist()):
+                    blobs.append((np.frombuffer(blob, dtype=np.uint8), kind))
+        else:
+            # pre-shard-partitioned layout (flat files with a shard
+            # column): a resume from an older store must still find its
+            # prior bits — a silently-missing blob would turn into Bloom
+            # false negatives, which break the exactness contract
+            for f in sorted(_glob.glob(_os.path.join(d, "*.parquet"))):
+                t = pq.read_table(f, columns=["shard", "bits", "kind"])
+                for s, blob, kind in zip(t.column(0).to_pylist(),
+                                         t.column(1).to_pylist(),
+                                         t.column(2).to_pylist()):
+                    if int(s) == shard:
+                        blobs.append(
+                            (np.frombuffer(blob, dtype=np.uint8), kind))
     if not blobs:
         return None
     if len(blobs) == 1:

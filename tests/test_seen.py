@@ -47,3 +47,27 @@ def test_cuckoo_overflow_raises():
     h = np.arange(1, 20000, dtype=np.uint64)
     with pytest.raises(RuntimeError):
         _ck_build(h, m_bits=1 << 10)  # way over capacity
+
+
+def test_sharded_probe_reads_flat_legacy_layout(spark, tmp_path):
+    """A store written before seen_shards was shard-partitioned keeps flat
+    parquet files with a `shard` column; the per-shard blob reader must
+    still find prior bits there (a silently-missing blob would become
+    Bloom false negatives and break the exactness contract)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.frontier.seen import SeenFilter, _read_shard_blob
+
+    filt = SeenFilter("bloom", n_shards=4, m_bits=1 << 12)
+    df = spark.createDataFrame([(i,) for i in range(500)], "url_hash long")
+    shards = filt.build(df)
+    flat_dir = str(tmp_path / "flat")
+    shards.write.parquet(flat_dir)           # legacy: NOT partitionBy(shard)
+
+    for s in range(4):
+        blob = _read_shard_blob([flat_dir], s)
+        assert blob is not None and blob.any(), s
+
+    # and the sharded probe over that legacy dir flags every inserted hash
+    probed = filt.might_contain_sharded(df, "url_hash", [flat_dir])
+    assert probed.filter(~F.col("_maybe")).count() == 0
