@@ -11,11 +11,12 @@ caption string equality.
 Codecs:
   * ``png``  — a real, spec-conformant PNG writer/reader (8-bit RGB, zlib,
     filter 0). Pure numpy + zlib; deterministic bytes.
-  * ``jpeg`` — the environment has no JPEG codec (no PIL), so the lossy path
-    is a DETERMINISTIC FAKE-LOSSY CODEC (magic ``CSJL``): pixels quantized to
-    step 4 then zlib'd. Max per-channel error 2 → PSNR ≈ 47 dB > 40 dB, so it
-    exercises the same allclose-under-loss validation contract the real codec
-    would. If PIL is importable it is used instead (import-try gate below).
+  * ``jpeg`` — a real, spec-conformant baseline JFIF codec in pure numpy
+    (crawlspark.jpegcodec): 8x8 DCT, Annex K quant + Huffman tables, 4:4:4,
+    quality 98 → PSNR ≈ 43-44 dB on the synthetic corpus, above the 40 dB
+    gate. ``decode`` also still reads the round-1 DETERMINISTIC FAKE-LOSSY
+    payloads (magic ``CSJL``, quantize-step-4 + zlib) found in old
+    snapshots; the magics are disjoint so the sniff is exact.
 
 phash: classic 64-bit DCT perceptual hash — 32×32 grayscale, 2-D DCT-II, top
 8×8 low-frequency block, bit = coefficient > median(AC). Duplicated payloads
@@ -32,12 +33,7 @@ import zlib
 
 import numpy as np
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except Exception:
-    _HAVE_PIL = False
+from .jpegcodec import jpeg_decode, jpeg_encode
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _FAKE_LOSSY_MAGIC = b"CSJL"
@@ -158,7 +154,7 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(pixels)
     if fmt == "jpeg":
-        return lossy_encode(pixels)
+        return jpeg_encode(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -166,6 +162,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
+        # magic-sniff: real JFIF (SOI = FFD8) vs the legacy deterministic
+        # fake-lossy payloads (CSJL) still present in old snapshots.
+        if data[:2] == b"\xff\xd8":
+            return jpeg_decode(data)
         return lossy_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 

@@ -1,0 +1,137 @@
+"""Baseline JPEG codec (crawlspark.jpegcodec) — spec structure, round-trip
+fidelity vs the 40 dB payload gate, decoder robustness, legacy CSJL sniff.
+
+No image library exists in the container, so correctness is pinned by
+(a) independent recomputation of the spec's fixed structures (zigzag walk,
+canonical Huffman code properties, DCT orthonormality), (b) container-level
+marker checks, and (c) encode→decode differential against ground-truth
+pixels — the same differential contract the driver applies to the png path.
+"""
+
+import numpy as np
+import pytest
+
+from crawlspark import jpegcodec as jc
+from crawlspark.imaging import decode, encode, lossy_encode, make_pixels, psnr
+
+
+# --- fixed spec structures ----------------------------------------------------
+
+def test_zigzag_is_permutation_with_known_walk():
+    # first 10 entries of the T.81 Figure 5 walk, natural (row*8+col) index
+    assert list(jc.ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(jc.ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(jc.ZIGZAG) == list(range(64))
+    assert np.array_equal(jc.ZIGZAG[jc.UNZIGZAG], np.arange(64))
+
+
+def test_dct_matrix_is_orthonormal_and_idct_inverts():
+    eye = jc._D8 @ jc._D8.T
+    assert np.allclose(eye, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(7)
+    blocks = rng.uniform(-128, 127, (5, 8, 8))
+    assert np.allclose(jc.idct2_blocks(jc.dct2_blocks(blocks)), blocks,
+                       atol=1e-9)
+
+
+def test_canonical_huffman_codes_are_prefix_free():
+    for key, codes in jc._STD_CODES.items():
+        by_len = sorted((ln, code) for code, ln in codes.values())
+        seen = []
+        for ln, code in by_len:
+            for pln, pcode in seen:
+                assert code >> (ln - pln) != pcode, (key, ln, code)
+            seen.append((ln, code))
+        # every code fits its declared bit length
+        for code, ln in codes.values():
+            assert 0 < ln <= 16 and code < (1 << ln)
+
+
+def test_quality_scale_endpoints():
+    assert np.all(jc.quality_scale(jc._Q_LUMA, 100) == 1)
+    assert np.array_equal(jc.quality_scale(jc._Q_LUMA, 50), jc._Q_LUMA)
+    assert np.all(jc.quality_scale(jc._Q_LUMA, 1) >= jc._Q_LUMA)
+
+
+# --- container structure --------------------------------------------------------
+
+def test_marker_layout():
+    b = jc.jpeg_encode(make_pixels(3, 32, 32))
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in b
+    # SOF0 carries the true (pre-padding) dimensions
+    sof = b.index(b"\xff\xc0")
+    h, w = int.from_bytes(b[sof+5:sof+7], "big"), int.from_bytes(
+        b[sof+7:sof+9], "big")
+    assert (h, w) == (32, 32)
+
+
+def test_scan_bytes_are_stuffed():
+    # after SOS, any 0xFF inside the entropy stream must be followed by 0x00
+    b = jc.jpeg_encode(make_pixels(11, 64, 64))
+    sos = b.index(b"\xff\xda")
+    seglen = int.from_bytes(b[sos+2:sos+4], "big")
+    scan = b[sos + 2 + seglen:-2]
+    i = 0
+    while i < len(scan) - 1:
+        if scan[i] == 0xFF:
+            assert scan[i + 1] == 0x00
+            i += 2
+        else:
+            i += 1
+
+
+# --- round trip -------------------------------------------------------------------
+
+@pytest.mark.parametrize("w,h", [(8, 8), (32, 32), (48, 80), (100, 52),
+                                 (1, 1), (7, 13)])
+def test_roundtrip_psnr_above_gate(w, h):
+    px = make_pixels(3, w, h)
+    out = jc.jpeg_decode(jc.jpeg_encode(px))
+    assert out.shape == px.shape
+    p = psnr(px, out)
+    assert p == float("inf") or p >= 42.0  # 40 dB gate + margin
+
+
+def test_flat_image_roundtrips_exactly():
+    px = np.full((16, 24, 3), 77, np.uint8)
+    assert np.array_equal(jc.jpeg_decode(jc.jpeg_encode(px)), px)
+
+
+def test_encode_is_deterministic():
+    px = make_pixels(5, 64, 64)
+    assert jc.jpeg_encode(px) == jc.jpeg_encode(px)
+
+
+def test_quality_tradeoff_monotone():
+    px = make_pixels(9, 48, 48)
+    sizes, psnrs = [], []
+    for q in (50, 80, 95, 100):
+        b = jc.jpeg_encode(px, q)
+        sizes.append(len(b))
+        psnrs.append(psnr(px, jc.jpeg_decode(b)))
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+# --- integration with the imaging dispatch ----------------------------------------
+
+def test_imaging_jpeg_is_real_jfif_and_legacy_csjl_still_decodes():
+    px = make_pixels(4, 32, 48)
+    b = encode(px, "jpeg")
+    assert b[:2] == b"\xff\xd8"
+    assert psnr(px, decode(b, "jpeg")) >= 40.0
+    legacy = lossy_encode(px)
+    assert legacy[:4] == b"CSJL"
+    assert psnr(px, decode(legacy, "jpeg")) >= 40.0
+
+
+# --- robustness --------------------------------------------------------------------
+
+def test_decoder_rejects_garbage():
+    with pytest.raises(ValueError):
+        jc.jpeg_decode(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jc.jpeg_decode(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF/SOS
