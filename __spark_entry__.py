@@ -1196,7 +1196,7 @@ def q_ann_topk_lsh(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v3"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v4"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -1315,6 +1315,22 @@ def _ensure_oracle_files() -> None:
     write("phash_dup_pairs", pd.DataFrame(
         sorted(prows, key=lambda r: (r["left_id"], r["right_id"])),
         columns=["left_id", "right_id", "phash"]))
+
+    # phash NEAR-dup input: the t1 phashes plus, for every 7th image, a
+    # "re-encoded variant" row whose phash differs in exactly (i % 5) bit
+    # positions (0..4 — distances straddle the <=3 threshold so the oracle
+    # exercises the boundary). Positions p_j = (11*i + 17*j) mod 64 are
+    # distinct for j < 5 (17 coprime to 64). Spark runs the pigeonhole
+    # chunk-bucket algorithm on this parquet; DuckDB independently computes
+    # all-pairs bit_count(xor()) — a true differential check, not a replay.
+    nrows = [{"image_id": iid, "phash": int(h)} for iid, h in ph]
+    for i in range(0, tier.n_images, 7):
+        h = int(ph[i][1]) & ((1 << 64) - 1)  # unsigned view for bit flips
+        for j in range(i % 5):
+            h ^= 1 << ((11 * i + 17 * j) % 64)
+        h = h - (1 << 64) if h >= (1 << 63) else h  # back to signed int64
+        nrows.append({"image_id": f"img{i:010d}_v", "phash": h})
+    write("images_phash", pd.DataFrame(nrows).astype({"phash": "int64"}))
 
     # image features from ground-truth PIXELS (no codec in the loop): the
     # Spark side decodes png_encode'd bytes, so matching these rows proves
@@ -1447,6 +1463,18 @@ def q_phash_dup_pairs(spark, sf_dir):
     return phash_dup_pairs(images)
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-duplicates by perceptual hash: Hamming(phash) <= 3 over
+    the t1 phashes plus deterministic bit-flipped "re-encoded variant" rows
+    (distances 0-4, so the threshold boundary is in the data). Spark runs
+    the pigeonhole chunk-bucket join (dedup.phash_near_dup); the DuckDB
+    oracle computes all-pairs bit_count(xor()) independently."""
+    _ensure_oracle_files()
+    from crawlspark.functions.dedup import phash_near_dup
+    images = spark.read.parquet(f"{_ORACLE_DIR}/images_phash.parquet")
+    return phash_near_dup(images, max_distance=3)
+
+
 def q_page_parse(spark, sf_dir):
     """Raw-HTML page parsing (P1/U4): render→parse differential check. The
     Spark side PARSES the rendered HTML bytes (charset chain + link
@@ -1521,6 +1549,15 @@ FROM read_parquet('{_ORACLE_DIR}/page_parse.parquet')
 SQL_PHASH_DUP_PAIRS = f"""
 SELECT left_id, right_id, phash
 FROM read_parquet('{_ORACLE_DIR}/phash_dup_pairs.parquet')
+"""
+
+SQL_PHASH_NEAR_DUP = f"""
+SELECT a.image_id AS left_id, b.image_id AS right_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS distance
+FROM read_parquet('{_ORACLE_DIR}/images_phash.parquet') a
+JOIN read_parquet('{_ORACLE_DIR}/images_phash.parquet') b
+  ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 SQL_IMAGE_FEATURES = f"""
@@ -1601,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_parse": q_page_parse,
         "image_features": q_image_features,
         "phash_dup_pairs": q_phash_dup_pairs,
+        "phash_near_dup": q_phash_near_dup,
     }
 
 
@@ -1665,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fetch_log": SQL_CRAWL_FETCH_LOG,
         "page_parse": SQL_PAGE_PARSE,
         "phash_dup_pairs": SQL_PHASH_DUP_PAIRS,
+        "phash_near_dup": SQL_PHASH_NEAR_DUP,
         # differential over ground-truth pixels (codec-free oracle):
         "image_features": SQL_IMAGE_FEATURES,
     }

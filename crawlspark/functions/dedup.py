@@ -343,3 +343,44 @@ def phash_dup_pairs(images: DataFrame) -> DataFrame:
     return (a.join(b, "phash")
             .filter(F.col("left_id") < F.col("right_id"))
             .select("left_id", "right_id", "phash"))
+
+
+def phash_near_dup(images: DataFrame, max_distance: int = 3,
+                   id_col: str = "image_id") -> DataFrame:
+    """Image pairs whose 64-bit perceptual hashes are within Hamming
+    distance ``max_distance`` — re-encoded / slightly-perturbed duplicates
+    that exact phash equality (phash_dup_pairs) misses.
+
+    Same 100 TB shape as simhash_pairs: pigeonhole candidates (d<=3 => at
+    least one of 4 disjoint 16-bit chunks equal) via a chunk-bucket
+    equi-join — the only corpus-scale shuffle — then exact popcount verify
+    on candidates only. All JVM Column expressions (xxhash-free: the phash
+    is already a column of the input_hint images table).
+    """
+    n_chunks = max_distance + 1
+    base = 64 // n_chunks
+    # ragged last chunk so the n_chunks disjoint windows cover all 64 bits
+    # (pigeonhole needs full coverage: d flipped bits can dirty at most d of
+    # the n_chunks = d+1 windows, so one window is always clean)
+    widths = [base] * (n_chunks - 1) + [64 - base * (n_chunks - 1)]
+    offsets = [base * i for i in range(n_chunks)]
+    chunk_exprs = []
+    for off, wd in zip(offsets, widths):
+        e = F.shiftrightunsigned("phash", off)
+        if off + wd < 64:
+            e = e.bitwiseAND(F.lit((1 << wd) - 1))
+        chunk_exprs.append(e)
+    chunked = images.select(
+        F.col(id_col).alias("id"), "phash",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"))
+    a = chunked.select(F.col("id").alias("left_id"),
+                       F.col("phash").alias("lh"), "chunk_idx", "chunk")
+    b = chunked.select(F.col("id").alias("right_id"),
+                       F.col("phash").alias("rh"), "chunk_idx", "chunk")
+    return (a.join(b, ["chunk_idx", "chunk"])
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id",
+                    hamming64_col(F.col("lh"), F.col("rh"))
+                    .alias("distance"))
+            .distinct()
+            .filter(F.col("distance") <= max_distance))

@@ -143,3 +143,30 @@ def test_multimodal_stubs(spark):
         multimodal.decode_audio_batch([b"x"], ["mp3"])
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames([b"x"], ["mp4"])
+
+
+def test_phash_near_dup_matches_bruteforce(spark):
+    # hand-built phashes with known pairwise distances, incl. negatives and
+    # the 3/4 threshold boundary
+    rows = [
+        ("a", 0x0123456789ABCDEF), ("b", 0x0123456789ABCDEE),   # d=1
+        ("c", 0x0123456789ABCDEF ^ (0x7 << 20)),                # d=3 vs a
+        ("d", 0x0123456789ABCDEF ^ 0xF),                        # d=4 vs a
+        ("e", -6148914691236517206), ("f", -6148914691236517206),  # d=0
+        ("g", -1), ("h", 0),                                    # d=64
+    ]
+    to_signed = lambda u: u - (1 << 64) if u >= (1 << 63) else u
+    df = spark.createDataFrame(
+        [(i, to_signed(h & ((1 << 64) - 1))) for i, h in rows],
+        "image_id string, phash long")
+    got = {(r["left_id"], r["right_id"]): r["distance"]
+           for r in dedup.phash_near_dup(df, max_distance=3).collect()}
+    exp = {}
+    vals = [(i, h & ((1 << 64) - 1)) for i, h in rows]
+    for x in range(len(vals)):
+        for y in range(x + 1, len(vals)):
+            d = bin(vals[x][1] ^ vals[y][1]).count("1")
+            li, ri = sorted((vals[x][0], vals[y][0]))
+            if d <= 3:
+                exp[(li, ri)] = d
+    assert got == exp and ("a", "d") not in got and got[("a", "c")] == 3
