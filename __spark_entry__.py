@@ -1182,6 +1182,18 @@ def q_ann_topk_lsh(spark, sf_dir):
     return lsh_topk(queries, emb, k=10)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN scale path: coarse quantizer trained on a deterministic
+    bounded sample, nearest-cell assignment, n_probe cells per query, exact
+    re-rank. Oracle: independent pure-numpy reimplementation of the same
+    quantizer+probe spec (pyref.py_ivf_topk_candidates); SQL rounds/ranks."""
+    _ensure_oracle_files()
+    from crawlspark.functions.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(queries, emb, k=10)
+
+
 # ---------------------------------------------------------------------------
 # materialized pure-Python oracles (differential reimplementations)
 #
@@ -1243,6 +1255,10 @@ def _ensure_oracle_files() -> None:
     queries = [(i, v) for i, v in emb_rows if i % 50 == 0]
     write("ann_lsh_cands", pd.DataFrame(
         pyref.py_lsh_topk_candidates(queries, emb_rows),
+        columns=["query_id", "neighbor_id", "cosine_raw"]))
+    # IVF candidate set (independent numpy quantizer mirror) + raw cosine
+    write("ann_ivf_cands", pd.DataFrame(
+        pyref.py_ivf_topk_candidates(queries, emb_rows),
         columns=["query_id", "neighbor_id", "cosine_raw"]))
 
     # the sequential crawl oracle's fetch_log (t1 graph, k=100, 2 rounds —
@@ -1535,6 +1551,18 @@ r AS (
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 """
 
+SQL_ANN_TOPK_IVF = f"""
+WITH c AS (
+  SELECT query_id, neighbor_id, round(cosine_raw, 6) AS cosine
+  FROM read_parquet('{_ORACLE_DIR}/ann_ivf_cands.parquet')),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM c)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+"""
+
 SQL_CRAWL_FETCH_LOG = f"""
 SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
 FROM read_parquet('{_ORACLE_DIR}/crawl_fetch_log.parquet')
@@ -1633,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         # crawl + multimodal (synthetic input_hint tables)
         "crawl_fetch_log": q_crawl_fetch_log,
         "page_parse": q_page_parse,
@@ -1700,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
         "ann_topk_lsh": SQL_ANN_TOPK_LSH,
+        "ann_topk_ivf": SQL_ANN_TOPK_IVF,
         "crawl_fetch_log": SQL_CRAWL_FETCH_LOG,
         "page_parse": SQL_PAGE_PARSE,
         "phash_dup_pairs": SQL_PHASH_DUP_PAIRS,

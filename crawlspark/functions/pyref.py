@@ -275,3 +275,56 @@ def py_urlencode_forms(rows: list[tuple[int, str, str]],
                          + _py_query_escape(vb))
         out.append((fid, "&".join(parts)))
     return out
+
+
+def py_ivf_topk_candidates(queries: list[tuple[int, list[float]]],
+                           corpus: list[tuple[int, list[float]]],
+                           n_cells: int = 16, n_probe: int = 4,
+                           iters: int = 2, sample_stride: int = 8
+                           ) -> list[dict]:
+    """Mirror similarity.ivf_topk up to the round/rank: deterministic
+    spherical-k-means quantizer on the (vec_id % stride, id-sorted) sample,
+    nearest-cell corpus assignment, n_probe query cells, candidate pairs
+    with RAW cosines (SQL rounds, windows, keeps rank <= k)."""
+    c_ids = [i for i, _ in corpus]
+    c_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in corpus])
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for i, v in sorted(corpus)
+                       if i % sample_stride == 0])
+    norm_s = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(
+        min=1e-12)
+    cents = norm_s[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(norm_s @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = norm_s[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    cents[c] = v / nv
+
+    def _norm(mat):
+        return mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(
+            min=1e-12)
+
+    c_cells = np.argmax(_norm(c_mat) @ cents.T, axis=1)
+    by_cell: dict[int, list[int]] = {}
+    for pos, cell in enumerate(c_cells):
+        by_cell.setdefault(int(cell), []).append(pos)
+    q_ids = [i for i, _ in queries]
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    q_probes = np.argsort(-(_norm(q_mat) @ cents.T), axis=1,
+                          kind="stable")[:, :n_probe]
+    out = []
+    for qpos in range(len(q_ids)):
+        cand_pos = set()
+        for cell in q_probes[qpos]:
+            cand_pos.update(by_cell.get(int(cell), []))
+        for cpos in sorted(cand_pos):
+            if c_ids[cpos] == q_ids[qpos]:
+                continue
+            out.append({"query_id": q_ids[qpos],
+                        "neighbor_id": c_ids[cpos],
+                        "cosine_raw": _cosine(q_mat[qpos], c_mat[cpos])})
+    return out

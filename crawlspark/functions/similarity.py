@@ -106,3 +106,99 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+# -- IVF (inverted-file) ANN ---------------------------------------------------------
+
+def ivf_train(sample: np.ndarray, n_cells: int, iters: int = 2) -> np.ndarray:
+    """Deterministic spherical k-means over a (bounded) sample — the IVF
+    coarse quantizer. Init = first n_cells sample rows (the sample is
+    id-sorted, so this is a pure function of the data); Lloyd iterations
+    assign by max dot over normalized rows and re-normalize cell means.
+    Runs on the DRIVER over a sample, never over the corpus: at 100 TB the
+    sample stays ~10^4-10^5 rows while assignment below is the distributed
+    step (one map pass, no shuffle of the corpus beyond the cell join)."""
+    norm = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(
+        min=1e-12)
+    cents = norm[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(norm @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = norm[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    cents[c] = v / nv
+    return cents
+
+
+def _ivf_udfs(cents: np.ndarray, n_probe: int):
+    """Factories closing over the (tiny) centroid matrix: exact-cell
+    assignment for corpus rows, top-n_probe cell list for queries."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def _normalize(vecs: pd.Series) -> np.ndarray:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(
+            min=1e-12)
+
+    @pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        sims = _normalize(vecs) @ cents.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        sims = _normalize(vecs) @ cents.T
+        # stable argsort of -sims: ties break by ascending cell id, the
+        # same rule as np.argmax in cell_of (and in the pyref mirror)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return cell_of, probe_cells
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, iters: int = 2,
+             sample_stride: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: train a coarse quantizer on a deterministic
+    bounded sample (vec_id % sample_stride == 0, id-sorted), assign every
+    corpus row to its nearest cell, probe each query's n_probe nearest
+    cells, exact-cosine re-rank within probed cells.
+
+    Scale shape: centroids broadcast in UDF closures (n_cells x dim — KB),
+    the corpus is touched by ONE vectorized assignment pass, and the only
+    corpus-scale shuffle is the cell equi-join; the candidate set per query
+    is n_probe/n_cells of the corpus. Raise n_cells with corpus size
+    (sqrt(N) rule) and sample_stride so the driver sample stays bounded."""
+    samp_rows = (corpus.filter((F.col(id_col) % sample_stride) == 0)
+                 .select(id_col, F.col(vec_col).cast("array<double>"))
+                 .orderBy(id_col).collect())
+    sample = np.stack([np.asarray(r[1], dtype=np.float64)
+                       for r in samp_rows])
+    cents = ivf_train(sample, n_cells, iters)
+    cell_of, probe_cells = _ivf_udfs(cents, n_probe)
+
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("cv"))
+         .withColumn("cell", cell_of(F.col("cv"))))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("cell", F.explode(probe_cells(F.col("qv")))))
+    cands = (c.join(q, "cell")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", "qv", "cv").distinct())
+    scored = cands.withColumn(
+        "cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

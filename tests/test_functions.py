@@ -170,3 +170,34 @@ def test_phash_near_dup_matches_bruteforce(spark):
             if d <= 3:
                 exp[(li, ri)] = d
     assert got == exp and ("a", "d") not in got and got[("a", "c")] == 3
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    # clustered synthetic embeddings: 4 well-separated direction clusters
+    # => IVF with enough probes must recover the exact top-k
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(160):
+        v = base[i % 4] + 0.05 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ivf_topk(queries, emb, k=5, n_cells=4, n_probe=2,
+                                 sample_stride=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.95, recall
+
+
+def test_ivf_train_is_deterministic():
+    rng = np.random.default_rng(3)
+    sample = rng.normal(size=(64, 8))
+    a = similarity.ivf_train(sample.copy(), n_cells=4)
+    b = similarity.ivf_train(sample.copy(), n_cells=4)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
