@@ -1358,7 +1358,7 @@ def _ensure_oracle_files() -> None:
     from crawlspark import imaging
     irows = []
     for i in range(300):
-        if i % 3 == 0:          # fake-lossy fmt — excluded by design
+        if i % 3 == 0:          # jpeg (lossy) — excluded by design
             continue
         row = synth.gen_image_row(i, materialize_bytes=False)
         src = i - 1 if (i % 101 == 100 and i > 0) else i
@@ -1376,6 +1376,35 @@ def _ensure_oracle_files() -> None:
         })
     write("image_features", pd.DataFrame(
         irows, columns=["media_id", "w", "h", "mean_r", "mean_g",
+                        "mean_b", "phash", "luma_hist"]))
+
+    # resize kernel: same subset, features of the 16x12 nearest-neighbor
+    # thumbnail computed from ground-truth pixels (the index formula below
+    # IS the resize spec). Spark runs decode→resize→png re-encode→decode→
+    # features, so a match pins the whole two-stage media pipeline.
+    rrows = []
+    for i in range(300):
+        if i % 3 == 0:          # lossy fmt — excluded (decode is not identity)
+            continue
+        row = synth.gen_image_row(i, materialize_bytes=False)
+        src = i - 1 if (i % 101 == 100 and i > 0) else i
+        px = imaging.make_pixels(src, int(row["w"]), int(row["h"]))
+        sh, sw = px.shape[:2]
+        ys = (np.arange(12) * sh // 12).clip(0, sh - 1)
+        xs = (np.arange(16) * sw // 16).clip(0, sw - 1)
+        r = px[np.ix_(ys, xs)]
+        luma = r.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        hist = np.histogram(luma, bins=16, range=(0, 256))[0]
+        rrows.append({
+            "media_id": row["image_id"], "w": 16, "h": 12,
+            "mean_r": float(r[..., 0].mean()),
+            "mean_g": float(r[..., 1].mean()),
+            "mean_b": float(r[..., 2].mean()),
+            "phash": imaging.phash64(r),
+            "luma_hist": ",".join(str(int(v)) for v in hist),
+        })
+    write("image_resize", pd.DataFrame(
+        rrows, columns=["media_id", "w", "h", "mean_r", "mean_g",
                         "mean_b", "phash", "luma_hist"]))
 
     # U5 outbound re-encode: independent urlencoder over the same fixture
@@ -1408,11 +1437,11 @@ def q_image_features(spark, sf_dir):
     with fmt='png' — i%3!=0, 200 rows). The oracle computes the same
     features from the generator's ground-truth PIXELS, never touching the
     codec, so the check is differential over the full
-    png_encode→png_decode→feature path. (The deterministic fake-lossy rows
-    are excluded: their decoded pixels differ from ground truth by design;
-    that path is pinned by test_imaging + the engine's PSNR payload
-    validation instead.) ``luma_hist`` is emitted as a comma-joined string
-    so every output column is driver-hashable."""
+    png_encode→png_decode→feature path. (JPEG rows are excluded: lossy
+    decode differs from ground truth by design; that path is pinned by
+    test_jpegcodec round-trip PSNR + the engine's PSNR payload validation
+    instead.) ``luma_hist`` is emitted as a comma-joined string so every
+    output column is driver-hashable."""
     _ensure_oracle_files()
     from crawlspark import synth
     from crawlspark.functions.multimodal import image_features
@@ -1477,6 +1506,25 @@ def q_phash_dup_pairs(spark, sf_dir):
     tier = synth.TIERS["t1"]
     images = synth.spark_images(spark, tier, parallelism=8)
     return phash_dup_pairs(images)
+
+
+def q_image_resize(spark, sf_dir):
+    """Two-stage media pipeline at the driver: decode → 16x12 nearest-
+    neighbor resize → png re-encode (resize_images) → decode → features
+    (image_features). Oracle computes the same features from ground-truth
+    PIXELS resized by the spec's index formula — no codec in its loop — so
+    a match pins resize + both png round-trips + the feature kernel."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import image_features, resize_images
+    tier = synth.TIERS["t1"]
+    images = (synth.spark_images(spark, tier, parallelism=8)
+              .filter((F.col("image_id") < "img0000000300")
+                      & (F.col("fmt") == "png")))
+    resized = resize_images(images, 16, 12).withColumn("fmt", F.lit("png"))
+    return (image_features(resized, id_col="media_id")
+            .withColumn("luma_hist",
+                        F.array_join(F.col("luma_hist"), ",")))
 
 
 def q_phash_near_dup(spark, sf_dir):
@@ -1593,6 +1641,11 @@ SELECT media_id, w, h, mean_r, mean_g, mean_b, phash, luma_hist
 FROM read_parquet('{_ORACLE_DIR}/image_features.parquet')
 """
 
+SQL_IMAGE_RESIZE = f"""
+SELECT media_id, w, h, mean_r, mean_g, mean_b, phash, luma_hist
+FROM read_parquet('{_ORACLE_DIR}/image_resize.parquet')
+"""
+
 SQL_FORM_URLENCODE = f"""
 SELECT form_id, body, encoding
 FROM read_parquet('{_ORACLE_DIR}/form_urlencode.parquet')
@@ -1666,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fetch_log": q_crawl_fetch_log,
         "page_parse": q_page_parse,
         "image_features": q_image_features,
+        "image_resize": q_image_resize,
         "phash_dup_pairs": q_phash_dup_pairs,
         "phash_near_dup": q_phash_near_dup,
     }
@@ -1736,4 +1790,5 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup": SQL_PHASH_NEAR_DUP,
         # differential over ground-truth pixels (codec-free oracle):
         "image_features": SQL_IMAGE_FEATURES,
+        "image_resize": SQL_IMAGE_RESIZE,
     }
