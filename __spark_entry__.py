@@ -1113,7 +1113,9 @@ def q_simhash(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     """Exact all-pairs cosine ≥ τ — the correctness baseline the LSH path is
-    verified against (q_embedding_neardup_lsh)."""
+    verified against (q_embedding_neardup_lsh). τ=0.2 keeps the matched row
+    set non-empty on the synthetic embeddings (τ=0.95 matched 0 rows — a
+    vacuous check)."""
     from crawlspark.functions.dedup import cosine_sim
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("left_id"),
@@ -1124,7 +1126,7 @@ def q_embedding_neardup(spark, sf_dir):
             .filter(F.col("left_id") < F.col("right_id"))
             .withColumn("cosine",
                         F.round(cosine_sim(F.col("lv"), F.col("rv")), 6))
-            .filter(F.col("cosine") >= 0.8)
+            .filter(F.col("cosine") >= 0.2)
             .select("left_id", "right_id", "cosine"))
 
 
@@ -1134,7 +1136,7 @@ SELECT a.vec_id AS left_id, b.vec_id AS right_id,
                                     b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]), 6) >= 0.8
+                                   b.embedding::DOUBLE[]), 6) >= 0.2
 """
 
 
