@@ -14,9 +14,12 @@ sequential DCT JPEG from the spec:
             dequantize -> de-zigzag -> IDCT -> YCbCr -> RGB
 
 Design notes (scale + correctness):
-  * 4:4:4 (no chroma subsampling) — one block per component per MCU. The
-    fidelity gate is PSNR>=40 dB; subsampling trades that for bytes we
-    don't need to save on a synthetic corpus.
+  * Encoder emits 4:4:4 by default (the payload-fidelity path: the gate is
+    PSNR>=40 dB and subsampling trades that for bytes the synthetic corpus
+    doesn't need to save) and 4:2:0 on request; it can split the stream
+    with DRI/RSTn restart intervals. The DECODER accepts the full baseline
+    envelope a crawler meets in the wild: any DQT/DHT tables, arbitrary
+    SOF0 sampling factors (4:4:4 / 4:2:0 / 4:2:2 / ...), restart markers.
   * Everything per-image is vectorized: the DCT/IDCT run over ALL blocks of
     a plane in one einsum; Huffman ENCODE emits (code,length) arrays and
     packs bits with a ragged-arange numpy kernel (no per-bit Python);
@@ -31,7 +34,7 @@ Design notes (scale + correctness):
 Reference parity: the Go reference fetches real image bodies over HTTP and
 never re-encodes (koizuka/scraper session.go Get/SavePage path); the codec
 here exists to synthesize + validate those payloads in-sandbox. Quality
-default 95 keeps PSNR ~43-47 dB on the synthetic noise-over-gradient corpus
+default 98 keeps PSNR ~43-44 dB on the synthetic noise-over-gradient corpus
 (tests pin >= 40 dB + a margin).
 """
 
@@ -306,31 +309,73 @@ def _dht_segment(tc: int, th: int) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 98) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex K tables)."""
+def _quantized_zigzag(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) level-shifted plane -> (n_blocks, 64) int32 quantized zigzag
+    coefficients, blocks in raster order."""
+    coefs = dct2_blocks(_plane_blocks(plane))
+    quant = np.round(coefs / q.reshape(8, 8).astype(np.float64))
+    return quant.reshape(-1, 64)[:, ZIGZAG].astype(np.int32)
+
+
+def _mcu_order_y(zz: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Reorder raster-order Y blocks (bh x bw grid) into 4:2:0 MCU walk
+    order: for each 2x2 MCU, blocks (0,0),(0,1),(1,0),(1,1)."""
+    grid = zz.reshape(bh, bw, 64)
+    my, mx = bh // 2, bw // 2
+    # (my, 2, mx, 2, 64) -> (my, mx, 2, 2, 64) -> flat
+    return (grid.reshape(my, 2, mx, 2, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1, 64))
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 98,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K tables).
+
+    subsampling "444" (default — the payload-fidelity path) emits one block
+    per component per MCU; "420" downsamples chroma 2x2 (mean) and emits
+    4 Y + 1 Cb + 1 Cr blocks per 16x16 MCU, the common web layout the
+    decoder must also read."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w, _ = pixels.shape
     qy = quality_scale(_Q_LUMA, quality)
     qc = quality_scale(_Q_CHROMA, quality)
 
     ycc = rgb_to_ycbcr(pixels) - np.array([128.0, 128.0, 128.0])
-    ph, pw = -h % 8, -w % 8
+    unit = 8 if subsampling == "444" else 16
+    ph, pw = -h % unit, -w % unit
     if ph or pw:
         ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
 
-    # quantized zigzag blocks per component, raster (== MCU at 4:4:4) order
-    zz = []
-    for c, q in ((0, qy), (1, qc), (2, qc)):
-        coefs = dct2_blocks(_plane_blocks(ycc[:, :, c]))
-        quant = np.round(coefs / q.reshape(8, 8).astype(np.float64))
-        zz.append(quant.reshape(-1, 64)[:, ZIGZAG].astype(np.int32))
+    # per-component quantized zigzag blocks in MCU-walk order, plus the
+    # number of blocks each component contributes per MCU
+    if subsampling == "444":
+        zz = [_quantized_zigzag(ycc[:, :, c], q)
+              for c, q in ((0, qy), (1, qc), (2, qc))]
+        blocks_per_mcu = [1, 1, 1]
+        n = zz[0].shape[0]
+        samp = [0x11, 0x11, 0x11]
+    else:
+        hh, ww = ycc.shape[:2]
+        y_raster = _quantized_zigzag(ycc[:, :, 0], qy)
+        zz = [_mcu_order_y(y_raster, hh // 8, ww // 8)]
+        for c in (1, 2):
+            sub = ycc[:, :, c].reshape(hh // 2, 2, ww // 2, 2).mean((1, 3))
+            zz.append(_quantized_zigzag(sub, qc))
+        blocks_per_mcu = [4, 1, 1]
+        n = zz[1].shape[0]
+        samp = [0x22, 0x11, 0x11]
 
-    # interleave: MCU m = (Y[m], Cb[m], Cr[m]) at 4:4:4; DC differentials
-    # chain per component across the MCU sequence (T.81 F.1.1.5.1), AC uses
-    # (run,size) with ZRL/EOB (F.1.2.2). Symbols accumulate as (value,
-    # bitlen) pairs; the packer below is the vectorized bit emitter.
-    n = zz[0].shape[0]
-    codes2: list[int] = []
-    lens2: list[int] = []
+    # interleave per MCU; DC differentials chain per component across the
+    # MCU sequence (T.81 F.1.1.5.1), AC uses (run,size) with ZRL/EOB
+    # (F.1.2.2). Symbols accumulate as (value, bitlen) pairs; the packer
+    # below is the vectorized bit emitter.
+    # restart_interval > 0 splits the entropy stream every n MCUs: each
+    # segment byte-aligns (1-padded), DC predictors reset, RSTm (cycling
+    # D0-D7) separates segments — the layout real encoders emit under DRI.
+    seg_syms: list[tuple[list[int], list[int]]] = [([], [])]
+    codes2, lens2 = seg_syms[0]
     prev_dc = [0, 0, 0]
     enc_tabs = [(_ENC[(0, 0)], _ENC[(1, 0)]),
                 (_ENC[(0, 1)], _ENC[(1, 1)]),
@@ -340,40 +385,22 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 98) -> bytes:
     enc_tabs = [((t[0][0].tolist(), t[0][1].tolist()),
                  (t[1][0].tolist(), t[1][1].tolist())) for t in enc_tabs]
     for m in range(n):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_syms.append(([], []))
+            codes2, lens2 = seg_syms[-1]
+            prev_dc = [0, 0, 0]
         for c in range(3):
             (dc_codes, dc_lens), (ac_codes, ac_lens) = enc_tabs[c]
-            row = zzl[c][m]
-            dc = row[0]
-            diff = dc - prev_dc[c]
-            prev_dc[c] = dc
-            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
-            codes2.append(dc_codes[s])
-            lens2.append(dc_lens[s])
-            if s:
-                codes2.append(diff if diff >= 0 else diff + (1 << s) - 1)
-                lens2.append(s)
-            prev = 1
-            for idx in range(1, 64):
-                v = row[idx]
-                if v == 0:
-                    continue
-                run = idx - prev
-                while run >= 16:
-                    codes2.append(ac_codes[0xF0])
-                    lens2.append(ac_lens[0xF0])
-                    run -= 16
-                sv = v.bit_length() if v > 0 else (-v).bit_length()
-                sym = (run << 4) | sv
-                codes2.append(ac_codes[sym])
-                lens2.append(ac_lens[sym])
-                codes2.append(v if v >= 0 else v + (1 << sv) - 1)
-                lens2.append(sv)
-                prev = idx + 1
-            if prev != 64:
-                codes2.append(ac_codes[0x00])
-                lens2.append(ac_lens[0x00])
-    scan = _pack_bits(np.asarray(codes2, dtype=np.uint64),
-                      np.asarray(lens2, dtype=np.uint8))
+            for j in range(blocks_per_mcu[c]):
+                _encode_block(zzl[c][m * blocks_per_mcu[c] + j], c, prev_dc,
+                              dc_codes, dc_lens, ac_codes, ac_lens,
+                              codes2, lens2)
+    packed = [_pack_bits(np.asarray(cs, dtype=np.uint64),
+                         np.asarray(ls, dtype=np.uint8))
+              for cs, ls in seg_syms]
+    scan = packed[0]
+    for i, seg in enumerate(packed[1:]):
+        scan += bytes([0xFF, 0xD0 + (i % 8)]) + seg
 
     # --- container ---
     out = bytearray(b"\xff\xd8")  # SOI
@@ -383,16 +410,55 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 98) -> bytes:
         payload = bytes([tid]) + bytes(int(v) for v in q[ZIGZAG])
         out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
     sof = (b"\x08" + struct.pack(">HH", h, w) + b"\x03"
-           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+           + bytes([1, samp[0], 0]) + bytes([2, samp[1], 1])
+           + bytes([3, samp[2], 1]))
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     for tc, th in ((0, 0), (1, 0), (0, 1), (1, 1)):
         out += _dht_segment(tc, th)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = (b"\x03" + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
            + bytes([0, 63, 0]))
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_block(row: list, c: int, prev_dc: list,
+                  dc_codes, dc_lens, ac_codes, ac_lens,
+                  codes2: list, lens2: list) -> None:
+    """Entropy-encode one zigzag block (plain-int list) into the symbol
+    stream, updating component c's DC predictor."""
+    dc = row[0]
+    diff = dc - prev_dc[c]
+    prev_dc[c] = dc
+    s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+    codes2.append(dc_codes[s])
+    lens2.append(dc_lens[s])
+    if s:
+        codes2.append(diff if diff >= 0 else diff + (1 << s) - 1)
+        lens2.append(s)
+    prev = 1
+    for idx in range(1, 64):
+        v = row[idx]
+        if v == 0:
+            continue
+        run = idx - prev
+        while run >= 16:
+            codes2.append(ac_codes[0xF0])
+            lens2.append(ac_lens[0xF0])
+            run -= 16
+        sv = v.bit_length() if v > 0 else (-v).bit_length()
+        sym = (run << 4) | sv
+        codes2.append(ac_codes[sym])
+        lens2.append(ac_lens[sym])
+        codes2.append(v if v >= 0 else v + (1 << sv) - 1)
+        lens2.append(sv)
+        prev = idx + 1
+    if prev != 64:
+        codes2.append(ac_codes[0x00])
+        lens2.append(ac_lens[0x00])
 
 
 # --- decoder ---------------------------------------------------------------------
@@ -429,12 +495,72 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _decode_block(rd: _BitReader, htabs: dict, scan_tab: tuple,
+                  pred: list, c: int, block: np.ndarray) -> None:
+    """Huffman-decode one block's coefficients into ``block`` (zigzag
+    order), updating component c's DC predictor."""
+    dc_sym, dc_len = htabs[(0, scan_tab[0])]
+    ac_sym, ac_len = htabs[(1, scan_tab[1])]
+    look = rd.peek16()
+    s = dc_sym[look]
+    ln = dc_len[look]
+    if ln == 0:
+        raise ValueError("invalid DC Huffman code")
+    rd.skip(ln)
+    diff = _extend(rd.take(s), s) if s else 0
+    pred[c] += diff
+    block[0] = pred[c]
+    k = 1
+    while k < 64:
+        look = rd.peek16()
+        sym = ac_sym[look]
+        ln = ac_len[look]
+        if ln == 0:
+            raise ValueError("invalid AC Huffman code")
+        rd.skip(ln)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        block[k] = _extend(rd.take(size), size)
+        k += 1
+
+
+def _split_scan(raw: np.ndarray) -> list[bytes]:
+    """Split entropy bytes into restart segments: unstuff FF00->FF, break
+    at RSTn (FFD0-FFD7), stop at any other real marker (e.g. EOI)."""
+    segments: list[bytes] = []
+    start = 0
+    ff = np.flatnonzero(raw == 0xFF)
+    for f in ff:
+        if f < start:
+            continue
+        nxt = int(raw[f + 1]) if f + 1 < len(raw) else 0xD9
+        if nxt == 0x00:
+            continue  # stuffed data byte
+        segments.append(raw[start:f].tobytes().replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:  # restart marker: next segment follows
+            start = f + 2
+            continue
+        return segments  # real marker terminates the scan
+    segments.append(raw[start:].tobytes().replace(b"\xff\x00", b"\xff"))
+    return segments
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB.
 
-    Supports the subset this encoder emits plus standard variation: any
-    quant/Huffman tables carried in DQT/DHT, 8-bit 3-component SOF0 at
-    4:4:4, single interleaved scan, no restart markers.
+    Supports standard baseline variation: any quant/Huffman tables carried
+    in DQT/DHT, 8-bit 3-component SOF0 with arbitrary sampling factors
+    (4:4:4, 4:2:0, 4:2:2, ...), single interleaved scan, DRI/RSTn restart
+    intervals. Progressive/arithmetic (SOF2/SOF9...) are rejected.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -442,7 +568,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple, tuple] = {}
     h = w = 0
+    dri = 0
     comp_q: list[int] = []
+    comp_samp: list[tuple] = []   # (hi, vi) per component
     scan_tabs: list[tuple] = []
     scan_start = -1
     while pos < len(data):
@@ -482,9 +610,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("only 3-component JPEG supported")
             for c in range(3):
                 cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 sampling supported")
+                comp_samp.append((samp >> 4, samp & 0xF))
                 comp_q.append(tq)
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", payload[:2])
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF unsupported")
@@ -498,70 +627,55 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         pos += 2 + seglen
     if scan_start < 0 or not h:
         raise ValueError("truncated JPEG (no SOS/SOF)")
+    for hi, vi in comp_samp:
+        if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+            raise ValueError(f"unsupported sampling factor {(hi, vi)}")
 
-    # unstuff: FF00 -> FF; scan ends at the next real marker (EOI)
-    raw = data[scan_start:]
-    end = len(raw)
-    arr = np.frombuffer(raw, dtype=np.uint8)
-    ff = np.flatnonzero(arr == 0xFF)
-    stop = end
-    for f in ff:
-        nxt = arr[f + 1] if f + 1 < end else 0xD9
-        if nxt not in (0x00,):  # a real marker terminates the scan
-            stop = f
-            break
-    body = arr[:stop].tobytes().replace(b"\xff\x00", b"\xff")
-    rd = _BitReader(body)
+    segments = _split_scan(np.frombuffer(data[scan_start:], dtype=np.uint8))
+    rd = _BitReader(segments[0])
+    seg_idx = 0
 
-    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
-    n = (bw // 8) * (bh // 8)
-    coef = [np.zeros((n, 64), dtype=np.float64) for _ in range(3)]
+    hmax = max(hi for hi, _ in comp_samp)
+    vmax = max(vi for _, vi in comp_samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component block grids (mcuy*vi rows x mcux*hi cols of blocks)
+    grid_w = [mcux * hi for hi, _ in comp_samp]
+    grid_h = [mcuy * vi for _, vi in comp_samp]
+    coef = [np.zeros((grid_h[c] * grid_w[c], 64), dtype=np.float64)
+            for c in range(3)]
     pred = [0, 0, 0]
-    for m in range(n):
+    for m in range(mcuy * mcux):
+        if dri and m and m % dri == 0:  # restart: new segment, reset DC
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            rd = _BitReader(segments[seg_idx])
+            pred = [0, 0, 0]
+        my, mx = divmod(m, mcux)
         for c in range(3):
-            dc_sym, dc_len = htabs[(0, scan_tabs[c][0])]
-            ac_sym, ac_len = htabs[(1, scan_tabs[c][1])]
-            look = rd.peek16()
-            s = dc_sym[look]
-            ln = dc_len[look]
-            if ln == 0:
-                raise ValueError("invalid DC Huffman code")
-            rd.skip(ln)
-            diff = _extend(rd.take(s), s) if s else 0
-            pred[c] += diff
-            block = coef[c][m]
-            block[0] = pred[c]
-            k = 1
-            while k < 64:
-                look = rd.peek16()
-                sym = ac_sym[look]
-                ln = ac_len[look]
-                if ln == 0:
-                    raise ValueError("invalid AC Huffman code")
-                rd.skip(ln)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                block[k] = _extend(rd.take(size), size)
-                k += 1
+            hi, vi = comp_samp[c]
+            for by in range(vi):
+                for bx in range(hi):
+                    bidx = (my * vi + by) * grid_w[c] + (mx * hi + bx)
+                    _decode_block(rd, htabs, scan_tabs[c], pred, c,
+                                  coef[c][bidx])
 
     planes = []
     for c in range(3):
+        hi, vi = comp_samp[c]
         q = qtabs[comp_q[c]].astype(np.float64)
         nat = np.empty_like(coef[c])
         nat[:, ZIGZAG] = coef[c]  # zigzag position k -> natural ZIGZAG[k]
         blocks = idct2_blocks((nat * q).reshape(-1, 8, 8))
-        plane = (blocks.reshape(bh // 8, bw // 8, 8, 8)
+        plane = (blocks.reshape(grid_h[c], grid_w[c], 8, 8)
                  .transpose(0, 2, 1, 3)
-                 .reshape(bh, bw))
-        planes.append(plane + 128.0)
+                 .reshape(grid_h[c] * 8, grid_w[c] * 8))
+        # upsample subsampled chroma back to full resolution (sample-hold)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        planes.append(plane[:mcuy * vmax * 8, :mcux * hmax * 8] + 128.0)
     ycc = np.stack(planes, axis=-1)[:h, :w]
     return ycbcr_to_rgb(ycc)

@@ -135,3 +135,49 @@ def test_decoder_rejects_garbage():
         jc.jpeg_decode(b"not a jpeg")
     with pytest.raises(ValueError):
         jc.jpeg_decode(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF/SOS
+
+
+# --- 4:2:0 subsampling and restart intervals ---------------------------------------
+
+def _smooth(w, h):
+    ys, xs = np.mgrid[0:h, 0:w]
+    return np.stack([(ys * 2) % 256, (xs * 3) % 256, (ys + xs) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("w,h", [(48, 64), (15, 9), (17, 33)])
+def test_420_roundtrip_on_smooth_content(w, h):
+    px = _smooth(w, h)
+    b = jc.jpeg_encode(px, 95, subsampling="420")
+    sof = b.index(b"\xff\xc0")
+    assert b[sof + 11] == 0x22  # Y sampling 2x2
+    out = jc.jpeg_decode(b)
+    assert out.shape == px.shape
+    assert psnr(px, out) >= 35.0  # chroma subsampled: below the 444 gate
+
+
+def test_420_is_smaller_than_444():
+    px = _smooth(64, 64)
+    assert len(jc.jpeg_encode(px, 95, subsampling="420")) < len(
+        jc.jpeg_encode(px, 95, subsampling="444"))
+
+
+@pytest.mark.parametrize("dri", [1, 3, 7])
+def test_restart_interval_stream_decodes_identically(dri):
+    px = make_pixels(3, 100, 52)
+    b = jc.jpeg_encode(px, restart_interval=dri)
+    assert b"\xff\xdd" in b  # DRI marker present
+    assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+    assert np.array_equal(jc.jpeg_decode(b),
+                          jc.jpeg_decode(jc.jpeg_encode(px)))
+
+
+def test_420_with_restarts():
+    px = _smooth(48, 48)
+    b = jc.jpeg_encode(px, 95, subsampling="420", restart_interval=2)
+    assert psnr(px, jc.jpeg_decode(b)) >= 35.0
+
+
+def test_unknown_subsampling_rejected():
+    with pytest.raises(ValueError):
+        jc.jpeg_encode(make_pixels(1, 8, 8), subsampling="411")
