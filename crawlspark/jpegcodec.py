@@ -579,7 +579,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        if seglen < 2:
+            raise ValueError("invalid marker segment length")
         payload = data[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             off = 0
@@ -605,6 +612,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 off += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack(">HH", payload[1:5])
+            if not h or not w or h * w > (1 << 26):  # corrupt-SOF bound
+                raise ValueError(f"implausible dimensions {w}x{h}")
             ncomp = payload[5]
             if ncomp != 3:
                 raise ValueError("only 3-component JPEG supported")

@@ -181,3 +181,42 @@ def test_420_with_restarts():
 def test_unknown_subsampling_rejected():
     with pytest.raises(ValueError):
         jc.jpeg_encode(make_pixels(1, 8, 8), subsampling="411")
+
+
+def test_decoder_survives_corrupted_streams():
+    # a crawler feeds the decoder arbitrary bytes: every corruption must
+    # either decode (benign bit damage) or raise — bounded time, no hangs.
+    base = bytearray(jc.jpeg_encode(make_pixels(7, 48, 32)))
+    rng = np.random.default_rng(23)
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(200):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            buf[int(rng.integers(2, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = jc.jpeg_decode(bytes(buf))
+            assert isinstance(out, np.ndarray) and out.ndim == 3
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 200
+
+
+def test_decoder_truncation_never_hangs():
+    b = jc.jpeg_encode(make_pixels(2, 32, 32))
+    for cut in range(2, len(b), max(1, len(b) // 64)):
+        try:
+            jc.jpeg_decode(b[:cut])
+        except Exception:
+            pass
+
+
+def test_decoder_rejects_implausible_dimensions():
+    # hand-build SOI + SOF0 declaring 65535x65535
+    import struct as _s
+    sof = (b"\x08" + b"\xff\xff\xff\xff" + b"\x03"
+           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    data = (b"\xff\xd8\xff\xc0" + _s.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        jc.jpeg_decode(data)
