@@ -461,6 +461,44 @@ def _encode_block(row: list, c: int, prev_dc: list,
         lens2.append(ac_lens[0x00])
 
 
+def jpeg_encode_gray(gray: np.ndarray, quality: int = 98) -> bytes:
+    """(h, w) uint8 grayscale -> 1-component baseline JFIF bytes (the other
+    common wild layout; jpeg_decode returns it replicated to RGB)."""
+    h, w = gray.shape
+    qy = quality_scale(_Q_LUMA, quality)
+    plane = gray.astype(np.float64) - 128.0
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    zz = _quantized_zigzag(plane, qy).tolist()
+    codes2: list[int] = []
+    lens2: list[int] = []
+    prev_dc = [0]
+    dc = _ENC[(0, 0)]
+    ac = _ENC[(1, 0)]
+    dc_codes, dc_lens = dc[0].tolist(), dc[1].tolist()
+    ac_codes, ac_lens = ac[0].tolist(), ac[1].tolist()
+    for row in zz:
+        _encode_block(row, 0, prev_dc, dc_codes, dc_lens, ac_codes, ac_lens,
+                      codes2, lens2)
+    scan = _pack_bits(np.asarray(codes2, dtype=np.uint64),
+                      np.asarray(lens2, dtype=np.uint8))
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    payload = bytes([0]) + bytes(int(v) for v in qy[ZIGZAG])
+    out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, th in ((0, 0), (1, 0)):
+        out += _dht_segment(tc, th)
+    sos = b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ---------------------------------------------------------------------
 
 class _BitReader:
@@ -615,9 +653,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if not h or not w or h * w > (1 << 26):  # corrupt-SOF bound
                 raise ValueError(f"implausible dimensions {w}x{h}")
             ncomp = payload[5]
-            if ncomp != 3:
-                raise ValueError("only 3-component JPEG supported")
-            for c in range(3):
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
+            for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
                 comp_samp.append((samp >> 4, samp & 0xF))
                 comp_q.append(tq)
@@ -651,18 +689,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     # per-component block grids (mcuy*vi rows x mcux*hi cols of blocks)
     grid_w = [mcux * hi for hi, _ in comp_samp]
     grid_h = [mcuy * vi for _, vi in comp_samp]
+    ncomp = len(comp_samp)
     coef = [np.zeros((grid_h[c] * grid_w[c], 64), dtype=np.float64)
-            for c in range(3)]
-    pred = [0, 0, 0]
+            for c in range(ncomp)]
+    pred = [0] * ncomp
     for m in range(mcuy * mcux):
         if dri and m and m % dri == 0:  # restart: new segment, reset DC
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("missing restart segment")
             rd = _BitReader(segments[seg_idx])
-            pred = [0, 0, 0]
+            pred = [0] * ncomp
         my, mx = divmod(m, mcux)
-        for c in range(3):
+        for c in range(ncomp):
             hi, vi = comp_samp[c]
             for by in range(vi):
                 for bx in range(hi):
@@ -671,7 +710,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                                   coef[c][bidx])
 
     planes = []
-    for c in range(3):
+    for c in range(ncomp):
         hi, vi = comp_samp[c]
         q = qtabs[comp_q[c]].astype(np.float64)
         nat = np.empty_like(coef[c])
@@ -686,5 +725,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if vi < vmax:
             plane = np.repeat(plane, vmax // vi, axis=0)
         planes.append(plane[:mcuy * vmax * 8, :mcux * hmax * 8] + 128.0)
+    if ncomp == 1:  # grayscale: Y replicated to RGB
+        g = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=-1)
     ycc = np.stack(planes, axis=-1)[:h, :w]
     return ycbcr_to_rgb(ycc)

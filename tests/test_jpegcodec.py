@@ -220,3 +220,16 @@ def test_decoder_rejects_implausible_dimensions():
             + b"\xff\xd9")
     with pytest.raises(ValueError):
         jc.jpeg_decode(data)
+
+
+def test_grayscale_single_component_roundtrip():
+    gray = (make_pixels(6, 40, 24).astype(np.float64)
+            @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+    b = jc.jpeg_encode_gray(gray)
+    sof = b.index(b"\xff\xc0")
+    assert b[sof + 9] == 1  # 1 component
+    out = jc.jpeg_decode(b)
+    assert out.shape == (24, 40, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.array_equal(out[..., 0], out[..., 2])
+    assert psnr(np.repeat(gray[..., None], 3, -1), out) >= 40.0
