@@ -1,0 +1,177 @@
+"""Property-based tests (hypothesis) over the pure-Python kernels.
+
+The reference pins these semantics with table-driven Go tests; properties
+generalize those tables: idempotence/normal-form laws for URL
+canonicalization, an independent brute-force mirror for REP longest-match,
+glob-vs-fnmatch agreement, codec round-trip laws, and a bit-exact unpack
+mirror for the JPEG Huffman bit packer. No SparkSession needed — the same
+functions run inside the Arrow UDFs, so laws proven here hold on-cluster.
+
+derandomize=True: a flaky CI failure costs more than exhaustive novelty;
+the example databases still grow per run.
+"""
+
+import fnmatch
+import re
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from crawlspark.frontier.robots import rule_allows
+from crawlspark.imaging import (hamming64, make_pixels, phash64, png_decode,
+                                png_encode, psnr)
+from crawlspark.jpegcodec import _pack_bits, jpeg_decode, jpeg_encode
+from crawlspark.operators.extract import glob_to_regex
+from crawlspark.urltools import canonicalize
+
+SET = settings(derandomize=True, max_examples=200, deadline=None)
+
+# --- URL canonicalization -------------------------------------------------------
+
+_url_text = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00\r\n"),
+    max_size=40)
+_hosts = st.from_regex(r"[a-z]{1,10}(\.[a-z]{1,8}){1,2}", fullmatch=True)
+_paths = st.from_regex(r"(/[a-zA-Z0-9._~-]{0,8}){0,4}", fullmatch=True)
+_query_pairs = st.lists(
+    st.tuples(st.from_regex(r"[a-z]{1,5}", fullmatch=True),
+              st.from_regex(r"[a-zA-Z0-9]{0,6}", fullmatch=True)),
+    max_size=5)
+
+
+@SET
+@given(_url_text)
+def test_canonicalize_never_crashes_and_is_idempotent(u):
+    c = canonicalize(u)
+    if c is not None:
+        assert canonicalize(c) == c  # canonical form is a fixed point
+        assert c.startswith(("http://", "https://"))
+        assert "#" not in c  # fragments always stripped
+
+
+@SET
+@given(_hosts, _paths, _query_pairs)
+def test_canonicalize_query_order_invariance(host, path, pairs):
+    from urllib.parse import urlencode
+    base = f"http://{host}{path or '/'}"
+    a = canonicalize(base + ("?" + urlencode(pairs) if pairs else ""))
+    b = canonicalize(base + ("?" + urlencode(pairs[::-1]) if pairs else ""))
+    if all(k != k2 for i, (k, _) in enumerate(pairs)
+           for k2, _ in pairs[i + 1:]):  # duplicate keys keep insert order
+        assert a == b
+
+
+@SET
+@given(_hosts, _paths)
+def test_canonicalize_default_port_dropped(host, path):
+    with_port = canonicalize(f"http://{host}:80{path or '/'}")
+    without = canonicalize(f"http://{host}{path or '/'}")
+    assert with_port == without
+    odd = canonicalize(f"http://{host}:8080{path or '/'}")
+    assert f":8080" in odd
+
+
+# --- REP longest-match ------------------------------------------------------------
+
+_rep_patterns = st.from_regex(r"/[a-z*]{0,6}\$?", fullmatch=True)
+_rep_rules = st.lists(st.tuples(st.booleans(), _rep_patterns), max_size=6)
+_rep_paths = st.from_regex(r"(/[a-z]{0,5}){1,3}", fullmatch=True)
+
+
+def _brute_rep(path: str, rules):
+    """Independent mirror: expand '*' via greedy regex, pick the longest
+    matching pattern, allow wins ties, empty ruleset allows."""
+    candidates = []
+    for allow, pattern in rules:
+        anchored = pattern.endswith("$")
+        core = pattern[:-1] if anchored else pattern
+        rx = "^" + "".join(".*" if ch == "*" else re.escape(ch)
+                           for ch in core) + ("$" if anchored else "")
+        if re.match(rx, path):
+            candidates.append((len(pattern), allow))
+    if not candidates:
+        return True
+    best = max(c[0] for c in candidates)
+    return any(a for ln, a in candidates if ln == best)
+
+
+@SET
+@given(_rep_paths, _rep_rules)
+def test_rep_longest_match_agrees_with_bruteforce(path, rules):
+    assert rule_allows(path, rules) == _brute_rep(path, rules)
+
+
+# --- glob → regex -------------------------------------------------------------------
+
+_glob = st.from_regex(r"[a-z*?.]{0,10}", fullmatch=True)
+_name = st.from_regex(r"[a-z.]{0,10}", fullmatch=True)
+
+
+@SET
+@given(_glob, _name)
+def test_glob_to_regex_agrees_with_fnmatch(pattern, name):
+    ours = re.fullmatch(glob_to_regex(pattern), name) is not None
+    assert ours == fnmatch.fnmatchcase(name, pattern)
+
+
+# --- codecs ---------------------------------------------------------------------------
+
+_imgs = st.tuples(st.integers(1, 24), st.integers(1, 24), st.integers(0, 10))
+
+
+@SET
+@given(_imgs)
+def test_png_roundtrip_exact(dims):
+    w, h, seed = dims
+    px = make_pixels(seed, w, h)
+    assert np.array_equal(png_decode(png_encode(px)), px)
+
+
+@settings(derandomize=True, max_examples=25, deadline=None)
+@given(_imgs)
+def test_jpeg_roundtrip_shape_determinism_and_sane_psnr(dims):
+    w, h, seed = dims
+    px = make_pixels(seed, w, h)
+    b = jpeg_encode(px)
+    assert b == jpeg_encode(px)
+    out = jpeg_decode(b)
+    assert out.shape == px.shape
+    p = psnr(px, out)
+    assert p == float("inf") or p >= 35.0  # corpus-style content: ~43 dB
+
+
+@SET
+@given(st.integers(0, 50), st.integers(0, 50))
+def test_phash_metric_properties(i, j):
+    a = phash64(make_pixels(i, 32, 32))
+    b = phash64(make_pixels(j, 32, 32))
+    assert hamming64(a, a) == 0
+    assert hamming64(a, b) == hamming64(b, a)
+    assert 0 <= hamming64(a, b) <= 64
+    if i == j:
+        assert a == b
+
+
+# --- JPEG bit packer ---------------------------------------------------------------------
+
+_symbols = st.lists(
+    st.integers(1, 16).flatmap(
+        lambda ln: st.tuples(st.integers(0, (1 << ln) - 1), st.just(ln))),
+    min_size=0, max_size=64)
+
+
+@SET
+@given(_symbols)
+def test_pack_bits_unpacks_exactly(pairs):
+    codes = np.asarray([c for c, _ in pairs], dtype=np.uint64)
+    lens = np.asarray([ln for _, ln in pairs], dtype=np.uint8)
+    packed = _pack_bits(codes, lens)
+    # independent unpacker: unstuff, then read MSB-first
+    body = packed.replace(b"\xff\x00", b"\xff")
+    bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
+    pos = 0
+    for c, ln in pairs:
+        got = int("".join(map(str, bits[pos:pos + ln])), 2) if ln else 0
+        assert got == c, (pairs,)
+        pos += ln
+    assert np.all(bits[pos:] == 1)  # 1-padding to the byte boundary
