@@ -974,6 +974,28 @@ FROM f
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch over document texts: one map pass keeps
+    each partition's k smallest distinct xxhash64 values; the driver merges
+    P*k longs. Deterministic (min-k of a hash SET), so the pure-Python
+    mirror (pyref.py_kmv, bit-equal xxh64) reproduces the estimate exactly
+    — a sketch with an EXACT oracle, no tolerance band."""
+    _ensure_oracle_files()
+    from crawlspark.functions.sketch import kmv_distinct
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_distinct(docs, "text", k=256)
+
+
+def q_kmv_by_type(spark, sf_dir):
+    """Per-group KMV: distinct user_ids per event_type. One shuffle of
+    distinct (key, hash) pairs + a sort-based window keeping k smallest per
+    key — no per-key buffer, no full-row shuffle."""
+    _ensure_oracle_files()
+    from crawlspark.functions.sketch import kmv_distinct_by
+    events = _t(spark, sf_dir, "events")
+    return kmv_distinct_by(events, "event_type", "user_id", k=64)
+
+
 def q_lang_id(spark, sf_dir):
     from crawlspark.functions.text import lang_id
     docs = _t(spark, sf_dir, "documents")
@@ -1262,6 +1284,14 @@ def _ensure_oracle_files() -> None:
     write("ann_ivf_cands", pd.DataFrame(
         pyref.py_ivf_topk_candidates(queries, emb_rows),
         columns=["query_id", "neighbor_id", "cosine_raw"]))
+
+    # KMV sketches: exact mirrors (bit-equal xxh64, min-k of a set)
+    write("kmv_distinct", pd.DataFrame(
+        [pyref.py_kmv([t for _, t in doc_rows], k=256)]))
+    ev = pd.read_parquet(os.path.join(_SF_CORRECTNESS, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    write("kmv_by_type", pd.DataFrame(pyref.py_kmv_by(
+        list(zip(ev["event_type"], ev["user_id"].astype(int))), k=64)))
 
     # the sequential crawl oracle's fetch_log (t1 graph, k=100, 2 rounds —
     # exactly the flagship entry() run)
@@ -1613,6 +1643,17 @@ r AS (
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 """
 
+SQL_KMV_DISTINCT = f"""
+SELECT CAST(k_used AS INTEGER) AS k_used, CAST(n_mins AS INTEGER) AS n_mins,
+       kth_hash, est_distinct
+FROM read_parquet('{_ORACLE_DIR}/kmv_distinct.parquet')
+"""
+
+SQL_KMV_BY_TYPE = f"""
+SELECT key, CAST(n_mins AS INTEGER) AS n_mins, kth_hash, est_distinct
+FROM read_parquet('{_ORACLE_DIR}/kmv_by_type.parquet')
+"""
+
 SQL_CRAWL_FETCH_LOG = f"""
 SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
 FROM read_parquet('{_ORACLE_DIR}/crawl_fetch_log.parquet')
@@ -1704,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_by_type": q_kmv_by_type,
         "fingerprint": q_fingerprint,
         # dedup
         "exact_dedup": q_exact_dedup,
@@ -1773,6 +1816,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "text_quality": SQL_TEXT_QUALITY,
         "lang_id": SQL_LANG_ID,
+        "kmv_distinct": SQL_KMV_DISTINCT,
+        "kmv_by_type": SQL_KMV_BY_TYPE,
         "fingerprint": SQL_FINGERPRINT,
         "exact_dedup": SQL_EXACT_DEDUP,
         "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,

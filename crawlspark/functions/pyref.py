@@ -328,3 +328,44 @@ def py_ivf_topk_candidates(queries: list[tuple[int, list[float]]],
                         "neighbor_id": c_ids[cpos],
                         "cosine_raw": _cosine(q_mat[qpos], c_mat[cpos])})
     return out
+
+
+def py_kmv(values: list[str], k: int = 256) -> dict:
+    """Mirror sketch.kmv_distinct over string values: k smallest distinct
+    unsigned xxh64 hashes (JVM-bit-equal via crawlspark.hashing)."""
+    from ..hashing import xxh64_str
+    mask = (1 << 64) - 1
+    mins = sorted({xxh64_str(v) & mask for v in values})[:k]
+    if len(mins) < k:
+        est = len(mins)
+        kth = -1
+    else:
+        u_k = float(mins[k - 1]) / float(1 << 64)
+        est = int((k - 1) / u_k)
+        kth = mins[k - 1] - (1 << 64) if mins[k - 1] >= (1 << 63) \
+            else mins[k - 1]
+    return {"k_used": k, "n_mins": len(mins), "kth_hash": kth,
+            "est_distinct": est}
+
+
+def py_kmv_by(pairs: list[tuple[str, int]], k: int = 64) -> list[dict]:
+    """Mirror sketch.kmv_distinct_by over (key, int64 value) pairs."""
+    from ..hashing import xxh64
+    mask = (1 << 64) - 1
+    by_key: dict[str, set] = {}
+    for key, v in pairs:
+        h = xxh64(int(v).to_bytes(8, "little", signed=True)) & mask
+        by_key.setdefault(key, set()).add(h)
+    out = []
+    for key in sorted(by_key):
+        mins = sorted(by_key[key])[:k]
+        if len(mins) < k:
+            est, kth = len(mins), -1
+        else:
+            u_kd = float(mins[k - 1])
+            est = int((k - 1) // (u_kd / float(1 << 64)))
+            kth = mins[k - 1] - (1 << 64) if mins[k - 1] >= (1 << 63) \
+                else mins[k - 1]
+        out.append({"key": key, "n_mins": len(mins), "kth_hash": kth,
+                    "est_distinct": est})
+    return out

@@ -1,7 +1,10 @@
 """Assemble scaling-trial JSONL (scripts/scaling_trial.py) into
 BENCH_SCALING.json: best-of per level + efficiency vs the ≥0.8 bar.
 
-Usage: python scripts/scaling_report.py <trials.jsonl> <lo_cores> <hi_cores>
+Usage: python scripts/scaling_report.py <trials.jsonl> <lo> <hi> [n_rows]
+
+n_rows filters to one job size when the JSONL mixes sizes — best-of across
+different n would compare different jobs.
 """
 
 from __future__ import annotations
@@ -11,12 +14,14 @@ import sys
 
 PATH = sys.argv[1]
 LO, HI = int(sys.argv[2]), int(sys.argv[3])
+N_FILTER = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
 trials = {LO: [], HI: []}
 with open(PATH) as f:
     for line in f:
         r = json.loads(line)
-        if r.get("cores") in trials:
+        if r.get("cores") in trials and (
+                N_FILTER is None or r.get("n_frontier") == N_FILTER):
             trials[r["cores"]].append(r)
 
 best = {c: max(rs, key=lambda r: r["urls_per_sec"]) for c, rs in trials.items()}

@@ -201,3 +201,30 @@ def test_ivf_train_is_deterministic():
     b = similarity.ivf_train(sample.copy(), n_cells=4)
     assert np.array_equal(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_kmv_distinct_accuracy_and_exact_regime(spark):
+    from crawlspark.functions import sketch
+    # n >> k: estimate within the ~1/sqrt(k) relative-error envelope
+    df = spark.range(0, 20000).select(
+        F.concat(F.lit("v"), (F.col("id") % 5000).cast("string"))
+        .alias("val"))
+    row = sketch.kmv_distinct(df, "val", k=256).collect()[0]
+    assert abs(row["est_distinct"] - 5000) / 5000 < 0.2, row
+    # distinct < k: the sketch holds everything — exact, kth_hash sentinel
+    small = spark.range(0, 100).select(F.col("id").cast("string")
+                                       .alias("val"))
+    row = sketch.kmv_distinct(small, "val", k=256).collect()[0]
+    assert row["est_distinct"] == 100 and row["kth_hash"] == -1
+
+
+def test_kmv_by_key_matches_single_sketch(spark):
+    from crawlspark.functions import sketch
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).cast("string").alias("key"),
+        (F.col("id") % 900).alias("val"))
+    rows = {r["key"]: r for r in
+            sketch.kmv_distinct_by(df, "key", "val", k=64).collect()}
+    assert set(rows) == {"0", "1", "2"}
+    for r in rows.values():  # each key sees 300 distinct vals, k=64 << 300
+        assert abs(r["est_distinct"] - 300) / 300 < 0.35, r
