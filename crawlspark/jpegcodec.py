@@ -499,6 +499,223 @@ def jpeg_encode_gray(gray: np.ndarray, quality: int = 98) -> bytes:
     return bytes(out)
 
 
+# --- progressive encoder (T.81 G.1, SOF2) ------------------------------------------
+
+# default scan script (4:4:4): spectral selection + successive approximation,
+# covering every decode path: DC first (Al=1) + DC refine, AC first at two
+# point transforms, AC refine with EOBRUN/ZRL/correction bits.
+_PROG_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+class _ProgAcState:
+    """Per-scan EOBRUN + buffered correction bits (spec G.1.2.3): the bits
+    a decoder consumes while sweeping EOB-covered block remainders."""
+
+    __slots__ = ("eobrun", "be", "codes", "lens", "ac_codes", "ac_lens")
+
+    def __init__(self, ac_tab):
+        self.eobrun = 0
+        self.be: list[int] = []
+        self.codes: list[int] = []
+        self.lens: list[int] = []
+        self.ac_codes, self.ac_lens = ac_tab
+
+    def emit(self, code: int, ln: int) -> None:
+        self.codes.append(code)
+        self.lens.append(ln)
+
+    def emit_sym(self, sym: int) -> None:
+        self.emit(int(self.ac_codes[sym]), int(self.ac_lens[sym]))
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_sym(nbits << 4)
+            if nbits:
+                self.emit(self.eobrun - (1 << nbits), nbits)
+            for b in self.be:
+                self.emit(b, 1)
+            self.eobrun = 0
+            self.be = []
+
+    def bump_eobrun(self, tail_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.be.extend(tail_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _enc_ac_first_block(row: list, ss: int, se: int, al: int,
+                        st: _ProgAcState) -> None:
+    vals = []
+    for k in range(ss, se + 1):
+        v = row[k]
+        t = (v if v >= 0 else -v) >> al
+        vals.append(t if v >= 0 else -t)
+    if not any(vals):
+        st.bump_eobrun([])
+        return
+    st.flush_eobrun()
+    r = 0
+    last_nz = max(i for i, t in enumerate(vals) if t)
+    for i, v in enumerate(vals):
+        if i > last_nz:
+            break
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            st.emit_sym(0xF0)  # ZRL
+            r -= 16
+        t = v if v > 0 else -v
+        s = t.bit_length()
+        st.emit_sym((r << 4) | s)
+        st.emit(t if v > 0 else (1 << s) - 1 - t, s)
+        r = 0
+    if last_nz < se - ss:
+        st.bump_eobrun([])
+
+
+def _enc_ac_refine_block(row: list, ss: int, se: int, al: int,
+                         st: _ProgAcState) -> None:
+    """Emit exactly the bits the refinement decoder consumes, in its
+    traversal order: symbols advance past zero-HISTORY slots, correction
+    bits ride along for every nonzero-history slot passed."""
+    band = list(range(ss, se + 1))
+    absv = []
+    for k in band:
+        v = row[k]
+        absv.append(((v if v >= 0 else -v) >> al, v > 0))
+    newly = [i for i, (t, _pos) in enumerate(absv) if t == 1]
+    if not newly:
+        st.bump_eobrun([t & 1 for t, _pos in absv if t > 1])
+        return
+    st.flush_eobrun()
+    cur = 0  # index into band
+    for p in newly:
+        # zero-history count between cur and p
+        r = sum(1 for i in range(cur, p) if absv[i][0] == 0)
+        while r > 15:
+            # ZRL: decoder consumes 16 zero-history slots from cur,
+            # reading correction bits at nonzero-history slots passed
+            st.emit_sym(0xF0)
+            zeros = 0
+            while zeros < 16:
+                t = absv[cur][0]
+                if t == 0:
+                    zeros += 1
+                elif t > 1:
+                    st.emit(t & 1, 1)
+                cur += 1
+            r -= 16
+        st.emit_sym((r << 4) | 1)
+        st.emit(1 if absv[p][1] else 0, 1)  # sign of the new coefficient
+        for i in range(cur, p):  # correction bits of >1 slots passed
+            if absv[i][0] > 1:
+                st.emit(absv[i][0] & 1, 1)
+        cur = p + 1
+    tail = [absv[i][0] & 1 for i in range(cur, len(band))
+            if absv[i][0] > 1]
+    if cur < len(band):
+        st.bump_eobrun(tail)
+    elif tail:
+        raise AssertionError("unreachable: tail bits without tail slots")
+
+
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 98) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes, 4:4:4.
+
+    Same quantized coefficients as jpeg_encode at the same quality — the
+    entropy layout changes, the reconstruction does not, so
+    jpeg_decode(progressive) == jpeg_decode(baseline) bit-exactly (the
+    equivalence the tests pin)."""
+    h, w, _ = pixels.shape
+    qy = quality_scale(_Q_LUMA, quality)
+    qc = quality_scale(_Q_CHROMA, quality)
+    ycc = rgb_to_ycbcr(pixels) - np.array([128.0, 128.0, 128.0])
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    zz = [_quantized_zigzag(ycc[:, :, c], q).tolist()
+          for c, q in ((0, qy), (1, qc), (2, qc))]
+    n = len(zz[0])
+
+    enc = {c: _ENC[(0, 0) if c == 0 else (0, 1)] for c in range(3)}
+    enc_ac = {c: _ENC[(1, 0) if c == 0 else (1, 1)] for c in range(3)}
+    dc_tab_id = [0, 1, 1]
+    ac_tab_id = [0, 1, 1]
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    for tid, q in ((0, qy), (1, qc)):
+        payload = bytes([tid]) + bytes(int(v) for v in q[ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+    sof = (b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    for tc, th in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        out += _dht_segment(tc, th)
+
+    for comps, ss, se, ah, al in _PROG_SCRIPT:
+        codes: list[int] = []
+        lens: list[int] = []
+        if ss == 0:  # DC scan (interleaved over comps)
+            if ah == 0:
+                prev = {c: 0 for c in comps}
+                for m in range(n):
+                    for c in comps:
+                        dc_codes, dc_lens = enc[c]
+                        v = zz[c][m][0] >> al  # arithmetic: matches decode
+                        diff = v - prev[c]
+                        prev[c] = v
+                        s = (diff.bit_length() if diff >= 0
+                             else (-diff).bit_length())
+                        codes.append(int(dc_codes[s]))
+                        lens.append(int(dc_lens[s]))
+                        if s:
+                            codes.append(diff if diff >= 0
+                                         else diff + (1 << s) - 1)
+                            lens.append(s)
+            else:  # DC refinement: one raw bit per block, no tables
+                for m in range(n):
+                    for c in comps:
+                        codes.append((zz[c][m][0] >> al) & 1)
+                        lens.append(1)
+        else:  # AC scan: single component
+            c = comps[0]
+            st = _ProgAcState(enc_ac[c])
+            for m in range(n):
+                if ah == 0:
+                    _enc_ac_first_block(zz[c][m], ss, se, al, st)
+                else:
+                    _enc_ac_refine_block(zz[c][m], ss, se, al, st)
+            st.flush_eobrun()
+            codes, lens = st.codes, st.lens
+        scan_bytes = _pack_bits(np.asarray(codes, dtype=np.uint64),
+                                np.asarray(lens, dtype=np.uint8))
+        ns = len(comps)
+        sos = bytes([ns])
+        for c in comps:
+            sos += bytes([c + 1, (dc_tab_id[c] << 4) | ac_tab_id[c]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += scan_bytes
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ---------------------------------------------------------------------
 
 class _BitReader:
@@ -592,14 +809,23 @@ def _split_scan(raw: np.ndarray) -> list[bytes]:
     return segments
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB.
+class _Scan:
+    __slots__ = ("comps", "ss", "se", "ah", "al", "segments", "htabs",
+                 "dri")
 
-    Supports standard baseline variation: any quant/Huffman tables carried
-    in DQT/DHT, 8-bit 3-component SOF0 with arbitrary sampling factors
-    (4:4:4, 4:2:0, 4:2:2, ...), single interleaved scan, DRI/RSTn restart
-    intervals. Progressive/arithmetic (SOF2/SOF9...) are rejected.
-    """
+    def __init__(self, comps, ss, se, ah, al, segments, htabs, dri):
+        self.comps = comps          # [(comp_idx, dc_tab_id, ac_tab_id)]
+        self.ss, self.se = ss, se
+        self.ah, self.al = ah, al
+        self.segments = segments    # restart-separated entropy bytes
+        self.htabs = htabs          # table snapshot at scan time
+        self.dri = dri
+
+
+def _parse_jpeg(data: bytes) -> dict:
+    """Walk all markers; collect frame header, tables, and EVERY scan
+    (progressive emits many) with entropy segments and per-scan table
+    snapshots (DHT may redefine tables between scans)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -607,11 +833,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     htabs: dict[tuple, tuple] = {}
     h = w = 0
     dri = 0
+    progressive = False
+    comp_ids: list[int] = []
     comp_q: list[int] = []
     comp_samp: list[tuple] = []   # (hi, vi) per component
-    scan_tabs: list[tuple] = []
-    scan_start = -1
-    while pos < len(data):
+    scans: list[_Scan] = []
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
         marker = data[pos + 1]
@@ -648,7 +875,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(payload[off + 17:off + 17 + nv])
                 htabs[(tc, th)] = _decode_lut(_canonical_codes(bits, vals))
                 off += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", payload[1:5])
             if not h or not w or h * w > (1 << 26):  # corrupt-SOF bound
                 raise ValueError(f"implausible dimensions {w}x{h}")
@@ -657,48 +885,83 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("only 1- or 3-component JPEG supported")
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
+                comp_ids.append(cid)
                 comp_samp.append((samp >> 4, samp & 0xF))
                 comp_q.append(tq)
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", payload[:2])
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline SOF unsupported")
+            raise ValueError("unsupported SOF (arithmetic/lossless)")
         elif marker == 0xDA:  # SOS
+            if not comp_ids:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
+            comps = []
             for c in range(ns):
                 cs, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
-                scan_tabs.append((tabs >> 4, tabs & 0xF))
+                try:
+                    ci = comp_ids.index(cs)
+                except ValueError:
+                    raise ValueError(f"scan selects unknown component {cs}")
+                comps.append((ci, tabs >> 4, tabs & 0xF))
+            ss, se, a = payload[1 + 2 * ns:4 + 2 * ns]
             scan_start = pos + 2 + seglen
-            break
+            segments, consumed = _split_scan_at(data, scan_start)
+            scans.append(_Scan(comps, ss, se, a >> 4, a & 0xF,
+                               segments, dict(htabs), dri))
+            pos = scan_start + consumed
+            continue
         pos += 2 + seglen
-    if scan_start < 0 or not h:
+    if not scans or not h:
         raise ValueError("truncated JPEG (no SOS/SOF)")
     for hi, vi in comp_samp:
         if hi not in (1, 2, 4) or vi not in (1, 2, 4):
             raise ValueError(f"unsupported sampling factor {(hi, vi)}")
+    return {"h": h, "w": w, "progressive": progressive, "qtabs": qtabs,
+            "comp_q": comp_q, "comp_samp": comp_samp, "scans": scans}
 
-    segments = _split_scan(np.frombuffer(data[scan_start:], dtype=np.uint8))
-    rd = _BitReader(segments[0])
-    seg_idx = 0
 
-    hmax = max(hi for hi, _ in comp_samp)
-    vmax = max(vi for _, vi in comp_samp)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component block grids (mcuy*vi rows x mcux*hi cols of blocks)
-    grid_w = [mcux * hi for hi, _ in comp_samp]
-    grid_h = [mcuy * vi for _, vi in comp_samp]
+def _split_scan_at(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy segments of ONE scan starting at ``start``: unstuff
+    FF00->FF, break at RSTn, stop at any other marker. Returns (segments,
+    bytes consumed up to — not including — the terminating marker)."""
+    raw = np.frombuffer(data[start:], dtype=np.uint8)
+    segments: list[bytes] = []
+    seg_start = 0
+    ff = np.flatnonzero(raw == 0xFF)
+    for f in ff:
+        if f < seg_start:
+            continue
+        nxt = int(raw[f + 1]) if f + 1 < len(raw) else 0xD9
+        if nxt == 0x00:
+            continue  # stuffed data byte
+        segments.append(raw[seg_start:f].tobytes()
+                        .replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:  # restart marker: next segment follows
+            seg_start = f + 2
+            continue
+        return segments, int(f)  # terminating marker stays unconsumed
+    segments.append(raw[seg_start:].tobytes().replace(b"\xff\x00", b"\xff"))
+    return segments, len(raw)
+
+
+def _decode_baseline(hdr: dict, coef, grids) -> None:
+    """Single interleaved full-band scan (SOF0)."""
+    scan = hdr["scans"][0]
+    comp_samp = hdr["comp_samp"]
+    mcux, mcuy, grid_w, _ = grids
     ncomp = len(comp_samp)
-    coef = [np.zeros((grid_h[c] * grid_w[c], 64), dtype=np.float64)
-            for c in range(ncomp)]
+    scan_tabs = {ci: (dc, ac) for ci, dc, ac in scan.comps}
+    rd = _BitReader(scan.segments[0])
+    seg_idx = 0
     pred = [0] * ncomp
     for m in range(mcuy * mcux):
-        if dri and m and m % dri == 0:  # restart: new segment, reset DC
+        if scan.dri and m and m % scan.dri == 0:
             seg_idx += 1
-            if seg_idx >= len(segments):
+            if seg_idx >= len(scan.segments):
                 raise ValueError("missing restart segment")
-            rd = _BitReader(segments[seg_idx])
+            rd = _BitReader(scan.segments[seg_idx])
             pred = [0] * ncomp
         my, mx = divmod(m, mcux)
         for c in range(ncomp):
@@ -706,13 +969,209 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for by in range(vi):
                 for bx in range(hi):
                     bidx = (my * vi + by) * grid_w[c] + (mx * hi + bx)
-                    _decode_block(rd, htabs, scan_tabs[c], pred, c,
+                    _decode_block(rd, scan.htabs, scan_tabs[c], pred, c,
                                   coef[c][bidx])
+
+
+# --- progressive scan decoding (T.81 G.2) -------------------------------------------
+
+def _prog_dc_scan(scan: _Scan, hdr: dict, coef, grids) -> None:
+    """DC scan: interleaved MCU walk; Ah=0 first pass (diff chain << Al),
+    Ah>0 refinement (one raw bit per block ORed in at Al)."""
+    comp_samp = hdr["comp_samp"]
+    mcux, mcuy, grid_w, _ = grids
+    rd = _BitReader(scan.segments[0])
+    seg_idx = 0
+    pred = {ci: 0 for ci, _, _ in scan.comps}
+    p1 = 1 << scan.al
+    for m in range(mcuy * mcux):
+        if scan.dri and m and m % scan.dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(scan.segments):
+                raise ValueError("missing restart segment")
+            rd = _BitReader(scan.segments[seg_idx])
+            pred = {ci: 0 for ci, _, _ in scan.comps}
+        my, mx = divmod(m, mcux)
+        for ci, dc_id, _ac in scan.comps:
+            hi, vi = comp_samp[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    bidx = (my * vi + by) * grid_w[ci] + (mx * hi + bx)
+                    block = coef[ci][bidx]
+                    if scan.ah == 0:
+                        dc_sym, dc_len = scan.htabs[(0, dc_id)]
+                        look = rd.peek16()
+                        s = dc_sym[look]
+                        ln = dc_len[look]
+                        if ln == 0:
+                            raise ValueError("invalid DC Huffman code")
+                        rd.skip(ln)
+                        diff = _extend(rd.take(s), s) if s else 0
+                        pred[ci] += diff
+                        block[0] = pred[ci] * p1
+                    else:
+                        if rd.take(1):
+                            block[0] = int(block[0]) | p1
+
+
+def _comp_block_dims(hdr: dict, ci: int) -> tuple[int, int]:
+    """Non-interleaved scans cover ceil(comp_samples/8) blocks per axis —
+    NOT the MCU-padded grid (T.81 A.2.2)."""
+    h, w = hdr["h"], hdr["w"]
+    comp_samp = hdr["comp_samp"]
+    hmax = max(hi for hi, _ in comp_samp)
+    vmax = max(vi for _, vi in comp_samp)
+    hi, vi = comp_samp[ci]
+    cw = (w * hi + hmax - 1) // hmax
+    ch = (h * vi + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8  # (block rows, block cols)
+
+
+def _prog_ac_scan(scan: _Scan, hdr: dict, coef, grids) -> None:
+    """AC scan: single component, raster block order, EOBRUN runs; Ah=0
+    first pass or Ah>0 refinement (correction bits)."""
+    if len(scan.comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _dc, ac_id = scan.comps[0]
+    _mcux, _mcuy, grid_w, _grid_h = grids
+    bh, bw = _comp_block_dims(hdr, ci)
+    rd = _BitReader(scan.segments[0])
+    seg_idx = 0
+    state = {"eobrun": 0}
+    n_blocks = bh * bw
+    for b in range(n_blocks):
+        if scan.dri and b and b % scan.dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(scan.segments):
+                raise ValueError("missing restart segment")
+            rd = _BitReader(scan.segments[seg_idx])
+            state["eobrun"] = 0
+        row, col = divmod(b, bw)
+        block = coef[ci][row * grid_w[ci] + col]
+        if scan.ah == 0:
+            _ac_first_block(rd, scan.htabs[(1, ac_id)], block,
+                            scan.ss, scan.se, scan.al, state)
+        else:
+            _ac_refine_block(rd, scan.htabs[(1, ac_id)], block,
+                             scan.ss, scan.se, scan.al, state)
+
+
+def _ac_first_block(rd, tab, block, ss, se, al, state) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    ac_sym, ac_len = tab
+    p1 = 1 << al
+    k = ss
+    while k <= se:
+        look = rd.peek16()
+        sym = ac_sym[look]
+        ln = ac_len[look]
+        if ln == 0:
+            raise ValueError("invalid AC Huffman code")
+        rd.skip(ln)
+        r, s = sym >> 4, sym & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows band")
+            block[k] = _extend(rd.take(s), s) * p1
+            k += 1
+        else:
+            if r != 15:  # EOBn
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += rd.take(r)
+                return
+            k += 16  # ZRL
+
+def _ac_refine_block(rd, tab, block, ss, se, al, state) -> None:
+    """T.81 G.2 / libjpeg decode_mcu_AC_refine: place ±(1<<Al) at newly
+    significant slots, apply one correction bit to every nonzero passed."""
+    ac_sym, ac_len = tab
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            look = rd.peek16()
+            sym = ac_sym[look]
+            ln = ac_len[look]
+            if ln == 0:
+                raise ValueError("invalid AC Huffman code")
+            rd.skip(ln)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if rd.take(1) else m1
+            elif r != 15:  # EOBn
+                state["eobrun"] = (1 << r)
+                if r:
+                    state["eobrun"] += rd.take(r)
+                break
+            # advance past r zero-HISTORY slots, correcting nonzeros passed
+            while k <= se:
+                cv = int(block[k])
+                if cv != 0:
+                    if rd.take(1) and not (cv & p1):
+                        block[k] = cv + (p1 if cv >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # correction bits through the rest of the block
+            cv = int(block[k])
+            if cv != 0:
+                if rd.take(1) and not (cv & p1):
+                    block[k] = cv + (p1 if cv >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """JFIF bytes -> (h, w, 3) uint8 RGB.
+
+    Decodes the full envelope a crawler meets in the wild: baseline SOF0
+    (any DQT/DHT tables, arbitrary sampling factors — 4:4:4 / 4:2:0 /
+    4:2:2 / grayscale, DRI/RSTn restarts) and progressive SOF2 (spectral
+    selection + successive approximation, per-scan table redefinition,
+    EOBRUN). Arithmetic/lossless SOFs are rejected.
+    """
+    hdr = _parse_jpeg(data)
+    h, w = hdr["h"], hdr["w"]
+    comp_samp = hdr["comp_samp"]
+    ncomp = len(comp_samp)
+    hmax = max(hi for hi, _ in comp_samp)
+    vmax = max(vi for _, vi in comp_samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grid_w = [mcux * hi for hi, _ in comp_samp]
+    grid_h = [mcuy * vi for _, vi in comp_samp]
+    grids = (mcux, mcuy, grid_w, grid_h)
+    coef = [np.zeros((grid_h[c] * grid_w[c], 64), dtype=np.float64)
+            for c in range(ncomp)]
+
+    if hdr["progressive"]:
+        for scan in hdr["scans"]:
+            if scan.ss == 0:
+                if scan.se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _prog_dc_scan(scan, hdr, coef, grids)
+            else:
+                _prog_ac_scan(scan, hdr, coef, grids)
+    else:
+        _decode_baseline(hdr, coef, grids)
 
     planes = []
     for c in range(ncomp):
         hi, vi = comp_samp[c]
-        q = qtabs[comp_q[c]].astype(np.float64)
+        q = hdr["qtabs"][hdr["comp_q"][c]].astype(np.float64)
         nat = np.empty_like(coef[c])
         nat[:, ZIGZAG] = coef[c]  # zigzag position k -> natural ZIGZAG[k]
         blocks = idct2_blocks((nat * q).reshape(-1, 8, 8))

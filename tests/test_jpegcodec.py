@@ -233,3 +233,52 @@ def test_grayscale_single_component_roundtrip():
     assert np.array_equal(out[..., 0], out[..., 1])
     assert np.array_equal(out[..., 0], out[..., 2])
     assert psnr(np.repeat(gray[..., None], 3, -1), out) >= 40.0
+
+
+# --- progressive (SOF2) --------------------------------------------------------------
+
+@pytest.mark.parametrize("w,h,seed", [(8, 8, 1), (32, 32, 3), (48, 80, 5),
+                                      (100, 52, 9), (7, 13, 2), (1, 1, 0)])
+def test_progressive_decodes_identically_to_baseline(w, h, seed):
+    # same quantized coefficients, different entropy layout => bit-equal
+    # pixels. This single equivalence exercises the whole progressive
+    # machinery: DC first/refine, AC spectral bands, EOBRUN, ZRL splits,
+    # correction bits at two successive-approximation levels.
+    px = make_pixels(seed, w, h)
+    prog = jc.jpeg_encode_progressive(px)
+    assert b"\xff\xc2" in prog  # SOF2
+    assert np.array_equal(jc.jpeg_decode(prog),
+                          jc.jpeg_decode(jc.jpeg_encode(px)))
+
+
+def test_progressive_has_many_scans():
+    prog = jc.jpeg_encode_progressive(make_pixels(4, 32, 32))
+    assert prog.count(b"\xff\xda") == len(jc._PROG_SCRIPT)
+
+
+def test_progressive_is_deterministic():
+    px = make_pixels(5, 40, 24)
+    assert jc.jpeg_encode_progressive(px) == jc.jpeg_encode_progressive(px)
+
+
+def test_progressive_survives_corruption():
+    base = bytearray(jc.jpeg_encode_progressive(make_pixels(7, 48, 32)))
+    rng = np.random.default_rng(31)
+    for _ in range(150):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            buf[int(rng.integers(2, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = jc.jpeg_decode(bytes(buf))
+            assert isinstance(out, np.ndarray)
+        except Exception:
+            pass
+
+
+def test_progressive_truncation_never_hangs():
+    b = jc.jpeg_encode_progressive(make_pixels(2, 32, 32))
+    for cut in range(2, len(b), max(1, len(b) // 80)):
+        try:
+            jc.jpeg_decode(b[:cut])
+        except Exception:
+            pass
