@@ -552,8 +552,12 @@ class _ProgAcState:
     def bump_eobrun(self, tail_bits: list[int]) -> None:
         self.eobrun += 1
         self.be.extend(tail_bits)
-        if self.eobrun == 0x7FFF:
-            self.flush_eobrun()
+        # flush immediately: runs > 1 need EOBn (r>=1) symbols, which the
+        # Annex K BASELINE tables don't define — aggregated runs require
+        # custom per-scan tables. EOB0-per-block costs a few bytes and
+        # stays valid under the standard tables; the DECODER still accepts
+        # arbitrary EOBn runs from other encoders' custom tables.
+        self.flush_eobrun()
 
 
 def _enc_ac_first_block(row: list, ss: int, se: int, al: int,

@@ -228,3 +228,26 @@ def test_kmv_by_key_matches_single_sketch(spark):
     assert set(rows) == {"0", "1", "2"}
     for r in rows.values():  # each key sees 300 distinct vals, k=64 << 300
         assert abs(r["est_distinct"] - 300) / 300 < 0.35, r
+
+
+def test_image_features_on_progressive_payloads(spark):
+    # progressive and baseline encode the same quantized coefficients, so
+    # the whole Spark decode->feature pipeline must produce identical rows
+    from crawlspark.imaging import make_pixels
+    from crawlspark.jpegcodec import jpeg_encode, jpeg_encode_progressive
+
+    rows = []
+    for i in range(8):
+        px = make_pixels(i, 32 + 8 * (i % 3), 24)
+        rows.append(("base%d" % i, jpeg_encode(px), "jpeg"))
+        rows.append(("prog%d" % i, jpeg_encode_progressive(px), "jpeg"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, "
+                                     "fmt string")
+    feats = {r["media_id"]: r for r in
+             multimodal.image_features(df).collect()}
+    for i in range(8):
+        b, p = feats[f"base{i}"], feats[f"prog{i}"]
+        assert b["phash"] == p["phash"]
+        assert b["luma_hist"] == p["luma_hist"]
+        assert (b["mean_r"], b["mean_g"], b["mean_b"]) == \
+               (p["mean_r"], p["mean_g"], p["mean_b"])

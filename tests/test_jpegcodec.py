@@ -282,3 +282,55 @@ def test_progressive_truncation_never_hangs():
             jc.jpeg_decode(b[:cut])
         except Exception:
             pass
+
+
+def test_progressive_decoder_accepts_aggregated_eobn_runs():
+    # Our encoder flushes EOB runs per block (standard tables lack EOBn),
+    # but wild progressive files aggregate runs under custom tables. Hand-
+    # assemble one: 8x24 grayscale, DC scan all-zero, AC scan placing +1 at
+    # zigzag k=1 of block 0 then EOB1(ext=1) covering blocks 0(rest),1,2.
+    import struct as _s
+    # custom tables: DC = {0: 1-bit code}, AC = {0x01, 0x10: 2-bit codes}
+    dc_bits, dc_vals = [1] + [0] * 15, [0]
+    ac_bits, ac_vals = [0, 2] + [0] * 14, [0x01, 0x10]
+
+    def pack(bits):  # MSB-first, 1-padded
+        out, acc, n = bytearray(), 0, 0
+        for b in bits:
+            acc = (acc << 1) | b
+            n += 1
+            if n == 8:
+                out.append(acc)
+                acc, n = 0, 0
+        if n:
+            out.append((acc << (8 - n)) | ((1 << (8 - n)) - 1))
+        return bytes(out)
+
+    head = bytearray(b"\xff\xd8")
+    q = bytes([0]) + bytes([1] * 64)  # quant table 0: all ones
+    head += b"\xff\xdb" + _s.pack(">H", len(q) + 2) + q
+    sof = b"\x08" + _s.pack(">HH", 24, 8) + b"\x01" + bytes([1, 0x11, 0])
+    head += b"\xff\xc2" + _s.pack(">H", len(sof) + 2) + sof
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        p = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        head += b"\xff\xc4" + _s.pack(">H", len(p) + 2) + p
+    # scan 1: DC first — 3 blocks x DC table symbol 0 ("0", 1 bit each)
+    sos1 = b"\x01" + bytes([1, 0x00]) + bytes([0, 0, 0])
+    head += b"\xff\xda" + _s.pack(">H", len(sos1) + 2) + sos1
+    head += pack([0, 0, 0])
+    # scan 2: AC first band 1-63 — block0: sym 0x01 ("01") + value bit 1;
+    # then EOB1 ("10") + 1 ext bit (1) => eobrun covers blocks 0..2
+    sos2 = b"\x01" + bytes([1, 0x00]) + bytes([1, 63, 0])
+    head += b"\xff\xda" + _s.pack(">H", len(sos2) + 2) + sos2
+    head += pack([0, 1, 1, 1, 0, 1])
+    head += b"\xff\xd9"
+
+    out = jc.jpeg_decode(bytes(head))
+    assert out.shape == (24, 8, 3)
+    # expected: block 0 = IDCT of coefficient +1 at natural position
+    # ZIGZAG[1] (=1), blocks 1,2 flat 128 (DC 0 + level shift)
+    coefs = np.zeros((1, 8, 8))
+    coefs[0].flat[int(jc.ZIGZAG[1])] = 1.0
+    exp0 = np.clip(np.round(jc.idct2_blocks(coefs)[0] + 128), 0, 255)
+    assert np.array_equal(out[:8, :, 0].astype(float), exp0)
+    assert np.all(out[8:, :, :] == 128)
