@@ -329,13 +329,16 @@ def _mcu_order_y(zz: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 
 def jpeg_encode(pixels: np.ndarray, quality: int = 98,
-                subsampling: str = "444", restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K tables).
+                subsampling: str = "444", restart_interval: int = 0,
+                optimize_tables: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
 
     subsampling "444" (default — the payload-fidelity path) emits one block
     per component per MCU; "420" downsamples chroma 2x2 (mean) and emits
     4 Y + 1 Cb + 1 Cr blocks per 16x16 MCU, the common web layout the
-    decoder must also read."""
+    decoder must also read. optimize_tables=True builds per-image optimal
+    Huffman tables (T.81 K.2, like cjpeg -optimize) instead of the Annex K
+    defaults — same pixels, smaller bytes."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w, _ = pixels.shape
@@ -377,13 +380,20 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 98,
     seg_syms: list[tuple[list[int], list[int]]] = [([], [])]
     codes2, lens2 = seg_syms[0]
     prev_dc = [0, 0, 0]
-    enc_tabs = [(_ENC[(0, 0)], _ENC[(1, 0)]),
-                (_ENC[(0, 1)], _ENC[(1, 1)]),
-                (_ENC[(0, 1)], _ENC[(1, 1)])]
+    if optimize_tables:
+        # tix: 0=DC-luma 1=AC-luma 2=DC-chroma 3=AC-chroma
+        enc_tabs = [(_ident_tabs(0), _ident_tabs(1)),
+                    (_ident_tabs(2), _ident_tabs(3)),
+                    (_ident_tabs(2), _ident_tabs(3))]
+    else:
+        enc_tabs = [(_ENC[(0, 0)], _ENC[(1, 0)]),
+                    (_ENC[(0, 1)], _ENC[(1, 1)]),
+                    (_ENC[(0, 1)], _ENC[(1, 1)])]
+        enc_tabs = [((t[0][0].tolist(), t[0][1].tolist()),
+                     (t[1][0].tolist(), t[1][1].tolist()))
+                    for t in enc_tabs]
     # plain-int views: per-block loop below stays numpy-scalar-free
     zzl = [z.tolist() for z in zz]
-    enc_tabs = [((t[0][0].tolist(), t[0][1].tolist()),
-                 (t[1][0].tolist(), t[1][1].tolist())) for t in enc_tabs]
     for m in range(n):
         if restart_interval and m and m % restart_interval == 0:
             seg_syms.append(([], []))
@@ -395,6 +405,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 98,
                 _encode_block(zzl[c][m * blocks_per_mcu[c] + j], c, prev_dc,
                               dc_codes, dc_lens, ac_codes, ac_lens,
                               codes2, lens2)
+    opt_tabs = _optimize_streams(seg_syms) if optimize_tables else None
     packed = [_pack_bits(np.asarray(cs, dtype=np.uint64),
                          np.asarray(ls, dtype=np.uint8))
               for cs, ls in seg_syms]
@@ -413,8 +424,11 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 98,
            + bytes([1, samp[0], 0]) + bytes([2, samp[1], 1])
            + bytes([3, samp[2], 1]))
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    for tc, th in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        out += _dht_segment(tc, th)
+    for tc, th, tix in ((0, 0, 0), (1, 0, 1), (0, 1, 2), (1, 1, 3)):
+        if opt_tabs is not None and tix < len(opt_tabs) and opt_tabs[tix]:
+            out += _dht_custom(tc, th, *opt_tabs[tix])
+        else:
+            out += _dht_segment(tc, th)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = (b"\x03" + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
@@ -499,6 +513,107 @@ def jpeg_encode_gray(gray: np.ndarray, quality: int = 98) -> bytes:
     return bytes(out)
 
 
+# --- optimized Huffman tables (T.81 K.2) --------------------------------------------
+
+def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
+    """Optimal length-limited (<=16) Huffman table for a 256-symbol
+    frequency vector — the spec's K.2 procedure: reserve pseudo-symbol 256
+    (freq 1) so no real symbol gets the all-ones code, merge the two
+    least-frequent trees tracking code sizes via 'others' chains, histogram
+    sizes, then fold lengths > 16 down pairwise. Returns (bits[1..16],
+    vals) for DHT emission / canonical code assignment."""
+    f = [int(x) for x in freq[:256]] + [1]
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if f[i] > 0 and (v is None or f[i] <= v):
+                v, c1 = f[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if f[i] > 0 and i != c1 and (v is None or f[i] <= v):
+                v, c2 = f[i], i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for i in range(32, 16, -1):  # fold lengths > 16 (K.2 adjustment)
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved pseudo-symbol's (longest) code slot
+    vals = [sym for ln in range(1, 33) for sym in range(256)
+            if codesize[sym] == ln]
+    return bits[1:17], vals
+
+
+def _ident_tabs(tix: int) -> tuple[list[int], list[int]]:
+    """Identity 'marker' table: emitting symbol s records ((tix<<16)|s, 0).
+    A zero BIT LENGTH cannot occur for real codes or raw value bits, so
+    len==0 entries are exactly the symbol references the optimizer counts
+    and later rewrites — the emission logic runs ONCE, no counting twin."""
+    return [(tix << 16) | s for s in range(256)], [0] * 256
+
+
+def _optimize_streams(streams: list[tuple[list, list]]
+                      ) -> list[tuple[list[int], list[int]] | None]:
+    """Count len-0 symbol references across all streams, build optimal
+    tables per table index, rewrite the streams in place. Returns per-tix
+    (bits, vals) for DHT emission (None = table never referenced)."""
+    freqs: dict[int, np.ndarray] = {}
+    for codes, lens in streams:
+        for i, ln in enumerate(lens):
+            if ln == 0:
+                ref = codes[i]
+                freqs.setdefault(ref >> 16, np.zeros(257, np.int64))[
+                    ref & 0xFFFF] += 1
+    n_tix = (max(freqs) + 1) if freqs else 0
+    tables: list = [None] * n_tix
+    enc: list = [None] * n_tix
+    for tix, f in freqs.items():
+        bits, vals = _optimal_table(f)
+        carr, larr = _encode_tables(_canonical_codes(bits, vals))
+        tables[tix] = (bits, vals)
+        enc[tix] = (carr.tolist(), larr.tolist())
+    for codes, lens in streams:
+        for i, ln in enumerate(lens):
+            if ln == 0:
+                tix, s = codes[i] >> 16, codes[i] & 0xFFFF
+                c, ln2 = enc[tix][0][s], enc[tix][1][s]
+                if ln2 == 0:
+                    raise AssertionError(f"symbol {s:#x} missing from "
+                                         f"optimized table {tix}")
+                codes[i], lens[i] = c, ln2
+    return tables
+
+
+def _dht_custom(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
 # --- progressive encoder (T.81 G.1, SOF2) ------------------------------------------
 
 # default scan script (4:4:4): spectral selection + successive approximation,
@@ -522,14 +637,16 @@ class _ProgAcState:
     """Per-scan EOBRUN + buffered correction bits (spec G.1.2.3): the bits
     a decoder consumes while sweeping EOB-covered block remainders."""
 
-    __slots__ = ("eobrun", "be", "codes", "lens", "ac_codes", "ac_lens")
+    __slots__ = ("eobrun", "be", "codes", "lens", "ac_codes", "ac_lens",
+                 "defer_eob")
 
-    def __init__(self, ac_tab):
+    def __init__(self, ac_tab, defer_eob: bool = False):
         self.eobrun = 0
         self.be: list[int] = []
         self.codes: list[int] = []
         self.lens: list[int] = []
         self.ac_codes, self.ac_lens = ac_tab
+        self.defer_eob = defer_eob
 
     def emit(self, code: int, ln: int) -> None:
         self.codes.append(code)
@@ -552,12 +669,12 @@ class _ProgAcState:
     def bump_eobrun(self, tail_bits: list[int]) -> None:
         self.eobrun += 1
         self.be.extend(tail_bits)
-        # flush immediately: runs > 1 need EOBn (r>=1) symbols, which the
-        # Annex K BASELINE tables don't define — aggregated runs require
-        # custom per-scan tables. EOB0-per-block costs a few bytes and
-        # stays valid under the standard tables; the DECODER still accepts
-        # arbitrary EOBn runs from other encoders' custom tables.
-        self.flush_eobrun()
+        # Standard-table mode flushes immediately: runs > 1 need EOBn
+        # (r>=1) symbols, which the Annex K BASELINE tables don't define.
+        # EOB0-per-block costs a few bytes and stays valid. With optimized
+        # per-image tables (defer_eob) runs aggregate up to the spec cap.
+        if not self.defer_eob or self.eobrun == 0x7FFF:
+            self.flush_eobrun()
 
 
 def _enc_ac_first_block(row: list, ss: int, se: int, al: int,
@@ -637,13 +754,16 @@ def _enc_ac_refine_block(row: list, ss: int, se: int, al: int,
         raise AssertionError("unreachable: tail bits without tail slots")
 
 
-def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 98) -> bytes:
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 98,
+                            optimize_tables: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes, 4:4:4.
 
     Same quantized coefficients as jpeg_encode at the same quality — the
     entropy layout changes, the reconstruction does not, so
     jpeg_decode(progressive) == jpeg_decode(baseline) bit-exactly (the
-    equivalence the tests pin)."""
+    equivalence the tests pin). optimize_tables=True builds per-image
+    tables (T.81 K.2) AND aggregates EOB runs across blocks with EOBn
+    symbols — the layout real progressive encoders emit."""
     h, w, _ = pixels.shape
     qy = quality_scale(_Q_LUMA, quality)
     qc = quality_scale(_Q_CHROMA, quality)
@@ -655,23 +775,19 @@ def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 98) -> bytes:
           for c, q in ((0, qy), (1, qc), (2, qc))]
     n = len(zz[0])
 
-    enc = {c: _ENC[(0, 0) if c == 0 else (0, 1)] for c in range(3)}
-    enc_ac = {c: _ENC[(1, 0) if c == 0 else (1, 1)] for c in range(3)}
+    if optimize_tables:
+        # tix: 0=DC-luma 1=AC-luma 2=DC-chroma 3=AC-chroma
+        enc = {c: _ident_tabs(0 if c == 0 else 2) for c in range(3)}
+        enc_ac = {c: _ident_tabs(1 if c == 0 else 3) for c in range(3)}
+    else:
+        enc = {c: _ENC[(0, 0) if c == 0 else (0, 1)] for c in range(3)}
+        enc_ac = {c: _ENC[(1, 0) if c == 0 else (1, 1)] for c in range(3)}
     dc_tab_id = [0, 1, 1]
     ac_tab_id = [0, 1, 1]
 
-    out = bytearray(b"\xff\xd8")
-    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
-    for tid, q in ((0, qy), (1, qc)):
-        payload = bytes([tid]) + bytes(int(v) for v in q[ZIGZAG])
-        out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
-    sof = (b"\x08" + struct.pack(">HH", h, w) + b"\x03"
-           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
-    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
-    for tc, th in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        out += _dht_segment(tc, th)
-
+    # pass 1: emit every scan's symbol stream (len-0 entries mark symbol
+    # references when optimizing)
+    scan_syms: list[tuple[tuple, list[int], list[int]]] = []
     for comps, ss, se, ah, al in _PROG_SCRIPT:
         codes: list[int] = []
         lens: list[int] = []
@@ -699,7 +815,7 @@ def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 98) -> bytes:
                         lens.append(1)
         else:  # AC scan: single component
             c = comps[0]
-            st = _ProgAcState(enc_ac[c])
+            st = _ProgAcState(enc_ac[c], defer_eob=optimize_tables)
             for m in range(n):
                 if ah == 0:
                     _enc_ac_first_block(zz[c][m], ss, se, al, st)
@@ -707,6 +823,27 @@ def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 98) -> bytes:
                     _enc_ac_refine_block(zz[c][m], ss, se, al, st)
             st.flush_eobrun()
             codes, lens = st.codes, st.lens
+        scan_syms.append(((comps, ss, se, ah, al), codes, lens))
+
+    opt_tabs = (_optimize_streams([(c, l) for _, c, l in scan_syms])
+                if optimize_tables else None)
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    for tid, q in ((0, qy), (1, qc)):
+        payload = bytes([tid]) + bytes(int(v) for v in q[ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+    sof = (b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    for tc, th, tix in ((0, 0, 0), (1, 0, 1), (0, 1, 2), (1, 1, 3)):
+        if opt_tabs is not None and tix < len(opt_tabs) and opt_tabs[tix]:
+            out += _dht_custom(tc, th, *opt_tabs[tix])
+        else:
+            out += _dht_segment(tc, th)
+
+    for (comps, ss, se, ah, al), codes, lens in scan_syms:
         scan_bytes = _pack_bits(np.asarray(codes, dtype=np.uint64),
                                 np.asarray(lens, dtype=np.uint8))
         ns = len(comps)

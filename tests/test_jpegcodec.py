@@ -334,3 +334,47 @@ def test_progressive_decoder_accepts_aggregated_eobn_runs():
     exp0 = np.clip(np.round(jc.idct2_blocks(coefs)[0] + 128), 0, 255)
     assert np.array_equal(out[:8, :, 0].astype(float), exp0)
     assert np.all(out[8:, :, :] == 128)
+
+
+# --- optimized Huffman tables (T.81 K.2) ---------------------------------------------
+
+@pytest.mark.parametrize("kwargs", [
+    {"optimize_tables": True},
+    {"optimize_tables": True, "subsampling": "420"},
+    {"optimize_tables": True, "restart_interval": 3},
+])
+def test_optimized_tables_decode_identically_and_shrink(kwargs):
+    px = make_pixels(9, 64, 48)
+    std = jc.jpeg_encode(px, 95, **{k: v for k, v in kwargs.items()
+                                    if k != "optimize_tables"})
+    opt = jc.jpeg_encode(px, 95, **kwargs)
+    assert np.array_equal(jc.jpeg_decode(std), jc.jpeg_decode(opt))
+    assert len(opt) < len(std)
+
+
+def test_optimized_progressive_aggregates_eob_runs():
+    # with per-image tables the encoder defers EOB runs, emitting EOBn
+    # (r>=1) symbols — our decoder's aggregated-run path, now exercised by
+    # our own encoder as well as the hand-built stream
+    px = make_pixels(3, 100, 52)
+    opt = jc.jpeg_encode_progressive(px, optimize_tables=True)
+    std = jc.jpeg_encode_progressive(px)
+    assert len(opt) < len(std)
+    assert np.array_equal(jc.jpeg_decode(opt),
+                          jc.jpeg_decode(jc.jpeg_encode(px)))
+
+
+def test_optimal_table_is_prefix_free_and_complete():
+    rng = np.random.default_rng(5)
+    freq = np.zeros(257, np.int64)
+    idx = rng.integers(0, 256, 40)
+    freq[idx] += rng.integers(1, 1000, 40)
+    bits, vals = jc._optimal_table(freq)
+    assert sum(bits) == len(vals) == len({int(i) for i in idx})
+    codes = jc._canonical_codes(bits, vals)
+    assert set(codes) == {int(i) for i in idx}  # every used symbol coded
+    lens = sorted((ln, c) for c, ln in codes.values())
+    for i, (ln, c) in enumerate(lens):
+        assert ln <= 16
+        for pln, pc in lens[:i]:
+            assert c >> (ln - pln) != pc  # prefix-free
