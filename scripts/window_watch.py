@@ -26,9 +26,14 @@ MAX_PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 N_ROWS = int(sys.argv[3]) if len(sys.argv) > 3 else 16_000_000
 K = int(sys.argv[4]) if len(sys.argv) > 4 else 800_000
 
-# round-1 clean windows measured 0.46-0.67 single / 0.52-0.73 agg8
-SINGLE_GATE = 0.70
-AGG_GATE = 0.85
+# round-1 clean windows measured 0.46-0.67 single / 0.52-0.73 agg8;
+# gates are env-overridable for days when the host plateaus above them —
+# a same-window pair at CONSTANT throttle still measures relative scaling
+# (the per-trial canaries record the absolute window state)
+import os
+
+SINGLE_GATE = float(os.environ.get("WATCH_SINGLE_GATE", "0.70"))
+AGG_GATE = float(os.environ.get("WATCH_AGG_GATE", "0.85"))
 POLL_S = 120
 LEVELS = (8, 2)  # N vs 4N cores, interleaved hi-first
 
