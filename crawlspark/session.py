@@ -79,8 +79,15 @@ def get_spark(app: str = "crawlspark", cores: int | None = None,
     # Heap: big enough for checkpoint blocks, small enough that full GCs
     # stay short — 48g heaps showed multi-10s GC variance in bench runs.
     driver_mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    # AQE default OFF: the engine's plans carry explicit broadcast hints
+    # and salting, so AQE only adds re-optimization rounds — the t1 job
+    # audit counted ~57 async broadcast/replan jobs per round, and the
+    # interleaved A/B (scripts/aqe_ab.py, canaries attached) measured the
+    # wide n=4M round 35-60% faster with AQE off (93.1/124.7 s on vs
+    # 58.0/86.1 s off). On a real cluster with unknown skew flip
+    # SPARK_GRAFT_AQE=1 — skew-join/coalesce settings stay ready.
     if adaptive is None:
-        adaptive = os.environ.get("SPARK_GRAFT_AQE", "1") == "1"
+        adaptive = os.environ.get("SPARK_GRAFT_AQE", "0") == "1"
     builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
