@@ -280,17 +280,22 @@ def py_urlencode_forms(rows: list[tuple[int, str, str]],
 def py_ivf_topk_candidates(queries: list[tuple[int, list[float]]],
                            corpus: list[tuple[int, list[float]]],
                            n_cells: int = 16, n_probe: int = 4,
-                           iters: int = 2, sample_stride: int = 8
-                           ) -> list[dict]:
+                           iters: int = 2, sample_stride: int | None = None,
+                           max_sample: int = 65536) -> list[dict]:
     """Mirror similarity.ivf_topk up to the round/rank: deterministic
-    spherical-k-means quantizer on the (vec_id % stride, id-sorted) sample,
-    nearest-cell corpus assignment, n_probe query cells, candidate pairs
-    with RAW cosines (SQL rounds, windows, keeps rank <= k)."""
+    spherical-k-means quantizer on the bounded sample (hash-stride filter
+    pmod(xxhash64(id), ceil(n/max_sample)) == 0, id-sorted, capped at
+    max_sample — row-for-row the engine's quantizer_sample), nearest-cell
+    corpus assignment, n_probe query cells, candidate pairs with RAW
+    cosines (SQL rounds, windows, keeps rank <= k)."""
+    from ..hashing import xxh64_long
     c_ids = [i for i, _ in corpus]
     c_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in corpus])
+    if sample_stride is None:
+        sample_stride = max(1, -(-len(corpus) // max_sample))
     sample = np.stack([np.asarray(v, dtype=np.float64)
                        for i, v in sorted(corpus)
-                       if i % sample_stride == 0])
+                       if xxh64_long(i) % sample_stride == 0][:max_sample])
     norm_s = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(
         min=1e-12)
     cents = norm_s[:n_cells].copy()

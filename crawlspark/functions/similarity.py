@@ -163,25 +163,49 @@ def _ivf_udfs(cents: np.ndarray, n_probe: int):
     return cell_of, probe_cells
 
 
+def quantizer_sample(corpus: DataFrame, max_sample: int = 65536,
+                     sample_stride: int | None = None,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic, ABSOLUTELY bounded driver sample for quantizer
+    training: hash-stride filter (pmod(xxhash64(id), stride) == 0, stride
+    = ceil(count / max_sample) unless given) cuts the corpus to
+    ~max_sample rows executor-side, then an id-ordered limit(max_sample)
+    hard-caps what reaches the driver. The driver never holds more than
+    max_sample vectors no matter the corpus size (the round-2 review
+    flagged the old ``vec_id % 8`` fraction-of-corpus collect as a
+    driver-OOM at 10^9 vectors). Pure function of (data, max_sample):
+    mirrored row-for-row by pyref.py_ivf_topk_candidates."""
+    if sample_stride is None:
+        cnt = corpus.count()  # columnar count — no data movement
+        sample_stride = max(1, -(-cnt // max_sample))
+    samp_rows = (corpus
+                 .filter(F.pmod(F.xxhash64(F.col(id_col).cast("long")),
+                                F.lit(sample_stride)) == 0)
+                 .select(id_col, F.col(vec_col).cast("array<double>"))
+                 .orderBy(id_col).limit(max_sample).collect())
+    return np.stack([np.asarray(r[1], dtype=np.float64)
+                     for r in samp_rows])
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4, iters: int = 2,
-             sample_stride: int = 8, vec_col: str = "embedding",
+             sample_stride: int | None = None, max_sample: int = 65536,
+             vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
     """IVF approximate top-k: train a coarse quantizer on a deterministic
-    bounded sample (vec_id % sample_stride == 0, id-sorted), assign every
-    corpus row to its nearest cell, probe each query's n_probe nearest
-    cells, exact-cosine re-rank within probed cells.
+    bounded sample (quantizer_sample — hard-capped at max_sample rows),
+    assign every corpus row to its nearest cell, probe each query's
+    n_probe nearest cells, exact-cosine re-rank within probed cells.
 
     Scale shape: centroids broadcast in UDF closures (n_cells x dim — KB),
     the corpus is touched by ONE vectorized assignment pass, and the only
     corpus-scale shuffle is the cell equi-join; the candidate set per query
     is n_probe/n_cells of the corpus. Raise n_cells with corpus size
-    (sqrt(N) rule) and sample_stride so the driver sample stays bounded."""
-    samp_rows = (corpus.filter((F.col(id_col) % sample_stride) == 0)
-                 .select(id_col, F.col(vec_col).cast("array<double>"))
-                 .orderBy(id_col).collect())
-    sample = np.stack([np.asarray(r[1], dtype=np.float64)
-                       for r in samp_rows])
+    (sqrt(N) rule); the quantizer sample stays O(max_sample) regardless."""
+    sample = quantizer_sample(corpus, max_sample=max_sample,
+                              sample_stride=sample_stride,
+                              vec_col=vec_col, id_col=id_col)
     cents = ivf_train(sample, n_cells, iters)
     cell_of, probe_cells = _ivf_udfs(cents, n_probe)
 

@@ -84,6 +84,13 @@ def xxh64_str(s: str, seed: int = SPARK_SEED) -> int:
     return to_signed64(xxh64(s.encode("utf-8"), seed))
 
 
+def xxh64_long(v: int, seed: int = SPARK_SEED) -> int:
+    """Signed xxh64 of a 64-bit integer — equals ``F.xxhash64(bigint col)``
+    (Spark hashes the 8-byte little-endian representation).
+    Pinned bit-equal vs Spark in tests/test_hashing.py."""
+    return to_signed64(xxh64((v & _M).to_bytes(8, "little"), seed))
+
+
 # --- numpy-vectorized mixing (Bloom probe derivation) -----------------------
 
 def mix64(arr: np.ndarray) -> np.ndarray:

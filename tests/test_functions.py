@@ -194,6 +194,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.95, recall
 
 
+def test_ivf_quantizer_sample_is_absolutely_bounded(spark):
+    # 10k-row corpus, max_sample=100: the driver-side sample must be
+    # hard-capped at max_sample rows no matter the corpus size (round-2
+    # review: the old stride-fraction sample was a driver OOM at 10^9)
+    emb = (spark.range(10_000).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 7 as double), cast(id % 11 as double), 1.0d)"
+        " as embedding"))
+    s = similarity.quantizer_sample(emb, max_sample=100)
+    assert 4 <= len(s) <= 100, len(s)
+    # deterministic: same data, same sample
+    s2 = similarity.quantizer_sample(emb, max_sample=100)
+    assert np.array_equal(s, s2)
+
+
 def test_ivf_train_is_deterministic():
     rng = np.random.default_rng(3)
     sample = rng.normal(size=(64, 8))

@@ -2,7 +2,8 @@
 import numpy as np
 from pyspark.sql import functions as F
 
-from crawlspark.hashing import bloom_probes, mix64, xxh64, xxh64_str
+from crawlspark.hashing import (bloom_probes, mix64, xxh64, xxh64_long,
+                                xxh64_str)
 
 
 def test_xxh64_matches_spark(spark):
@@ -14,6 +15,16 @@ def test_xxh64_matches_spark(spark):
            for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
     for v in vals:
         assert got[v] == xxh64_str(v), v
+
+
+def test_xxh64_long_matches_spark(spark):
+    vals = [0, 1, -1, 42, 2**31, -(2**31), 2**62, -(2**63), 2**63 - 1,
+            123456789012345]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"]
+           for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == xxh64_long(v), v
 
 
 def test_xxh64_deterministic():
