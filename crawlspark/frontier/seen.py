@@ -172,6 +172,19 @@ class SeenFilter:
         if existing_dirs:
             base_bc = None
             dirs = list(existing_dirs)
+            if existing_df is None:
+                # Incremental contract guard (round-2 ADVICE): with only
+                # file roots to merge from, a shard untouched this round
+                # would otherwise produce NO group → be dropped from the
+                # rebuilt table → later Bloom false negatives. Seed every
+                # shard with a null-hash skeleton row so each build task
+                # runs (reading its prior blob executor-side) even when
+                # the round added nothing to that shard. The engine passes
+                # existing_df, whose untouched-shard union covers this.
+                skeleton = spark.range(n_shards).select(
+                    F.col("id").cast("int").alias("shard"),
+                    F.lit(None).cast("long").alias("url_hash"))
+                with_shard = with_shard.unionByName(skeleton)
         else:
             # Prior bits ride a Spark broadcast, never the task closure: at
             # the sized-for-10^10 shard counts the blobs are tens-to-hundreds
@@ -191,7 +204,8 @@ class SeenFilter:
                 prior = _read_shard_blob(dirs, shard)
             else:
                 prior = base_bc.value.get(shard)
-            hashes = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+            hashes = (pdf["url_hash"].dropna()
+                      .to_numpy(dtype=np.int64).view(np.uint64))
             if kind == "bloom":
                 bits = _bloom_build(hashes, m_bits, k, prior)
             else:

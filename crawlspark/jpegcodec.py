@@ -1088,7 +1088,14 @@ def _split_scan_at(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def _decode_baseline(hdr: dict, coef, grids) -> None:
-    """Single interleaved full-band scan (SOF0)."""
+    """Single interleaved full-band scan (SOF0). A legal but unsupported
+    multi-scan (non-interleaved) baseline layout fails LOUDLY — silently
+    decoding only the first scan would leave the other components'
+    coefficients zero (wrong colors) with no error (round-2 ADVICE)."""
+    if len(hdr["scans"]) != 1:
+        raise ValueError(
+            f"baseline JPEG with {len(hdr['scans'])} scans: non-interleaved "
+            "multi-scan SOF0 is not supported by this decoder")
     scan = hdr["scans"][0]
     comp_samp = hdr["comp_samp"]
     mcux, mcuy, grid_w, _ = grids

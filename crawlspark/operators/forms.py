@@ -56,7 +56,11 @@ def resolve_values(inputs: DataFrame) -> DataFrame:
     first = F.min_by(pair, F.col("pos"))
 
     grouped = (norm.groupBy("form_id", "name")
-               .agg(F.first("type").alias("type"),
+               # doc-order-first element's type decides the group rule —
+               # min_by is deterministic where first() after a shuffle
+               # is not (mixed-type groups only arise in hand-authored
+               # pages; reference fixtures are uniform per name)
+               .agg(F.min_by("type", F.col("pos")).alias("type"),
                     checked.alias("_checked"),
                     selected.alias("_selected"),
                     first.alias("_first"),
@@ -192,23 +196,28 @@ def resolve_submit(inputs: list[dict]) -> list[tuple[str, str]]:
         if name not in groups:
             order.append(name)
         groups.setdefault(name, []).append(el)
+    # Per-ELEMENT ranking (not a group-wide rule from the first element's
+    # type): each element scores (rank, pos) — rank 0 = checked radio /
+    # checked checkbox / selected option, rank 1 = default candidate
+    # (text, unchecked radio, unselected option), rank 2 = unchecked
+    # checkbox (never submitted) — and the group's min wins if its rank
+    # < 2. Matches the reference's element-by-element defaulting and the
+    # oracle's independent resolver (oracle._form_submit_href), including
+    # on mixed-type name groups (pinned by test_forms).
+    def _rank(e: dict) -> int:
+        if e["type"] == "radio":
+            return 0 if e["checked"] else 1
+        if e["type"] == "checkbox":
+            return 0 if e["checked"] else 2
+        if e["type"] == "select":
+            return 0 if e["selected"] else 1
+        return 1
+
     params = []
     for name in order:
-        els = sorted(groups[name], key=lambda e: e["pos"])
-        typ = els[0]["type"]
-        if typ == "radio":
-            hit = [e for e in els if e["checked"]] or els
-            chosen = hit[0]
-        elif typ == "checkbox":
-            hit = [e for e in els if e["checked"]]
-            chosen = hit[0] if hit else None
-        elif typ == "select":
-            hit = [e for e in els if e["selected"]] or els
-            chosen = hit[0]
-        else:
-            chosen = els[0]
-        if chosen is not None:
-            params.append((name, chosen["value"]))
+        best = min(groups[name], key=lambda e: (_rank(e), e["pos"]))
+        if _rank(best) < 2:
+            params.append((name, best["value"]))
     return params
 
 

@@ -205,7 +205,11 @@ def _expand(page: dict, parent_canon: str, parent_priority: float,
     out = []
     hrefs = [(link["href"], link["pos"])
              for link in page.get("links") or []]
-    if (auto_submit_forms and page.get("form_action")
+    # gate on `is not None`, NOT truthiness: an empty action="" is a legal
+    # submit-to-current-URL form (HTML semantics — the href resolves
+    # relative against the base downstream), and the engine fetch stage
+    # filters form_action.isNotNull() the same way
+    if (auto_submit_forms and page.get("form_action") is not None
             and (page.get("form_method") or "get").lower() == "get"):
         href = _form_submit_href(page, form_encoding)
         if href is not None:

@@ -138,3 +138,44 @@ def test_resolve_submit_matches_dataframe_ops(spark):
             if checked >= 12:
                 return
     assert checked > 0
+
+
+def _el(name, typ, value, pos, checked=False, selected=False):
+    return {"name": name, "type": typ, "value": value, "pos": pos,
+            "checked": checked, "selected": selected}
+
+
+def test_resolve_submit_mixed_type_group_matches_oracle():
+    """A mixed-type name group (text at pos 0 + checked checkbox at pos 1)
+    resolves per-ELEMENT: the checked element (rank 0) beats the earlier
+    text default (rank 1) — engine and oracle agree (round-2 ADVICE: the
+    old group-wide rule took the min-pos element's type)."""
+    from crawlspark.oracle import _form_submit_href
+    inputs = [_el("q", "text", "typed", 0),
+              _el("q", "checkbox", "boxed", 1, checked=True),
+              _el("r", "checkbox", "never", 2),          # unchecked: dropped
+              _el("r", "text", "fallback", 3)]
+    got = dict(forms.resolve_submit(inputs))
+    assert got == {"q": "boxed", "r": "fallback"}
+    page = {"form_action": "/s", "form_inputs": inputs}
+    assert _form_submit_href(page, None) == \
+        forms.submit_href("/s", inputs, None) == "/s?q=boxed&r=fallback"
+
+
+def test_empty_form_action_submits_to_base():
+    """action="" is a legal submit-to-current-URL form: both the engine
+    resolver and the oracle produce a relative href that canonicalizes
+    against the page base (HTML semantics), instead of the oracle skipping
+    the form (round-2 ADVICE latent divergence)."""
+    from crawlspark.oracle import _expand
+    from crawlspark.urltools import canonicalize
+    inputs = [_el("a", "text", "1", 0)]
+    href = forms.submit_href("", inputs, None)
+    assert href == "?a=1"
+    assert canonicalize(href, "http://h.test/p/page") == \
+        "http://h.test/p/page?a=1"
+    page = {"form_action": "", "form_method": "get",
+            "form_inputs": inputs, "links": []}
+    kids = _expand(page, "http://h.test/p/page", 5.0, 7,
+                   auto_submit_forms=True)
+    assert [k["canon"] for k in kids] == ["http://h.test/p/page?a=1"]

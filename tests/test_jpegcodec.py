@@ -378,3 +378,26 @@ def test_optimal_table_is_prefix_free_and_complete():
         assert ln <= 16
         for pln, pc in lens[:i]:
             assert c >> (ln - pln) != pc  # prefix-free
+
+
+def test_multiscan_baseline_rejected():
+    """A baseline (SOF0) header carrying >1 scan — legal non-interleaved
+    layout this decoder doesn't implement — must fail loudly, not decode
+    the first scan and leave the rest of the coefficients zero."""
+    import re
+
+    import numpy as np
+    import pytest
+
+    from crawlspark import jpegcodec
+
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3))
+    buf = jpegcodec.jpeg_encode(img, quality=90)
+    # craft a second scan by duplicating everything from the first SOS
+    # marker up to (not including) EOI, then re-appending EOI
+    sos = buf.find(b"\xff\xda")
+    assert sos > 0 and buf.endswith(b"\xff\xd9")
+    body = buf[sos:-2]
+    doctored = buf[:-2] + body + b"\xff\xd9"
+    with pytest.raises(ValueError, match=re.escape("2 scans")):
+        jpegcodec.jpeg_decode(doctored)

@@ -71,3 +71,26 @@ def test_sharded_probe_reads_flat_legacy_layout(spark, tmp_path):
     # and the sharded probe over that legacy dir flags every inserted hash
     probed = filt.might_contain_sharded(df, "url_hash", [flat_dir])
     assert probed.filter(~F.col("_maybe")).count() == 0
+
+
+def test_incremental_dirs_only_keeps_untouched_shards(spark, tmp_path):
+    """build(existing_dirs=..., existing_df=None): shards that receive no
+    new hashes this round must STILL appear in the rebuilt table with
+    their prior bits (round-2 ADVICE: they were silently dropped, a
+    future Bloom-false-negative hazard)."""
+    filt = SeenFilter("bloom", n_shards=4, m_bits=1 << 12)
+    df = spark.createDataFrame([(i,) for i in range(400)], "url_hash long")
+    prior_dir = str(tmp_path / "prior")
+    filt.build(df).write.partitionBy("shard").parquet(prior_dir)
+
+    # one new hash touching exactly one shard
+    new = spark.createDataFrame([(100_003,)], "url_hash long")
+    rebuilt = filt.build(new, existing_dirs=[prior_dir]).collect()
+    assert {r["shard"] for r in rebuilt} == {0, 1, 2, 3}
+
+    # no false negatives over old AND new keys
+    both = spark.createDataFrame([(i,) for i in range(400)] + [(100_003,)],
+                                 "url_hash long")
+    flags = both.withColumn(
+        "m", filt.might_contain_col(rebuilt, F.col("url_hash"))).collect()
+    assert all(r["m"] for r in flags)

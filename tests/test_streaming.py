@@ -170,3 +170,49 @@ def test_streaming_politeness_carryover(spark):
     # admission follows the engine's total order: best discovered_seq first
     admitted_seqs = sorted(r["discovered_seq"] for r in got2 if r["admitted"])
     assert admitted_seqs == [100, 101, 102]
+
+
+def test_streaming_politeness_idle_host_credit_frozen(spark):
+    """Pins the DOCUMENTED divergence from the batch engine
+    (politeness_stream module docstring): a host absent from a micro-batch
+    does NOT accrue credit — its state is frozen — whereas the batch
+    engine's next_host_state ticks every throttled host each round. The
+    bound: after any non-idle batch where round_ms >= delay, the two
+    agree again (credit caps at one delay)."""
+    from crawlspark.streaming import streaming_politeness
+
+    root = tempfile.mkdtemp(prefix="politestream_idle_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    schema = ("host string, url_hash long, priority double, "
+              "discovered_seq long, crawl_delay_ms long")
+
+    def feed(host, start, n):
+        rows = [(host, 1000 + start + i, 0.0, start + i, 12_000)
+                for i in range(n)]
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src)
+
+    def drain():
+        req = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_politeness(req, round_ms=30_000, k_default=100)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    feed("h0.test", 0, 10)
+    drain()                       # h0: admits 2, credit 6000
+    feed("other.test", 100, 1)
+    drain()                       # batch WITHOUT h0 — its credit must not tick
+    feed("h0.test", 200, 10)
+    drain()
+
+    rows = [r for r in spark.read.parquet(out).collect()
+            if r["host"] == "h0.test" and r["discovered_seq"] >= 200]
+    # frozen credit 6000 (NOT 12000 as the batch engine would accrue):
+    # budget = (30000 + 6000) // 12000 = 3
+    assert sum(r["admitted"] for r in rows) == 3
+    assert rows[0]["credit_ms"] == 0
