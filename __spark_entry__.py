@@ -1607,6 +1607,88 @@ def q_page_parse(spark, sf_dir):
         link_repr.alias("links_repr"))
 
 
+def q_unmarshal_spec(spark, sf_dir):
+    """Nested extraction-spec compiler (SURVEY §3.3, unmarshal.go:196-248):
+    render one HTML card per customer row (pure Column concat), then
+    unmarshal it back through a spec exercising every tag — nested
+    slice-of-struct (the favnovel []Chapter shape), attr, single-capture
+    re on an optional (*T) field, float via ExtractNumber, comma-int with
+    an ignore literal, and a Go-layout time. The oracle computes the same
+    fields DIRECTLY from the base columns, so the check is a full
+    render→DOM→extract→type round-trip identity."""
+    from crawlspark.operators.unmarshal import unmarshal_spec
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.col
+    html = F.concat(
+        F.lit('<div class="card"><h1 class="name">'), c("c_name"),
+        F.lit('</h1><a class="lnk" href="/cust/'),
+        c("c_custkey").cast("string"), F.lit("?seg="), c("c_mktsegment"),
+        F.lit('">profile</a><span class="bal">¥'),
+        (c("c_nationkey") * 4).cast("string"),
+        F.lit(".25円</span>"),
+        F.lit('<span class="stock">'),
+        F.when(c("c_mktsegment") == "BUILDING", F.lit("N/A"))
+         .otherwise(F.format_string("%,d", c("c_custkey") * 7)),
+        F.lit("</span><ul><li><b>"), c("c_mktsegment"), F.lit("</b><i>"),
+        c("c_nationkey").cast("string"), F.lit("</i></li><li><b>"),
+        c("c_name"), F.lit("</b><i>"), c("c_custkey").cast("string"),
+        F.lit("</i></li></ul>"),
+        F.when(c("c_acctbal") >= 5000,
+               F.concat(F.lit('<em class="vip">VIP '), c("c_name"),
+                        F.lit("</em>"))).otherwise(F.lit("")),
+        F.lit('<p class="since">'),
+        F.format_string("%04d-%02d-%02d", F.lit(2024),
+                        (c("c_custkey") % 12 + 1).cast("int"),
+                        (c("c_custkey") % 28 + 1).cast("int")),
+        F.lit("</p></div>"))
+    pages = cust.select(c("c_custkey").alias("id"), html.alias("text"))
+    spec = {"type": "struct", "fields": {
+        "name": {"find": "h1.name"},
+        "profile_url": {"find": "a.lnk", "attr": "href"},
+        "bal": {"find": "span.bal", "type": "float"},
+        "stock": {"find": "span.stock", "type": "int", "ignore": "N/A"},
+        "items": {"find": "ul li", "many": True, "type": "struct",
+                  "fields": {"k": {"find": "b"},
+                             "v": {"find": "i", "type": "int"}}},
+        "vip": {"find": "em.vip", "optional": True, "re": r"VIP (.*)$"},
+        "since": {"find": "p.since", "type": "time", "time": "2006-01-02"},
+    }}
+    out = unmarshal_spec(pages, spec)
+    d = F.col("data")
+    return out.select(
+        "id",
+        d.getField("name").alias("name"),
+        d.getField("profile_url").alias("profile_url"),
+        d.getField("bal").alias("bal"),
+        d.getField("stock").alias("stock"),
+        F.array_join(F.transform(d.getField("items"),
+                                 lambda x: x.getField("k")),
+                     "|").alias("items_k"),
+        F.array_join(F.transform(d.getField("items"),
+                                 lambda x: x.getField("v").cast("string")),
+                     "|").alias("items_v"),
+        d.getField("vip").alias("vip"),
+        d.getField("since").alias("since"))
+
+
+SQL_UNMARSHAL_SPEC = """
+SELECT c_custkey AS id,
+       c_name AS name,
+       '/cust/' || c_custkey || '?seg=' || c_mktsegment AS profile_url,
+       c_nationkey * 4 + 0.25 AS bal,
+       CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 0
+                 ELSE c_custkey * 7 END AS BIGINT) AS stock,
+       c_mktsegment || '|' || c_name AS items_k,
+       CAST(c_nationkey AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)
+         AS items_v,
+       CASE WHEN c_acctbal >= 5000 THEN c_name END AS vip,
+       CAST(printf('%04d-%02d-%02d', 2024,
+                   1 + c_custkey % 12, 1 + c_custkey % 28) AS TIMESTAMP)
+         AS since
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL over the materialized pure-Python oracles (_ensure_oracle_files).
 # The python side emits RAW numerators (ints / unrounded doubles); the
@@ -1725,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl + multimodal (synthetic input_hint tables) — flagship first
         "crawl_fetch_log": q_crawl_fetch_log,
         "page_parse": q_page_parse,
+        "unmarshal_spec": q_unmarshal_spec,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "phash_dup_pairs": q_phash_dup_pairs,
@@ -1852,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,
         "crawl_fetch_log": SQL_CRAWL_FETCH_LOG,
         "page_parse": SQL_PAGE_PARSE,
+        "unmarshal_spec": SQL_UNMARSHAL_SPEC,
         "phash_dup_pairs": SQL_PHASH_DUP_PAIRS,
         "phash_near_dup": SQL_PHASH_NEAR_DUP,
         # differential over ground-truth pixels (codec-free oracle):
