@@ -63,7 +63,13 @@ def entry(spark: SparkSession) -> DataFrame:
     # raw-HTML corpus: the flagship run exercises the full body path —
     # bytes → charset chain → parse → links (response.go:27-94 semantics)
     pages = synth.spark_raw_pages(spark, tier, parallelism=8)
-    robots = synth.spark_robots(spark, tier)
+    # robots end-to-end: the crawl consumes raw /robots.txt BODIES (one per
+    # host), parsed by the RFC 9309 parser at cache-build time — no
+    # pre-parsed fixture rules anywhere in the flagship path. The matching
+    # oracle parses the SAME bodies (crawlspark.frontier.robots.parse_robots)
+    # and decides via its own pure-Python longest-match.
+    from crawlspark.frontier.robots import robots_cache_from_bodies
+    robots = robots_cache_from_bodies(synth.spark_robots_bodies(spark, tier))
     seeds = synth.spark_seeds(spark, tier)
     cfg = CrawlConfig(k_global=100, max_rounds=2, seen_shards=4,
                       seen_m_bits=1 << 16, validate_fraction=0)
@@ -1245,7 +1251,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v5"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v6"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -1312,9 +1318,12 @@ def _ensure_oracle_files() -> None:
     counts = synth.page_counts(tier)
     pdf = synth.gen_pages_pdf(0, tier.n_pages, counts, tier.n_images)
     pages_by_url = {d["url"]: d for d in pdf.to_dict("records")}
-    robots = {r["host"]: (list(r["disallow_prefixes"]),
-                          int(r["crawl_delay_ms"]))
-              for r in synth.gen_robots_pdf(tier.n_hosts).to_dict("records")}
+    # the oracle parses the SAME raw /robots.txt bodies the flagship crawl
+    # fetches (entry() → robots_cache_from_bodies) and decides with its own
+    # pure-Python RFC 9309 longest-match (oracle.simulate rules form)
+    from crawlspark.frontier.robots import parse_robots
+    robots = {f"host{h}.test": parse_robots(synth.gen_robots_body(h))
+              for h in range(tier.n_hosts)}
     seeds = list(synth.gen_seeds_pdf(tier)["url"])
     res = oracle.simulate(pages_by_url, robots, seeds,
                           round_ms=30_000, k_global=100, max_rounds=2)
@@ -1509,7 +1518,8 @@ def q_crawl_form_submit(spark, sf_dir):
     from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
     tier = synth.TIERS["t1"]
     pages = synth.spark_pages(spark, tier, parallelism=8)
-    robots = synth.spark_robots(spark, tier)
+    from crawlspark.frontier.robots import robots_cache_from_bodies
+    robots = robots_cache_from_bodies(synth.spark_robots_bodies(spark, tier))
     seeds = synth.spark_seeds(spark, tier)
     cfg = CrawlConfig(k_global=100, max_rounds=3, seen_shards=4,
                       seen_m_bits=1 << 16, validate_fraction=0,

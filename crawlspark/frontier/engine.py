@@ -154,10 +154,80 @@ class CrawlEngine:
         """Fetch via the configured strategy (see fetcher.Fetcher)."""
         return self.fetcher.lookup(probe, key)
 
+    # -- cookies (S7/J3 — the Session cookie jar, re-expressed) ---------------
+    #
+    # The reference attaches a cookiejar to its HTTP client so cookies set by
+    # one response ride on every later request, persisted via LoadCookie/
+    # SaveCookie (/root/reference/session.go:67-110). The batch analog:
+    #   * a tiny `cookies` state table (host, name, value, set_seq) in every
+    #     snapshot — the SaveCookie file, resumable like all round state;
+    #   * fetches in round r carry the jar AS OF the end of round r-1
+    #     (fetches within a round are parallel — there is no intra-round
+    #     ordering a cookie could ride; the oracle snapshots identically);
+    #   * a corpus page may REQUIRE a cookie (`require_cookie` = "name" or
+    #     "name=value"): unsatisfied ⇒ the fetch is a 403 and the response
+    #     content (links, image, Set-Cookie, form) is not served;
+    #   * 2xx responses may SET cookies (`set_cookies` array) — harvested
+    #     per round, latest (set_seq, value) per (host, name) wins.
+    # Scale shape: the jar is per-host state (robots-cache-sized), so the
+    # gate is a broadcast join against the ≤k fetched rows — never a corpus
+    # or frontier shuffle.
+
+    _COOKIE_CONTENT_COLS = ("links", "meta_refresh_url", "base_href",
+                            "image_id", "title", "form_action",
+                            "form_method", "form_inputs", "set_cookies",
+                            "effective_charset")
+
+    @staticmethod
+    def _jar_map(jar: DataFrame | None) -> DataFrame | None:
+        """cookies table → broadcastable (host, _jar map<name,value>)."""
+        if jar is None:
+            return None
+        return (jar.groupBy(F.col("host").alias("_jhost"))
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("name", "value"))).alias("_jar")))
+
+    def _cookie_gate(self, looked: DataFrame,
+                     jar_map: DataFrame | None) -> DataFrame:
+        """Apply the cookie gate to corpus-lookup output (which still carries
+        the page host as ``_phost``): rows whose ``require_cookie`` is not
+        satisfied by the round-start jar become status-403 dead letters with
+        all content columns nulled (the page body was never served)."""
+        if "require_cookie" not in looked.columns:
+            return looked
+        if jar_map is not None:
+            looked = (looked.join(F.broadcast(jar_map),
+                                  looked["_phost"] == jar_map["_jhost"],
+                                  "left")
+                      .drop("_jhost"))
+        else:
+            looked = looked.withColumn(
+                "_jar", F.lit(None).cast("map<string,string>"))
+        parts = F.split(F.col("require_cookie"), "=", 2)
+        # try_element_at: missing key ⇒ null (plain element_at throws under
+        # ANSI mode, Spark 4's default)
+        got = F.try_element_at(F.col("_jar"), parts.getItem(0))
+        satisfied = F.col("require_cookie").isNull() | F.when(
+            F.size(parts) > 1,
+            F.coalesce(got == parts.getItem(1), F.lit(False))
+        ).otherwise(got.isNotNull())
+        gated = ~satisfied
+        looked = looked.withColumn(
+            "status", F.when(gated, F.lit(403)).otherwise(F.col("status")))
+        for f in looked.schema.fields:
+            if f.name in self._COOKIE_CONTENT_COLS:
+                looked = looked.withColumn(
+                    f.name, F.when(gated, F.lit(None).cast(f.dataType))
+                             .otherwise(F.col(f.name)))
+        return looked.drop("_jar")
+
     # -- seeding ---------------------------------------------------------------
 
-    def seed(self, seeds: DataFrame) -> None:
+    def seed(self, seeds: DataFrame, cookies: DataFrame | None = None) -> None:
         """Initialize round -0 state from seeds(url, seed_pos).
+
+        ``cookies``: optional initial jar (host, name, value[, set_seq]) —
+        the LoadCookie analog (/root/reference/session.go:92-110).
 
         Robots disallow rules are applied at INSERT time (here and on
         children in step 10): robots are static for a run, so insert-time
@@ -182,8 +252,13 @@ class CrawlEngine:
         fr = (fr.withColumn("_rn", F.row_number().over(wdup))
               .filter(F.col("_rn") == 1).drop("_rn"))
         empty_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
-        self.store.commit(-1, {"frontier": fr, "fetch_log": empty_log},
-                          counters={"fetched_total": 0})
+        tables = {"frontier": fr, "fetch_log": empty_log}
+        if cookies is not None:
+            if "set_seq" not in cookies.columns:
+                cookies = cookies.withColumn("set_seq", F.lit(0).cast("long"))
+            tables["cookies"] = cookies.select("host", "name", "value",
+                                               "set_seq")
+        self.store.commit(-1, tables, counters={"fetched_total": 0})
 
     # -- one round ---------------------------------------------------------------
 
@@ -260,6 +335,8 @@ class CrawlEngine:
         seen = store.read("seen")
         shards_df = store.read("seen_shards")
         host_state = store.read("host_state")
+        jar = store.read("cookies")        # round-start cookie state (S7)
+        jar_map = self._jar_map(jar)
         base_seq = store.counters().get("fetched_total", 0)
 
         if frontier is None:
@@ -399,7 +476,8 @@ class CrawlEngine:
         # corpus scan, plus an anti-join recovering the missing rows (page
         # columns null ⇒ status 404 downstream). The corpus — the 100 TB
         # side — is never shuffled, at any scale.
-        fetched = self._corpus_lookup(scheduled_wide, "canon")
+        fetched = self._cookie_gate(
+            self._corpus_lookup(scheduled_wide, "canon"), jar_map)
         fetched = (fetched
                    .withColumn("status", F.coalesce(F.col("status"),
                                                     F.lit(404)))
@@ -449,10 +527,12 @@ class CrawlEngine:
                          .withColumn("is_refresh", F.lit(False))
                          .withColumn("_slot", F.col("idx")))
 
-        # form columns ride along only when the corpus/parse provides them
-        form_cols = [c for c in ("form_action", "form_method", "form_inputs")
+        # form/cookie columns ride along only when the corpus provides them
+        form_cols = [c for c in ("form_action", "form_method", "form_inputs",
+                                 "set_cookies")
                      if c in fetched.columns]
-        refresh_pre = (self._corpus_lookup(refr, "refresh_canon")
+        refresh_pre = (self._cookie_gate(
+                self._corpus_lookup(refr, "refresh_canon"), jar_map)
             .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
             .select(F.col("refresh_canon").alias("canon"),
                     F.col("r_hash").alias("url_hash"),
@@ -611,6 +691,33 @@ class CrawlEngine:
         host_state_next = next_host_state(
             self.robots, scheduled, host_state, cfg.round_ms)
 
+        # cookie-jar update (S7): harvest this round's Set-Cookie headers
+        # (2xx, served rows only — the gate nulls set_cookies on 403s) and
+        # merge latest-wins per (host, name). All inputs are ≤k rows or the
+        # per-host jar — no corpus-scale work. Deterministic tie-break:
+        # max(struct(set_seq, value)).
+        cookies_next = None
+        if "set_cookies" in all_fetched.columns:
+            harvested = (all_fetched
+                         .filter(is2 & F.col("set_cookies").isNotNull())
+                         .select("host",
+                                 F.col("fetch_seq").alias("set_seq"),
+                                 F.explode("set_cookies").alias("_c"))
+                         .select("host", F.col("_c.name").alias("name"),
+                                 F.col("_c.value").alias("value"),
+                                 "set_seq"))
+            merged = (jar.unionByName(harvested) if jar is not None
+                      else harvested)
+            cookies_next = (merged
+                            .groupBy("host", "name")
+                            .agg(F.max(F.struct("set_seq", "value"))
+                                 .alias("_m"))
+                            .select("host", "name",
+                                    F.col("_m.value").alias("value"),
+                                    F.col("_m.set_seq").alias("set_seq")))
+        elif jar is not None:
+            cookies_next = jar   # carry the loaded jar forward unchanged
+
         # 12. metrics + lineage (A7: per host and per partition)
         host_metrics = (all_fetched
                         .groupBy("host")
@@ -657,7 +764,7 @@ class CrawlEngine:
                 raise RuntimeError(f"payload fidelity violated on {n_bad} rows")
 
         _t = self._tick(_t, 'plan build')
-        store.commit(r, {
+        tables = {
             "frontier": frontier_next,
             "fetch_log": fetch_log,
             "seen": new_seen.withColumn(
@@ -667,7 +774,11 @@ class CrawlEngine:
             "host_state": host_state_next,
             "metrics": metrics,
             "debug_samples": debug_samples,
-        }, counters={"fetched_total": int(base_seq + n_fetched)})
+        }
+        if cookies_next is not None:
+            tables["cookies"] = cookies_next
+        store.commit(r, tables,
+                     counters={"fetched_total": int(base_seq + n_fetched)})
         _t = self._tick(_t, 'commit writes')
         self._unpersist_new_rdds(_rdds_before)
         clear_ckpts()

@@ -29,7 +29,7 @@ import os
 import shutil
 
 APPEND_TABLES = {"fetch_log", "seen", "metrics"}
-REPLACE_TABLES = {"frontier", "seen_shards", "host_state"}
+REPLACE_TABLES = {"frontier", "seen_shards", "host_state", "cookies"}
 # hash-partitioned at rest (hive-style bucket=N / shard=N dirs): the
 # per-bucket executor-side probe (engine._bucketed_seen_flag) reads only its
 # bucket's files — the at-scale exact-decide path that never shuffles the

@@ -41,7 +41,8 @@ def _key(row) -> tuple:
 def simulate(pages_by_url: dict, robots: dict, seeds: list,
              round_ms: int = 30_000, k_global: int = 1_000,
              max_rounds: int = 100, auto_submit_forms: bool = False,
-             form_encoding: str | None = None) -> OracleResult:
+             form_encoding: str | None = None,
+             initial_cookies: dict | None = None) -> OracleResult:
     """pages_by_url: canonical url -> page dict (FIXTURES.md §2 row shape);
     robots: host -> (disallow_prefixes, crawl_delay_ms);
     seeds: [url, ...] in seed_pos order.
@@ -49,12 +50,51 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     ``auto_submit_forms``: S3 (/root/reference/form.go:338-401) — a 2xx
     page carrying a GET form also discovers its submit URL (action +
     sorted urlencoded defaults, values re-encoded into ``form_encoding``),
-    as a child in the reserved document-order slot FORM_POS."""
+    as a child in the reserved document-order slot FORM_POS.
+
+    Cookie jar (S7 — /root/reference/session.go:67-110): fetches in round r
+    see the jar as of the END of round r-1 (the engine's fetches are
+    parallel — no intra-round cookie ride). A page whose ``require_cookie``
+    ("name" or "name=value") is unsatisfied is a 403 with no content (no
+    image, links, refresh, form, or Set-Cookie). 2xx pages' ``set_cookies``
+    apply at round end, latest (seq, value) per (host, name) winning.
+    ``initial_cookies``: {host: {name: value}} — the LoadCookie analog.
+
+    Robots values come in two shapes (matching the engine, which accepts
+    both the legacy prefix fixtures and frontier.robots parser output):
+      * (disallow_prefixes, crawl_delay_ms) — prefix-startswith semantics;
+      * {"rules": [(allow, pattern), ...], "crawl_delay_ms": int} — full
+        RFC 9309 longest-match, decided by frontier.robots.rule_allows
+        (e.g. the output of parse_robots over fetched /robots.txt bodies).
+    """
+    from .frontier.robots import rule_allows
+
     res = OracleResult()
+    jar: dict[str, dict] = {h: dict(m)
+                            for h, m in (initial_cookies or {}).items()}
+
+    def _norm(v):
+        if isinstance(v, dict):
+            return (list(v.get("rules") or []),
+                    int(v.get("crawl_delay_ms") or 0), True)
+        prefixes, delay = v
+        return (list(prefixes), int(delay), False)
+
+    robots_n = {h: _norm(v) for h, v in robots.items()}
+
+    def served(page: dict, host: str, jar0: dict) -> bool:
+        req = page.get("require_cookie")
+        if req is None:
+            return True
+        name, sep, want = req.partition("=")
+        got = jar0.get(host, {}).get(name)
+        return (got == want) if sep else (got is not None)
 
     def robots_blocked(host: str, path: str) -> bool:
-        prefixes, _delay = robots.get(host, ([], 0))
-        return any(path.startswith(p) for p in prefixes)
+        rules, _delay, is_rep = robots_n.get(host, ([], 0, False))
+        if is_rep:
+            return not rule_allows(path, rules)
+        return any(path.startswith(p) for p in rules)
 
     # robots disallow rules apply at INSERT time (static per run — identical
     # decisions to pop-time filtering), mirroring the engine invariant that
@@ -89,7 +129,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
         # 3-4. budget (disallow rules were applied at insert)
         allowed = []
         for row in cand:
-            _prefixes, delay = robots.get(row["host"], ([], 0))
+            delay = robots_n.get(row["host"], ([], 0, False))[1]
             row = dict(row)
             # budget with cross-round carryover: unused round time (≤ one
             # delay) rolls forward — same arithmetic as politeness.budget_col
@@ -111,15 +151,19 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
             break
         scheduled_hashes = {row["url_hash"] for row in scheduled}
 
-        # 7-8. fetch + refresh claims (first parent in idx order wins)
-        claims: dict[int, int] = {}  # r_hash -> parent idx
+        # 7-8. fetch + refresh claims (first parent in idx order wins).
+        # jar0 = the round-start cookie snapshot every fetch this round sees.
+        jar0 = {h: dict(m) for h, m in jar.items()}
+        cookie_updates: list[tuple] = []   # (seq, host, name, value)
         fetch_plan = []
+        claims: dict[int, int] = {}  # r_hash -> parent idx
         for idx, row in enumerate(scheduled):
             page = pages_by_url.get(row["canon"])
-            status = page["status"] if page is not None else 404
+            ok = page is not None and served(page, row["host"], jar0)
+            status = (403 if page is not None and not ok
+                      else page["status"] if page is not None else 404)
             refresh = None
-            if page is not None and status // 100 == 2 and \
-                    page.get("meta_refresh_url"):
+            if ok and status // 100 == 2 and page.get("meta_refresh_url"):
                 base = page.get("base_href") or row["canon"]
                 rc = canonicalize(page["meta_refresh_url"], base)
                 if rc is not None:
@@ -128,44 +172,59 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                             and rh not in claims):
                         claims[rh] = idx
                         refresh = (rc, rh)
-            fetch_plan.append((row, page, status, refresh))
+            fetch_plan.append((row, page, status, refresh, ok))
 
         # 9-10. sequence assignment + expansion
         children = []
         seq = base_seq
         n_fetched = 0
-        for idx, (row, page, status, refresh) in enumerate(fetch_plan):
+        for idx, (row, page, status, refresh, ok) in enumerate(fetch_plan):
             seq += 1
             n_fetched += 1
             res.fetch_log.append({
                 "round": r, "fetch_seq": seq, "canon": row["canon"],
                 "ref_url": row["ref_url"], "status": status,
                 "is_refresh": False,
-                "image_id": page["image_id"] if page else None,
+                "image_id": page["image_id"] if page and ok else None,
             })
             res.seen.add(row["url_hash"])
-            if page is not None and status // 100 == 2:
+            if ok and status // 100 == 2:
                 children.extend(_expand(page, row["canon"], row["priority"],
                                         seq, auto_submit_forms,
                                         form_encoding))
+                for c in page.get("set_cookies") or []:
+                    cookie_updates.append(
+                        (seq, row["host"], c["name"], c["value"]))
             if refresh is not None:
                 rc, rh = refresh
+                rhost = host_of(rc)
                 rpage = pages_by_url.get(rc)
-                rstatus = rpage["status"] if rpage is not None else 404
+                rok = rpage is not None and served(rpage, rhost, jar0)
+                rstatus = (403 if rpage is not None and not rok
+                           else rpage["status"] if rpage is not None else 404)
                 seq += 1
                 n_fetched += 1
                 res.fetch_log.append({
                     "round": r, "fetch_seq": seq, "canon": rc,
                     "ref_url": row["canon"], "status": rstatus,
                     "is_refresh": True,
-                    "image_id": rpage["image_id"] if rpage else None,
+                    "image_id": rpage["image_id"] if rpage and rok else None,
                 })
                 res.seen.add(rh)
-                if rpage is not None and rstatus // 100 == 2:
+                if rok and rstatus // 100 == 2:
                     children.extend(_expand(rpage, rc, row["priority"], seq,
                                             auto_submit_forms,
                                             form_encoding))
+                    for c in rpage.get("set_cookies") or []:
+                        cookie_updates.append(
+                            (seq, rhost, c["name"], c["value"]))
         base_seq = seq
+
+        # cookie-jar merge at round end: latest (seq, value) per (host,
+        # name) wins — same deterministic tie-break as the engine's
+        # max(struct(set_seq, value)) aggregation.
+        for _seq, host, name, value in sorted(cookie_updates):
+            jar.setdefault(host, {})[name] = value
 
         # 11a. politeness carryover update (primaries only — refreshes are
         # outside budget accounting): credit' = min(delay,
@@ -173,7 +232,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
         used: dict[str, int] = {}
         for row in scheduled:
             used[row["host"]] = used.get(row["host"], 0) + 1
-        for host, (_prefixes, delay) in robots.items():
+        for host, (_rules, delay, _is_rep) in robots_n.items():
             if delay and delay > 0:
                 c = credit.get(host, 0)
                 credit[host] = min(

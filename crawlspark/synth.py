@@ -197,8 +197,30 @@ def gen_page_title(h: int, k: int) -> str:
     return title
 
 
+def gen_cookie_cols(h: int, k: int, status: int) -> tuple:
+    """Deterministic cookie behavior for page (h, k) — the Session cookie-jar
+    analog (reference: /root/reference/session.go:67-110, a cookiejar on the
+    HTTP client so cookies set by one response ride on every later request).
+
+    Returns (set_cookies, require_cookie):
+      * set_cookies: ~1/6 of 2xx pages set the host session cookie
+        ``sess=tok<h>`` (a Set-Cookie response header, modeled out-of-band
+        of the body like the real header channel);
+      * require_cookie: ~1/8 of pages are GATED — served only when the
+        request carries a satisfying cookie, else the fetch is a 403.
+        Encodes ``name=value`` (exact match) or bare ``name`` (presence).
+    """
+    set_cookies = None
+    if status == 200 and _h(h, k, 40) % 6 == 0:
+        set_cookies = [{"name": "sess", "value": f"tok{h}"}]
+    rv = _h(h, k, 41) % 16
+    require = (f"sess=tok{h}" if rv == 0
+               else "sess" if rv == 8 else None)
+    return set_cookies, require
+
+
 def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
-                 global_idx: int) -> dict:
+                 global_idx: int, cookies: bool = False) -> dict:
     hv = _h(h, k, 3)
     status = 200 if hv % 25 else (404 if hv % 2 else 500)  # ~96% 2xx
     degree = _h(h, k, 4) % 9  # 0..8 out-links
@@ -219,7 +241,7 @@ def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
         rk = (k + 1) % max(counts[h], 1)
         refresh = (f"/p/{rk}" if _h(h, k, 8) % 2 else page_url(h, rk))
     form_action, form_inputs = gen_page_form(h, k, status)
-    return {
+    row = {
         "url": page_url(h, k),
         "host": f"host{h}.test",
         "base_href": base_href,
@@ -233,6 +255,10 @@ def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
         "form_method": "get" if form_action else None,
         "form_inputs": form_inputs,
     }
+    if cookies:
+        row["set_cookies"], row["require_cookie"] = gen_cookie_cols(
+            h, k, status)
+    return row
 
 
 def gen_page_form(h: int, k: int, status: int):
@@ -353,22 +379,28 @@ def render_page_html(h: int, k: int, counts: list[int]) -> tuple[bytes, str]:
     return html.encode(codec), content_type
 
 
-def gen_raw_pages_pdf(lo: int, hi: int, counts: list[int], n_images: int
-                      ) -> pd.DataFrame:
+def gen_raw_pages_pdf(lo: int, hi: int, counts: list[int], n_images: int,
+                      cookies: bool = False) -> pd.DataFrame:
     """Raw-body page corpus rows (url, host, body, content_type, image_id,
     status): fetch-level fields stay structured (they model the HTTP
-    response envelope); the page content is real HTML bytes."""
+    response envelope); the page content is real HTML bytes. Cookie columns
+    (when ``cookies``) also stay structured — Set-Cookie and the gate are
+    HEADER-channel facts, out-of-band of the body."""
     starts = page_index_bounds(counts)
     rows = []
     for g in range(lo, hi):
         h, k = locate_page(g, starts)
-        row = gen_page_row(h, k, counts, n_images, g)
+        row = gen_page_row(h, k, counts, n_images, g, cookies=cookies)
         body, ct = render_page_html(h, k, counts)
-        rows.append({
+        out = {
             "url": row["url"], "host": row["host"], "body": body,
             "content_type": ct, "image_id": row["image_id"],
             "status": row["status"],
-        })
+        }
+        if cookies:
+            out["set_cookies"] = row["set_cookies"]
+            out["require_cookie"] = row["require_cookie"]
+        rows.append(out)
     return pd.DataFrame(rows)
 
 
@@ -388,13 +420,13 @@ def locate_page(g: int, starts: list[int]) -> tuple[int, int]:
     return h, g - starts[h]
 
 
-def gen_pages_pdf(lo: int, hi: int, counts: list[int], n_images: int
-                  ) -> pd.DataFrame:
+def gen_pages_pdf(lo: int, hi: int, counts: list[int], n_images: int,
+                  cookies: bool = False) -> pd.DataFrame:
     starts = page_index_bounds(counts)
     rows = []
     for g in range(lo, hi):
         h, k = locate_page(g, starts)
-        rows.append(gen_page_row(h, k, counts, n_images, g))
+        rows.append(gen_page_row(h, k, counts, n_images, g, cookies=cookies))
     return pd.DataFrame(rows)
 
 
@@ -460,6 +492,10 @@ PAGES_SCHEMA = (
 )
 RAW_PAGES_SCHEMA = ("url string, host string, body binary, "
                     "content_type string, image_id string, status int")
+# header-channel cookie columns, appended when cookies=True (the Session
+# cookie-jar analog — see gen_cookie_cols)
+COOKIE_COLS_SCHEMA = (", set_cookies array<struct<name:string,value:string>>"
+                      ", require_cookie string")
 IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                  "caption string, phash long")
 ROBOTS_SCHEMA = "host string, disallow_prefixes array<string>, crawl_delay_ms long"
@@ -478,7 +514,8 @@ def spark_images(spark, tier: Tier, parallelism: int = 32):
             .mapInPandas(gen, IMAGES_SCHEMA))
 
 
-def spark_pages(spark, tier: Tier, parallelism: int = 32):
+def spark_pages(spark, tier: Tier, parallelism: int = 32,
+                cookies: bool = False):
     counts = page_counts(tier)
     n_images = tier.n_images
 
@@ -486,13 +523,15 @@ def spark_pages(spark, tier: Tier, parallelism: int = 32):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             yield gen_pages_pdf(int(ids.min()), int(ids.max()) + 1,
-                                counts, n_images)
+                                counts, n_images, cookies=cookies)
 
+    schema = PAGES_SCHEMA + (COOKIE_COLS_SCHEMA if cookies else "")
     return (spark.range(0, tier.n_pages, 1, parallelism)
-            .mapInPandas(gen, PAGES_SCHEMA))
+            .mapInPandas(gen, schema))
 
 
-def spark_raw_pages(spark, tier: Tier, parallelism: int = 32):
+def spark_raw_pages(spark, tier: Tier, parallelism: int = 32,
+                    cookies: bool = False):
     """The raw-body page corpus, Spark-distributed (same pure generator as
     gen_raw_pages_pdf — byte-identical regardless of partitioning)."""
     counts = page_counts(tier)
@@ -502,10 +541,11 @@ def spark_raw_pages(spark, tier: Tier, parallelism: int = 32):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             yield gen_raw_pages_pdf(int(ids.min()), int(ids.max()) + 1,
-                                    counts, n_images)
+                                    counts, n_images, cookies=cookies)
 
+    schema = RAW_PAGES_SCHEMA + (COOKIE_COLS_SCHEMA if cookies else "")
     return (spark.range(0, tier.n_pages, 1, parallelism)
-            .mapInPandas(gen, RAW_PAGES_SCHEMA))
+            .mapInPandas(gen, schema))
 
 
 def spark_robots(spark, tier: Tier):

@@ -296,3 +296,46 @@ def test_engine_auto_submit_raw_bodies(spark, t1_data):
         return log
 
     assert run(raw_pages) == run(pages)
+
+
+def test_engine_matches_oracle_robots_from_bodies(spark, t1_data,
+                                                  oracle_result):
+    """Robots end-to-end (U6/U7 at the crawl level): the engine consumes
+    raw /robots.txt BODIES parsed by the RFC 9309 parser
+    (robots_cache_from_bodies), while the oracle parses the SAME bodies
+    with parse_robots and decides via its own pure-Python longest-match
+    (oracle.simulate rules form). The crawl also equals the prefix-fixture
+    run — gen_robots_body round-trips — proving both robots paths agree."""
+    from crawlspark.frontier.robots import (parse_robots,
+                                            robots_cache_from_bodies)
+    tier, pages, _, seeds = t1_data
+    robots = robots_cache_from_bodies(synth.spark_robots_bodies(spark, tier))
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_repbody_"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+
+    counts = synth.page_counts(tier)
+    pdf = synth.gen_pages_pdf(0, tier.n_pages, counts, tier.n_images)
+    pages_by_url = {d["url"]: d for d in pdf.to_dict("records")}
+    robots_d = {f"host{h}.test": parse_robots(synth.gen_robots_body(h))
+                for h in range(tier.n_hosts)}
+    want_res = oracle.simulate(pages_by_url, robots_d,
+                               list(synth.gen_seeds_pdf(tier)["url"]),
+                               round_ms=30_000, k_global=K,
+                               max_rounds=ROUNDS)
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in want_res.fetch_log]
+    assert log == want
+    # round-trip sanity: bodies-derived run == prefix-fixture run
+    assert want == [(r["fetch_seq"], r["canon"], r["status"],
+                     r["is_refresh"], r["ref_url"])
+                    for r in oracle_result.fetch_log]
+    assert {r["url_hash"] for r in store.read("seen").collect()} \
+        == want_res.seen
+    store.destroy()
