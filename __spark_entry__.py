@@ -1347,6 +1347,22 @@ def _ensure_oracle_files() -> None:
          "is_refresh", "image_id", "host"]].astype(
         {"round": "int32", "status": "int32"}))
 
+    # cookie-jar crawl (S7 — session.go:67-110): require_cookie-gated pages
+    # 403 until the host's session cookie is harvested from an earlier
+    # round's Set-Cookie; 3 rounds so the round-(r-1) jar snapshot, the
+    # gate, and the harvest all shape the log
+    pdf_c = synth.gen_pages_pdf(0, tier.n_pages, counts, tier.n_images,
+                                cookies=True)
+    pages_c = {d["url"]: d for d in pdf_c.to_dict("records")}
+    res_c = oracle.simulate(pages_c, robots, seeds,
+                            round_ms=30_000, k_global=100, max_rounds=3)
+    flog_c = pd.DataFrame(res_c.fetch_log)
+    flog_c["host"] = flog_c["canon"].map(host_of)
+    write("crawl_cookies", flog_c[
+        ["round", "fetch_seq", "canon", "ref_url", "status",
+         "is_refresh", "image_id", "host"]].astype(
+        {"round": "int32", "status": "int32"}))
+
     # page_parse expected: the structured generator output, flattened to
     # driver-hashable scalars (the Spark side re-derives these by PARSING
     # the rendered HTML bytes — a true render→parse differential check)
@@ -1527,6 +1543,33 @@ def q_crawl_form_submit(spark, sf_dir):
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     store = SnapshotStore(spark, tempfile.mkdtemp(
         prefix="entry_form_crawl_", dir=scratch))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    return (store.read("fetch_log").orderBy("fetch_seq")
+            .select("round", "fetch_seq", "canon", "ref_url", "status",
+                    "is_refresh", "image_id", "host"))
+
+
+def q_crawl_cookies(spark, sf_dir):
+    """S7 end-to-end at the driver: the t1 crawl (3 rounds, k=100) over the
+    cookie-enabled corpus — require_cookie-gated pages 403 until the host's
+    session cookie is harvested from an earlier round's Set-Cookie; fetches
+    see the round-start jar. Oracle = the sequential simulator with its own
+    jar snapshot/merge (crawlspark/oracle.py)."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+    from crawlspark.frontier.robots import robots_cache_from_bodies
+    tier = synth.TIERS["t1"]
+    pages = synth.spark_pages(spark, tier, parallelism=8, cookies=True)
+    robots = robots_cache_from_bodies(synth.spark_robots_bodies(spark, tier))
+    seeds = synth.spark_seeds(spark, tier)
+    cfg = CrawlConfig(k_global=100, max_rounds=3, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="entry_cookie_crawl_", dir=scratch))
     eng = CrawlEngine(spark, store, pages, robots, None, cfg)
     eng.seed(seeds)
     eng.run()
@@ -1804,6 +1847,11 @@ SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
 FROM read_parquet('{_ORACLE_DIR}/crawl_form_submit.parquet')
 """
 
+SQL_CRAWL_COOKIES = f"""
+SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
+FROM read_parquet('{_ORACLE_DIR}/crawl_cookies.parquet')
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -1879,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         # long-running entries last (budget-cut costs fewest rows)
         "crawl_form_submit": q_crawl_form_submit,
+        "crawl_cookies": q_crawl_cookies,
     }
 
 
@@ -1917,6 +1966,7 @@ def oracle_sql() -> dict[str, str]:
         "form_submit_params": SQL_FORM_SUBMIT_PARAMS,
         "form_urlencode": SQL_FORM_URLENCODE,
         "crawl_form_submit": SQL_CRAWL_FORM_SUBMIT,
+        "crawl_cookies": SQL_CRAWL_COOKIES,
         "anchor_select": SQL_ANCHOR_SELECT,
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,
