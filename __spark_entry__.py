@@ -787,6 +787,41 @@ def q_rep_match(spark, sf_dir):
         rep_allowed_col(path, rules).alias("allowed"))
 
 
+def q_name_from_selector(spark, sf_dir):
+    """P11 — extractNameFromSelector (session.go:693-703): pull the `name`
+    attribute from a CSS selector string; selectors derived from part
+    brands exercise unquoted/double/single-quoted forms and the no-match
+    zero value ("")."""
+    from crawlspark.operators.extract import name_from_selector
+    part = _t(spark, sf_dir, "part")
+    m = F.pmod(F.col("p_partkey"), F.lit(4))
+    sel = (F.when(m == 0, F.concat(F.lit("input[name="), F.col("p_brand"),
+                                   F.lit("]")))
+            .when(m == 1, F.concat(F.lit('[name="'), F.col("p_brand"),
+                                   F.lit('"]')))
+            .when(m == 2, F.concat(F.lit("form > input[name='"),
+                                   F.col("p_brand"), F.lit("']")))
+            .otherwise(F.lit("div.cls#id")))
+    return part.select("p_partkey", sel.alias("selector"),
+                       name_from_selector(sel).alias("input_name"))
+
+
+SQL_NAME_FROM_SELECTOR = r"""
+WITH t AS (
+  SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN 'input[name=' || p_brand || ']'
+           WHEN 1 THEN '[name="' || p_brand || '"]'
+           WHEN 2 THEN 'form > input[name=''' || p_brand || ''']'
+           ELSE 'div.cls#id' END AS selector
+  FROM part)
+SELECT p_partkey, selector,
+       coalesce(regexp_extract(selector,
+                '\[name=["'']?([^"''\]]+)["'']?\]', 1), '') AS input_name
+FROM t
+"""
+
+
 SQL_REP_MATCH = """
 WITH t AS (
   SELECT p_partkey,
@@ -1902,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "download_latest": q_download_latest,
         "cookie_join": q_cookie_join,
         "rep_match": q_rep_match,
+        "name_from_selector": q_name_from_selector,
         "url_canonicalize": q_url_canonicalize,
         "json_props": q_json_props,
         "csv_source": q_csv_source,
@@ -1971,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,
         "rep_match": SQL_REP_MATCH,
+        "name_from_selector": SQL_NAME_FROM_SELECTOR,
         "url_canonicalize": SQL_URL_CANONICALIZE,
         "json_props": SQL_JSON_PROPS,
         "csv_source": SQL_CSV_SOURCE,

@@ -201,3 +201,13 @@ def glob_to_regex(glob: str) -> str:
         i += 1
     out.append("$")
     return "".join(out)
+
+
+def name_from_selector(c: Column) -> Column:
+    """P11 — extractNameFromSelector (/root/reference/session.go:693-703):
+    pull the ``name`` attribute out of a CSS selector string
+    (``input[name=username]`` → ``username``, ``[name="password"]`` →
+    ``password``); no ``[name=...]`` part → "" (the reference's zero
+    value). Pure Column expression (regexp_extract yields "" on no match,
+    matching Go's FindStringSubmatch-empty branch)."""
+    return F.regexp_extract(c, "\\[name=[\"']?([^\"'\\]]+)[\"']?\\]", 1)

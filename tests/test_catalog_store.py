@@ -52,3 +52,66 @@ def test_catalog_store_crawl_and_resume(spark):
     seen = {r["url_hash"] for r in store2.read("seen").collect()}
     assert seen == want.seen
     store2.destroy()
+
+
+def test_catalog_crash_mid_commit_recovers(spark):
+    """Crash INSIDE commit — after the round's data partitions are written
+    but BEFORE the manifest snapshot append (the commit point): readers
+    must still see only the previous round (the partial round's partitions
+    are invisible because no manifest row lists them), and a resumed engine
+    re-runs the round idempotently (dynamic partition overwrite replaces
+    the orphaned partitions) to the exact oracle log."""
+    import pytest
+
+    class CrashMidCommit(CatalogStore):
+        armed = False
+
+        def commit(self, round_no, tables, counters):
+            if not self.armed:
+                return super().commit(round_no, tables, counters)
+            # the parent's data-write phase, verbatim — then die before
+            # the manifest publish
+            from concurrent.futures import ThreadPoolExecutor
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "STATIC")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                with ThreadPoolExecutor(max_workers=max(1, len(tables))) \
+                        as ex:
+                    list(ex.map(
+                        lambda kv: self._write_round(kv[0], kv[1], round_no),
+                        tables.items()))
+            finally:
+                self.spark.conf.set(conf, prev)
+            raise RuntimeError("simulated crash before manifest publish")
+
+    tier = synth.TIERS["t1"]
+    pages = synth.spark_pages(spark, tier, parallelism=4)
+    robots = synth.spark_robots(spark, tier)
+    seeds = synth.spark_seeds(spark, tier)
+    want = _oracle(tier)
+
+    root = tempfile.mkdtemp(prefix="catstore_crash_")
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0)
+    store = CrashMidCommit(spark, root, prefix="t_crash")
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run(max_rounds=2)                  # rounds 0-1 commit cleanly
+    store.armed = True
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run(max_rounds=1)              # round 2 dies mid-commit
+
+    # recovery: a fresh reader sees only the committed rounds; the orphaned
+    # round-2 partitions are invisible and the resume replays round 2
+    store2 = CatalogStore(spark, root, prefix="t_crash")
+    assert store2.last_round() == 1
+    assert store2.read("fetch_log").count() == sum(
+        1 for r in want.fetch_log if r["round"] <= 1)
+    eng2 = CrawlEngine(spark, store2, pages, robots, None, cfg)
+    eng2.run(max_rounds=1)
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"])
+           for r in store2.read("fetch_log").orderBy("fetch_seq").collect()]
+    assert log == [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"])
+                   for r in want.fetch_log]
+    store2.destroy()

@@ -112,3 +112,20 @@ def test_glob_to_regex(spark):
     got = [r["m"] for r in df.select(
         F.col("n").rlike(X.glob_to_regex("*.csv")).alias("m")).collect()]
     assert got == [True, False, False]
+
+
+def test_name_from_selector(spark):
+    """P11 (session.go:693-703): the reference's own doc examples plus the
+    quoting variants and the no-match zero value."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.extract import name_from_selector
+    rows = [("input[name=username]", "username"),
+            ('[name="password"]', "password"),
+            ("form > input[name='q']", "q"),
+            ("div#x.cls", ""),
+            ("[name=]", "")]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "sel string")
+    got = [r["n"] for r in
+           df.select(name_from_selector(F.col("sel")).alias("n")).collect()]
+    assert got == [w for _, w in rows]
