@@ -79,6 +79,12 @@ class CatalogStore:
         rounds = self._read_manifest()["rounds"]
         return rounds[-1]["round"] if rounds else -1
 
+    def last_committed_round(self, table: str):
+        """Newest committed round that wrote ``table`` (None if never)."""
+        rounds = [r["round"] for r in self._read_manifest()["rounds"]
+                  if table in r["tables"]]
+        return rounds[-1] if rounds else None
+
     def counters(self) -> dict:
         return dict(self._read_manifest()["counters"])
 

@@ -44,9 +44,17 @@ crawlspark.oracle — BASELINE.json demands exact crawl-order/URL-seen match):
                hashes first), and each round rebuilds frontier' from
                post-filter survivors, so stale rows never outlive a round.
                Politeness credit (step 4) rolls forward in host_state.
-  12. COMMIT   one atomic snapshot (frontier, fetch_log, seen, seen_shards,
-               host_state, metrics) — resume replays byte-identically (the
-               record/replay contract, session.go:147-266).
+  12. COMMIT   one atomic snapshot (fetch_log, seen, seen_shards,
+               host_state, metrics, frontier deltas) — resume replays
+               byte-identically (the record/replay contract,
+               session.go:147-266). The frontier itself commits
+               MERGE-ON-READ: normal rounds write only O(k) deltas
+               (frontier_add / frontier_rm, tagged delta_round); reads
+               reconstruct base ∖ removals ∪ (adds ∖ later removals); every
+               cfg.frontier_compact_every rounds a compaction rewrites the
+               full REPLACE table — the Iceberg MOR + compaction pattern,
+               because rewriting a 10^10-row frontier every round is O(n)
+               I/O the crawl cannot afford.
 
 Non-2xx fetches are LOGGED and not expanded — the reference rejects non-2xx
 (session.go:197-199) as an error; our engine dead-letters them as rows, never
@@ -90,6 +98,49 @@ from .fetcher import CorpusFetcher, Fetcher, _broadcast_lookup  # noqa: E402,F40
 # (_broadcast_lookup re-exported for API stability; it moved to fetcher.py)
 
 
+def frontier_view(store, base: DataFrame | None = None,
+                  base_round=...) -> DataFrame | None:
+    """Merge-on-read frontier: reconstruct the live frontier from the last
+    compacted base plus the delta tables committed since.
+
+        frontier = (base ∖ ⋃removals) ∪ ⋃(adds_i ∖ removals with
+                    delta_round > i)
+
+    The strict ``>`` matters: a hash removed in round j and re-added in a
+    round j' ≥ j (a zombie re-discovery — children are not exact-checked
+    against the historical seen set at insert) must keep the round-j' row,
+    exactly as the eager rebuild did. Removals are O(k·C) hashes (C =
+    compaction cadence) — always broadcast; the base, the 10^10 side, is
+    never shuffled by the view. EVERY consumer of the frontier table
+    (engine rounds, streaming seed merge) must read through this view."""
+    if base is None:
+        base = store.read("frontier")
+        if base is None:
+            return None
+    if base_round is ...:
+        base_round = store.last_committed_round("frontier")
+    adds = store.read("frontier_add")
+    if adds is not None and base_round is not None:
+        adds = adds.filter(F.col("delta_round") > base_round)
+    rms = store.read("frontier_rm")
+    if rms is not None and base_round is not None:
+        rms = rms.filter(F.col("delta_round") > base_round)
+    if rms is not None:
+        base = base.join(F.broadcast(rms.select("url_hash")),
+                         "url_hash", "left_anti")
+        if adds is not None:
+            later_rm = rms.select(F.col("url_hash").alias("_rh"),
+                                  F.col("delta_round").alias("_rr"))
+            adds = adds.join(
+                F.broadcast(later_rm),
+                (adds["url_hash"] == F.col("_rh"))
+                & (F.col("_rr") > adds["delta_round"]),
+                "left_anti")
+    if adds is not None:
+        base = base.unionByName(adds.drop("delta_round"))
+    return base
+
+
 @dataclass
 class CrawlConfig:
     round_ms: int = 30_000        # reference navigation timeout (30 s)
@@ -122,6 +173,15 @@ class CrawlConfig:
     # document-order slot oracle.FORM_POS. Off by default: submitting is a
     # crawl POLICY (the reference leaves it to user code).
     auto_submit_forms: bool = False
+    # merge-on-read frontier commits: a normal round writes only the O(k)
+    # deltas (frontier_add: children kept; frontier_rm: removal hashes) and
+    # the read reconstructs frontier = base ∖ removals ∪ (adds ∖ any
+    # strictly-later removal); every Nth round compacts — rewrites the full
+    # REPLACE "frontier" table (the Iceberg merge-on-read + compaction
+    # pattern). At 10^10 rows rewriting the frontier per round is THE
+    # scale-killer this removes: per-round frontier I/O drops from O(n) to
+    # O(k·fanout). 1 ⇒ compact every round (the old behavior).
+    frontier_compact_every: int = 4
 
 
 class CrawlEngine:
@@ -326,12 +386,18 @@ class CrawlEngine:
         return (df.withColumn("_bkt", bkt)
                 .groupBy("_bkt").applyInPandas(probe, schema))
 
+    def _frontier_view(self, base: DataFrame, base_round) -> DataFrame:
+        return frontier_view(self.store, base, base_round)
+
     def run_round(self, r: int) -> dict:
         cfg = self.cfg
         store = self.store
         _t = time.time()
         _rdds_before = self._persistent_rdd_ids(self.spark)
         frontier = store.read("frontier")
+        base_round = store.last_committed_round("frontier")
+        if frontier is not None:
+            frontier = self._frontier_view(frontier, base_round)
         seen = store.read("seen")
         shards_df = store.read("seen_shards")
         host_state = store.read("host_state")
@@ -440,18 +506,26 @@ class CrawlEngine:
             allowed = allowed.filter(F.col("_seen").isNull()).drop("_seen")
 
         # 5-6. politeness top-K (budget-gated: only over-budget hosts are
-        # ranked — politeness.topk_per_host), then global take-k. The
-        # priority-histogram threshold (prune_to_global_topk) shrinks the
-        # take-k input to an exact superset of the top-k, O(k) rows, before
-        # the distributed range-partitioned sequencer (plans/ordering.py)
-        # assigns ranks; take-k is a filter on the rank. Neither an
-        # unpartitioned window NOR orderBy().limit(k) appears here: both
-        # funnel every survivor through one task (TakeOrdered's final merge
-        # is single-task, and k is of the same order as the round width) —
-        # measured as the serial fraction that froze N-vs-4N scaling at
-        # ~0.25 efficiency.
-        survivors = topk_per_host(allowed, cfg.salt_buckets)
-        pruned = prune_to_global_topk(survivors, cfg.k_global)
+        # ranked — politeness.topk_per_host), then global take-k. ONE small
+        # (host, bucket) stats pass over the narrow frontier answers both
+        # the budget gate AND the exact post-cap priority-histogram cut
+        # (politeness.schedule_stats — the separate survivors-histogram job
+        # previously re-executed the salted ranking just to count buckets).
+        # The cut shrinks the take-k input to an exact superset of the
+        # top-k, O(k) rows, before the distributed range-partitioned
+        # sequencer (plans/ordering.py) assigns ranks; take-k is a filter
+        # on the rank. Neither an unpartitioned window NOR
+        # orderBy().limit(k) appears here: both funnel every survivor
+        # through one task (TakeOrdered's final merge is single-task, and k
+        # is of the same order as the round width) — measured as the serial
+        # fraction that froze N-vs-4N scaling at ~0.25 efficiency.
+        from .politeness import over_budget_hosts, postcap_cut, schedule_stats
+        stats = ckpt(schedule_stats(allowed))
+        survivors = topk_per_host(allowed, cfg.salt_buckets,
+                                  over=over_budget_hosts(stats))
+        cut = postcap_cut(stats, cfg.k_global)
+        pruned = (survivors if cut is None else survivors.filter(
+            F.floor(F.col("priority") * 64) >= cut))
         seq_df, n_pruned = with_global_seq(pruned, order_cols(), out="idx",
                                            start=0, return_count=True)
         scheduled = (seq_df.filter(F.col("idx") < cfg.k_global)
@@ -623,9 +697,13 @@ class CrawlEngine:
         # in the frontier — self-cleaning, since each round rebuilds
         # frontier' from post-filter survivors. This removes the former
         # full-frontier × full-seen anti-join from every commit.
-        # materialized once: four downstream plans broadcast this set, each
-        # of which would otherwise redo the distinct shuffle
-        new_seen = ckpt(all_fetched.select("url_hash").distinct())
+        # materialized once: four downstream plans broadcast this set.
+        # No distinct(): all_fetched is ALREADY unique by url_hash — the
+        # scheduled set is unique at rest, refresh targets are first-claim
+        # deduped (_rn == 1) and anti-joined against both the scheduled
+        # hashes and the seen set — so the shuffle a distinct would add is
+        # pure waste (goldens pin seen-set equality either way).
+        new_seen = ckpt(all_fetched.select("url_hash"))
 
         # dedup (A6) without shuffling the frontier. Invariant: the standing
         # frontier is unique by url_hash, so only (a) children vs children
@@ -670,18 +748,28 @@ class CrawlEngine:
         replaced = conflicts.filter(child_wins).select("url_hash")
         child_lost = conflicts.filter(~child_wins).select("url_hash")
 
-        # the wide `remaining` is rebuilt from a plain frontier scan with
-        # broadcast-only anti-joins (this round's removals) — identical set
-        # to (allowed minus scheduled), with zero string shuffles: the
-        # narrow checkpoint never carries canon/ref_url.
-        remaining = (frontier.select(*FRONTIER_COLS)
-                     .join(F.broadcast(new_seen), "url_hash", "left_anti")
-                     .join(F.broadcast(replaced), "url_hash", "left_anti"))
+        # merge-on-read commit (the Iceberg MOR + compaction pattern): a
+        # normal round writes only the O(k) deltas — additions (children
+        # kept) and removal hashes — and the next round's _frontier_view
+        # reconstructs the identical set; every cfg.frontier_compact_every
+        # rounds the full frontier is rebuilt and REPLACE-written (the wide
+        # `remaining` scan below — broadcast-only anti-joins, zero string
+        # shuffles), folding the delta stack into a fresh base. Per-round
+        # frontier I/O is O(k·fanout), not O(n) — at 10^10 rows the
+        # every-round full rewrite was the remaining scale-killer.
+        additions = child_best.join(F.broadcast(child_lost), "url_hash",
+                                    "left_anti")
+        removals = new_seen.unionByName(replaced)
         if confirmed_seen is not None:
-            remaining = remaining.join(F.broadcast(confirmed_seen),
-                                       "url_hash", "left_anti")
-        frontier_next = remaining.unionByName(
-            child_best.join(F.broadcast(child_lost), "url_hash", "left_anti"))
+            removals = removals.unionByName(confirmed_seen)
+        compact = (base_round is None
+                   or (r - base_round) >= cfg.frontier_compact_every)
+        frontier_next = None
+        if compact:
+            remaining = (frontier.select(*FRONTIER_COLS)
+                         .join(F.broadcast(removals), "url_hash",
+                               "left_anti"))
+            frontier_next = remaining.unionByName(additions)
 
         shards_next = self.filter.build(
             new_seen, existing_df=shards_df,
@@ -765,7 +853,6 @@ class CrawlEngine:
 
         _t = self._tick(_t, 'plan build')
         tables = {
-            "frontier": frontier_next,
             "fetch_log": fetch_log,
             "seen": new_seen.withColumn(
                 "bucket", F.pmod(F.col("url_hash"),
@@ -777,6 +864,13 @@ class CrawlEngine:
         }
         if cookies_next is not None:
             tables["cookies"] = cookies_next
+        if compact:
+            tables["frontier"] = frontier_next
+        else:
+            tables["frontier_add"] = additions.withColumn(
+                "delta_round", F.lit(r))
+            tables["frontier_rm"] = removals.withColumn(
+                "delta_round", F.lit(r))
         store.commit(r, tables,
                      counters={"fetched_total": int(base_seq + n_fetched)})
         _t = self._tick(_t, 'commit writes')

@@ -92,18 +92,83 @@ def next_host_state(robots, scheduled, prev_state, round_ms: int):
             .select("host", credit.alias("credit_ms")))
 
 
-def topk_per_host(df, salt_buckets: int = 8):
+def schedule_stats(df, resolution: int = 64):
+    """ONE pass over the narrow frontier → the small (host, bucket) count
+    table that answers BOTH scheduling questions of a round:
+
+      * which hosts are over budget (budget gate, topk_per_host), and
+      * the exact post-cap priority histogram (prune cut) — derivable
+        without executing the capping, because per-host capping keeps each
+        host's top-budget rows in (priority desc, ...) order, so its kept
+        bucket counts are "buckets desc until the budget is spent" with a
+        clamp at the boundary bucket.
+
+    Replaces two separate full-frontier jobs (the budget-gate groupBy and
+    the survivors histogram — the latter also re-executed the salted
+    ranking just to count buckets). Output is O(hosts × active buckets)
+    rows — never collected to the driver; downstream cuts/gates are tiny
+    jobs over this table.
+    """
+    b = F.floor(F.col("priority") * resolution)
+    return (df.groupBy("host", b.alias("_b"))
+            .agg(F.count("*").alias("_cnt"),
+                 F.first("host_budget").alias("_bud")))
+
+
+def over_budget_hosts(stats):
+    """(host, _over) rows for hosts whose frontier rows exceed their
+    budget — the topk_per_host gate, derived from schedule_stats."""
+    return (stats.groupBy("host")
+            .agg(F.sum("_cnt").alias("_cnt"), F.first("_bud").alias("_bud"))
+            .filter(F.col("_cnt") > F.col("_bud"))
+            .select("host", F.lit(True).alias("_over")))
+
+
+def postcap_cut(stats, k: int, max_buckets: int = 4096):
+    """The prune_to_global_topk bucket cut, computed EXACTLY from
+    schedule_stats instead of a pass over the capped survivors.
+
+    Per host: capped bucket counts = walk its buckets desc, keep
+    min(cnt, budget − already_kept) — exact because capping selects the
+    host's top-budget rows under a priority-leading order. Sum per bucket,
+    then the usual cumulative cut. All work is over the small stats table;
+    the driver sees ≤ max_buckets bucket rows."""
+    w = (W.partitionBy("host")
+         .orderBy(F.col("_b").desc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = F.sum("_cnt").over(w)
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_cnt").cast("long"),
+                (F.col("_bud") - (cum - F.col("_cnt"))).cast("long")))
+    rows = (stats.withColumn("_kept", kept)
+            .groupBy("_b").agg(F.sum("_kept").alias("count"))
+            .orderBy(F.col("_b").desc())
+            .limit(max_buckets)
+            .collect())
+    cum_n, cut = 0, None
+    for r in rows:
+        cum_n += r["count"]
+        if cum_n >= k:
+            cut = r["_b"]
+            break
+    return cut
+
+
+def topk_per_host(df, salt_buckets: int = 8, over=None):
     """Keep ≤ host_budget rows per host by ORDER_COLS, skew-safely.
 
     Expects columns: host, url_hash, priority, discovered_seq, host_budget.
     Hosts within budget pass through with no shuffle at all (budget gate);
-    over-budget hosts get the salted two-level rank.
-    """
-    over = (df.groupBy("host")
-            .agg(F.count("*").alias("_cnt"),
-                 F.first("host_budget").alias("_bud"))
-            .filter(F.col("_cnt") > F.col("_bud"))
-            .select("host", F.lit(True).alias("_over")))
+    over-budget hosts get the salted two-level rank. ``over``: optional
+    precomputed over_budget_hosts(schedule_stats(df)) — the engine fuses
+    the gate into its single stats pass."""
+    if over is None:
+        over = (df.groupBy("host")
+                .agg(F.count("*").alias("_cnt"),
+                     F.first("host_budget").alias("_bud"))
+                .filter(F.col("_cnt") > F.col("_bud"))
+                .select("host", F.lit(True).alias("_over")))
     tagged = df.join(F.broadcast(over), "host", "left")
     uncapped = tagged.filter(F.col("_over").isNull()).drop("_over")
     capped = tagged.filter(F.col("_over")).drop("_over")

@@ -28,7 +28,12 @@ import json
 import os
 import shutil
 
-APPEND_TABLES = {"fetch_log", "seen", "metrics"}
+APPEND_TABLES = {"fetch_log", "seen", "metrics",
+                 # merge-on-read frontier deltas (engine.run_round step 11):
+                 # per-round additions (wide rows) and removal hashes, each
+                 # tagged with delta_round; the REPLACE "frontier" table is
+                 # rewritten only on compaction rounds
+                 "frontier_add", "frontier_rm"}
 REPLACE_TABLES = {"frontier", "seen_shards", "host_state", "cookies"}
 # hash-partitioned at rest (hive-style bucket=N / shard=N dirs): the
 # per-bucket executor-side probe (engine._bucketed_seen_flag) reads only its
@@ -67,6 +72,14 @@ class SnapshotStore:
         """Last committed round, or -1 if none."""
         rounds = self._read_manifest()["rounds"]
         return rounds[-1]["round"] if rounds else -1
+
+    def last_committed_round(self, table: str):
+        """Newest committed round that wrote ``table`` (None if never) —
+        the merge-on-read cut: frontier deltas strictly newer than the
+        base's round are live, older ones were folded into it."""
+        rounds = [r["round"] for r in self._read_manifest()["rounds"]
+                  if table in r["tables"]]
+        return rounds[-1] if rounds else None
 
     def counters(self) -> dict:
         return dict(self._read_manifest()["counters"])

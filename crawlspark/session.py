@@ -78,7 +78,12 @@ def get_spark(app: str = "crawlspark", cores: int | None = None,
         "SPARK_GRAFT_SHUFFLE", str(max(cores, 8))))
     # Heap: big enough for checkpoint blocks, small enough that full GCs
     # stay short — 48g heaps showed multi-10s GC variance in bench runs.
-    driver_mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    # 8g, not 20g: ParallelGC full-GC cost tracks heap size, and the
+    # measured ordering 8g < 12g < 20g held across interleaved trials at
+    # local[8] AND local[32] (wide n=8M rounds; ~10-20% wall). A full
+    # bench.py pass (sf0.1, local[32], every query + t2 crawl) runs clean
+    # at 8g — checkpoint pivots spill to disk-backed storage if squeezed.
+    driver_mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     # AQE default OFF: the engine's plans carry explicit broadcast hints
     # and salting, so AQE only adds re-optimization rounds — the t1 job
     # audit counted ~57 async broadcast/replan jobs per round, and the

@@ -89,7 +89,11 @@ def merge_seeds(spark: SparkSession, store: SnapshotStore,
             f.endswith(".parquet") for f in os.listdir(inbox_dir)):
         return 0
     inbox = spark.read.parquet(inbox_dir)
-    frontier = store.read("frontier")
+    # read through the merge-on-read view (pending frontier_add/_rm deltas
+    # fold in); the merge below commits a full REPLACE frontier, which IS a
+    # compaction — the folded set plus the fresh seeds becomes the new base
+    from ..frontier.engine import frontier_view
+    frontier = frontier_view(store)
     seen = store.read("seen")
 
     fresh = (inbox

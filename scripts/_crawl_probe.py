@@ -1,0 +1,37 @@
+"""Dev probe: the bench.py crawl-engine section alone (t2, 4 rounds,
+k=2000). Usage: _crawl_probe.py [CORES]"""
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from crawlspark import synth
+from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+from crawlspark.session import get_spark
+
+cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+
+import time
+
+spark = get_spark("crawlprobe", cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+tier = synth.TIERS["t2"]
+pages = synth.spark_pages(spark, tier, parallelism=cores).cache()
+pages.count()
+robots = synth.spark_robots(spark, tier)
+seeds = synth.spark_seeds(spark, tier)
+cfg = CrawlConfig(k_global=2000, max_rounds=4, seen_shards=8,
+                  seen_m_bits=1 << 22, salt_buckets=cores,
+                  validate_fraction=0)
+for trial in range(2):
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="crawlprobe_", dir="/dev/shm"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    t0 = time.time()
+    stats = eng.run()
+    dt = time.time() - t0
+    store.destroy()
+    print(f"RESULT trial={trial} cores={cores} seconds={dt:.2f} "
+          f"fetched={sum(s['fetched'] for s in stats)}", flush=True)
+spark.stop()

@@ -339,3 +339,41 @@ def test_engine_matches_oracle_robots_from_bodies(spark, t1_data,
     assert {r["url_hash"] for r in store.read("seen").collect()} \
         == want_res.seen
     store.destroy()
+
+
+@pytest.mark.parametrize("cadence", [1, 3, 100])
+def test_frontier_mor_commits_match_oracle(spark, t1_data, oracle_result,
+                                           cadence):
+    """Merge-on-read frontier commits at three cadences — compact every
+    round (the old eager behavior), mid-crawl compaction, and never-compact
+    (pure delta stack) — all reconstruct the identical frontier: crawl
+    order and seen set equal the oracle exactly, including a resume that
+    lands between compactions."""
+    tier, pages, robots, seeds = t1_data
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      frontier_compact_every=cadence)
+    root = tempfile.mkdtemp(prefix=f"golden_mor{cadence}_")
+    store = SnapshotStore(spark, root)
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run(max_rounds=2)
+    # resume mid-delta-stack from disk state only
+    store2 = SnapshotStore(spark, root)
+    eng2 = CrawlEngine(spark, store2, pages, robots, None, cfg)
+    eng2.run(max_rounds=ROUNDS - 2)
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store2.read("fetch_log").orderBy("fetch_seq").collect()]
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in oracle_result.fetch_log]
+    assert log == want
+    assert {r["url_hash"] for r in store2.read("seen").collect()} \
+        == oracle_result.seen
+    # the delta tables actually carried the rounds between compactions
+    if cadence > 1:
+        assert store2.read("frontier_add") is not None
+        assert store2.last_committed_round("frontier") < ROUNDS - 1
+    else:
+        assert store2.read("frontier_add") is None
+    store2.destroy()
