@@ -62,17 +62,22 @@ def entry(spark: SparkSession) -> DataFrame:
     tier = synth.TIERS["t1"]
     # raw-HTML corpus: the flagship run exercises the full body path —
     # bytes → charset chain → parse → links (response.go:27-94 semantics)
-    pages = synth.spark_raw_pages(spark, tier, parallelism=8)
+    # cache: the synthetic corpus is GENERATED (mapInPandas HTML render) —
+    # uncached, every lookup scan re-renders it in Python. A real corpus is
+    # a parquet/Iceberg scan; caching makes the synthetic cost match.
+    pages = synth.spark_raw_pages(spark, tier, parallelism=8).cache()
     # robots end-to-end: the crawl consumes raw /robots.txt BODIES (one per
     # host), parsed by the RFC 9309 parser at cache-build time — no
     # pre-parsed fixture rules anywhere in the flagship path. The matching
     # oracle parses the SAME bodies (crawlspark.frontier.robots.parse_robots)
     # and decides via its own pure-Python longest-match.
     from crawlspark.frontier.robots import robots_cache_from_bodies
-    robots = robots_cache_from_bodies(synth.spark_robots_bodies(spark, tier))
+    robots = robots_cache_from_bodies(
+        synth.spark_robots_bodies(spark, tier)).cache()
     seeds = synth.spark_seeds(spark, tier)
     cfg = CrawlConfig(k_global=100, max_rounds=2, seen_shards=4,
-                      seen_m_bits=1 << 16, validate_fraction=0)
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      shuffle_partitions=8)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     store = SnapshotStore(spark, tempfile.mkdtemp(
         prefix="entry_crawl_", dir=scratch))
@@ -1568,13 +1573,14 @@ def q_crawl_form_submit(spark, sf_dir):
     from crawlspark import synth
     from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
     tier = synth.TIERS["t1"]
-    pages = synth.spark_pages(spark, tier, parallelism=8)
+    pages = synth.spark_pages(spark, tier, parallelism=8).cache()
     from crawlspark.frontier.robots import robots_cache_from_bodies
-    robots = robots_cache_from_bodies(synth.spark_robots_bodies(spark, tier))
+    robots = robots_cache_from_bodies(
+        synth.spark_robots_bodies(spark, tier)).cache()
     seeds = synth.spark_seeds(spark, tier)
     cfg = CrawlConfig(k_global=100, max_rounds=3, seen_shards=4,
                       seen_m_bits=1 << 16, validate_fraction=0,
-                      auto_submit_forms=True)
+                      auto_submit_forms=True, shuffle_partitions=8)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     store = SnapshotStore(spark, tempfile.mkdtemp(
         prefix="entry_form_crawl_", dir=scratch))
@@ -1597,11 +1603,14 @@ def q_crawl_cookies(spark, sf_dir):
     from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
     from crawlspark.frontier.robots import robots_cache_from_bodies
     tier = synth.TIERS["t1"]
-    pages = synth.spark_pages(spark, tier, parallelism=8, cookies=True)
-    robots = robots_cache_from_bodies(synth.spark_robots_bodies(spark, tier))
+    pages = synth.spark_pages(spark, tier, parallelism=8,
+                              cookies=True).cache()
+    robots = robots_cache_from_bodies(
+        synth.spark_robots_bodies(spark, tier)).cache()
     seeds = synth.spark_seeds(spark, tier)
     cfg = CrawlConfig(k_global=100, max_rounds=3, seen_shards=4,
-                      seen_m_bits=1 << 16, validate_fraction=0)
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      shuffle_partitions=8)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     store = SnapshotStore(spark, tempfile.mkdtemp(
         prefix="entry_cookie_crawl_", dir=scratch))

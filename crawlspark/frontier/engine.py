@@ -390,6 +390,23 @@ class CrawlEngine:
         return frontier_view(self.store, base, base_round)
 
     def run_round(self, r: int) -> dict:
+        # cfg.shuffle_partitions: small crawls (k in the hundreds) drown in
+        # per-task scheduler + Python-worker latency when every shuffle
+        # fans out to the session default (32+ tasks for 100 rows —
+        # measured as the flagship entry's dominant cost). Scoped to the
+        # round, restored after.
+        if self.cfg.shuffle_partitions is not None:
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.shuffle.partitions")
+            conf.set("spark.sql.shuffle.partitions",
+                     str(self.cfg.shuffle_partitions))
+            try:
+                return self._run_round(r)
+            finally:
+                conf.set("spark.sql.shuffle.partitions", prev)
+        return self._run_round(r)
+
+    def _run_round(self, r: int) -> dict:
         cfg = self.cfg
         store = self.store
         _t = time.time()
@@ -565,10 +582,11 @@ class CrawlEngine:
                    canonicalize_udf(
                        F.col("meta_refresh_url"),
                        F.coalesce(F.col("base_href"), F.col("canon")))))
-        # not checkpointed: both consumers (refr, primaries) flow into the
-        # all_pre sequencer checkpoint below — recomputing the k-row lookup
-        # twice inside ONE job is cheaper than a whole extra driver job
-        # (job-launch latency is the measured serial floor at high cores)
+        # materialized once: both consumers (refr, primaries) would
+        # otherwise re-run the k-row parse (raw corpora: the Arrow-batched
+        # charset+link extraction) inside the sequencer job — and at the
+        # 100 TB target, re-evaluate the lookup's corpus scan
+        fetched = ckpt(fetched)
 
         refr = (fetched
                 .filter(F.col("refresh_canon").isNotNull())

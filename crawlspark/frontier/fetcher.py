@@ -41,10 +41,16 @@ def _broadcast_lookup(big: DataFrame, probe: DataFrame, key: str) -> DataFrame:
     """Left-outer lookup of ``probe`` (small) against ``big`` without ever
     shuffling ``big``: inner broadcast-hash join (probe broadcast into a
     plain scan of ``big``) unioned with the probe rows that matched nothing
-    (recovered by a broadcast anti-join against the hit keys; the hit-key
-    rebuild is a second scan of ``big`` — a scan, not a shuffle). Missing
-    rows carry nulls for ``big``'s columns."""
-    hits = big.join(F.broadcast(probe), key, "inner")
+    (recovered by a broadcast anti-join against the hit keys). Missing rows
+    carry nulls for ``big``'s columns.
+
+    ``hits`` (≤k rows) is eagerly materialized so the whole lookup costs
+    ONE scan of ``big``: without it, the anti-join's key build re-scanned
+    the corpus, and every downstream consumer of the lookup re-ran the
+    scan again — at the 100 TB corpus target each extra scan is the
+    round's dominant I/O."""
+    from ..session import ckpt
+    hits = ckpt(big.join(F.broadcast(probe), key, "inner"))
     misses = probe.join(F.broadcast(hits.select(key)), key, "left_anti")
     for f in big.schema.fields:
         if f.name != key and f.name not in probe.columns:

@@ -49,7 +49,11 @@ def with_global_seq(df: DataFrame, sort_cols, out: str = "seq",
     counts pass already knows the total, so callers never need a separate
     count() action over the result."""
     spark = df.sparkSession
-    P = num_partitions or spark.sparkContext.defaultParallelism
+    # session shuffle partitions, not defaultParallelism: the engine scopes
+    # spark.sql.shuffle.partitions to the round (CrawlConfig
+    # .shuffle_partitions), and the range exchange should fan out like
+    # every other shuffle in the plan
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (df.repartitionByRange(P, *sort_cols)
               .sortWithinPartitions(*sort_cols))
 
