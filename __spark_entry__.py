@@ -1291,7 +1291,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v6"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v7"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -1517,6 +1517,22 @@ def _ensure_oracle_files() -> None:
         rrows, columns=["media_id", "w", "h", "mean_r", "mean_g",
                         "mean_b", "phash", "luma_hist"]))
 
+    # audio features from GROUND-TRUTH samples through the quantization
+    # mirror (pyref.py_wav_features — no codec in the loop): the Spark side
+    # decodes wav_encode'd bytes, so matching these rows proves
+    # wav_encode→wav_decode is the quantized identity AND the feature math
+    # (RMS / zero crossings / duration / spectral centroid).
+    arows = []
+    for i in range(N_AUDIO_CLIPS):
+        x, rate, bits, float_pcm = synth.gen_audio_signal(i)
+        arows.append({"media_id": f"aud{i:06d}",
+                      **pyref.py_wav_features(x, rate, bits, float_pcm)})
+    write("audio_features", pd.DataFrame(
+        arows, columns=["media_id", "rms", "zero_crossings", "n_samples",
+                        "sample_rate", "duration_s", "centroid_hz"]).astype(
+        {"zero_crossings": "int32", "n_samples": "int32",
+         "sample_rate": "int32"}))
+
     # U5 outbound re-encode: independent urlencoder over the same fixture
     fix = pyref.u5_form_fixture()
     urows = [{"form_id": fid, "body": body, "encoding": label}
@@ -1679,6 +1695,25 @@ def q_phash_near_dup(spark, sf_dir):
     from crawlspark.functions.dedup import phash_near_dup
     images = spark.read.parquet(f"{_ORACLE_DIR}/images_phash.parquet")
     return phash_near_dup(images, max_distance=3)
+
+
+N_AUDIO_CLIPS = 500
+
+
+def q_audio_features(spark, sf_dir):
+    """Real-WAV audio pipeline at the driver: executor-side wav_encode of
+    the deterministic clip corpus (8/16/24/32-bit PCM + IEEE-float, mono/
+    stereo — synth.gen_audio_signal) → wav_decode → mono mixdown → features
+    (crawlspark/audiocodec.py, functions/multimodal.py:audio_features).
+    Oracle re-derives the same features from GROUND-TRUTH samples through
+    an independent quantization mirror (pyref.py_wav_features), never
+    touching the codec — a true differential check of encode→decode→
+    features, same design as image_features."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import audio_features
+    media = synth.spark_audio(spark, N_AUDIO_CLIPS, parallelism=8)
+    return audio_features(media)
 
 
 def q_page_parse(spark, sf_dir):
@@ -1881,6 +1916,12 @@ SELECT media_id, w, h, mean_r, mean_g, mean_b, phash, luma_hist
 FROM read_parquet('{_ORACLE_DIR}/image_resize.parquet')
 """
 
+SQL_AUDIO_FEATURES = f"""
+SELECT media_id, rms, zero_crossings, n_samples, sample_rate, duration_s,
+       centroid_hz
+FROM read_parquet('{_ORACLE_DIR}/audio_features.parquet')
+"""
+
 SQL_FORM_URLENCODE = f"""
 SELECT form_id, body, encoding
 FROM read_parquet('{_ORACLE_DIR}/form_urlencode.parquet')
@@ -1912,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unmarshal_spec": q_unmarshal_spec,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
+        "audio_features": q_audio_features,
         "phash_dup_pairs": q_phash_dup_pairs,
         "phash_near_dup": q_phash_near_dup,
         # relational core
@@ -2047,4 +2089,6 @@ def oracle_sql() -> dict[str, str]:
         # differential over ground-truth pixels (codec-free oracle):
         "image_features": SQL_IMAGE_FEATURES,
         "image_resize": SQL_IMAGE_RESIZE,
+        # differential over ground-truth samples (quantization mirror):
+        "audio_features": SQL_AUDIO_FEATURES,
     }

@@ -9,9 +9,12 @@ container lacks are stubbed deterministically and clearly marked:
                    PIL when importable.
   image resize   — REAL (nearest-neighbor, numpy).
   image features — REAL (mean RGB, luma histogram, phash).
-  audio decode   — STUB: deterministic fake PCM derived from the payload
-                   hash (no audio codec in container); NotImplementedError
-                   for real formats.
+  audio decode   — REAL for 'wav' (crawlspark.audiocodec: RIFF/PCM
+                   8/16/24/32-bit + IEEE-float, mono/stereo, wild-chunk
+                   tolerant); deterministic 'fakepcm' stand-in kept for
+                   plumbing tests; compressed formats (mp3/ogg) raise.
+  audio features — REAL (RMS, zero crossings, duration, spectral
+                   centroid), differential-oracle checked at the driver.
   video frames   — STUB: frame-sampling plumbing with deterministic fake
                    frames; NotImplementedError for real containers.
 
@@ -99,27 +102,57 @@ def resize_images(images: DataFrame, w: int, h: int,
             .mapInPandas(rsz, "media_id string, bytes binary, w int, h int"))
 
 
-# --- stubs (no audio/video codecs in this container) -------------------------
+# --- audio (REAL for WAV — RIFF/PCM, crawlspark.audiocodec) ------------------
 
 FAKE_AUDIO_FMT = "fakepcm"
 FAKE_VIDEO_FMT = "fakeframes"
 
 
 def decode_audio_batch(payloads: list, fmts: list) -> list:
-    """STUB. Real formats raise; the deterministic fake lets the Spark-side
-    plumbing (schema, batching, partitioning) be tested end-to-end."""
+    """Decode audio payloads → list of (mono float64 samples, sample_rate).
+
+    REAL for fmt='wav' (pure-numpy RIFF/PCM codec — 8/16/24/32-bit integer
+    and IEEE-float, mono/stereo mixed down by channel mean). The
+    deterministic 'fakepcm' stand-in remains for plumbing tests; formats
+    needing codecs this container lacks (mp3/ogg/flac) raise loudly."""
+    from ..audiocodec import wav_decode
+
     out = []
     for data, fmt in zip(payloads, fmts):
-        if fmt != FAKE_AUDIO_FMT:
+        if fmt == "wav":
+            x, rate = wav_decode(bytes(data))
+            out.append((x.mean(axis=1), rate))
+        elif fmt == FAKE_AUDIO_FMT:
+            seed = xxh64(bytes(data))
+            n = 1600  # 0.1 s at 16 kHz
+            t = np.arange(n, dtype=np.float64)
+            out.append((np.sin(2 * np.pi * (220 + seed % 220) * t / 16000.0),
+                        16000))
+        else:
             raise NotImplementedError(
                 f"audio codec {fmt!r} unavailable in this environment; "
                 "plug a real decoder here (same batch signature)")
-        seed = xxh64(bytes(data))
-        n = 1600  # 0.1 s at 16 kHz
-        t = np.arange(n, dtype=np.float64)
-        out.append(np.sin(2 * np.pi * (220 + seed % 220) * t / 16000.0)
-                   .astype(np.float32))
     return out
+
+
+def audio_feature_row(mono: np.ndarray, rate: int) -> dict:
+    """Feature math shared by the Spark kernel — RMS, zero crossings,
+    duration, spectral centroid (rfft magnitude-weighted mean frequency).
+    The oracle (pyref.py_wav_features) re-derives the same values from the
+    generator's ground-truth samples through an independent quantization
+    mirror, so the differential check covers encode→decode→features."""
+    n = int(mono.shape[0])
+    mag = np.abs(np.fft.rfft(mono))
+    tot = float(mag.sum())
+    freqs = np.fft.rfftfreq(n, 1.0 / rate)
+    return {
+        "rms": float(np.sqrt(np.mean(mono ** 2))),
+        "zero_crossings": int(np.sum(np.diff(np.sign(mono)) != 0)),
+        "n_samples": n,
+        "sample_rate": int(rate),
+        "duration_s": n / rate,
+        "centroid_hz": float((freqs * mag).sum() / tot) if tot > 0 else 0.0,
+    }
 
 
 def sample_video_frames(payloads: list, fmts: list, n_frames: int = 4
@@ -138,24 +171,26 @@ def sample_video_frames(payloads: list, fmts: list, n_frames: int = 4
     return out
 
 
+AUDIO_FEATURES_SCHEMA = ("media_id string, rms double, zero_crossings int, "
+                         "n_samples int, sample_rate int, duration_s double, "
+                         "centroid_hz double")
+
+
 def audio_features(media: DataFrame) -> DataFrame:
-    """RMS/zero-crossing features over decoded (possibly fake) PCM."""
+    """Decode (REAL WAV or fake PCM) → per-clip features, one Arrow batch
+    at a time (no per-row Python at the DataFrame level)."""
 
     def feats(batches):
         for pdf in batches:
             pcm = decode_audio_batch(list(pdf["bytes"]), list(pdf["fmt"]))
             rows = []
-            for mid, sig in zip(pdf["media_id"], pcm):
-                rows.append({
-                    "media_id": mid,
-                    "rms": float(np.sqrt(np.mean(sig ** 2))),
-                    "zero_crossings": int(np.sum(np.diff(np.sign(sig)) != 0)),
-                    "n_samples": int(sig.shape[0]),
-                })
-            yield pd.DataFrame(rows, columns=["media_id", "rms",
-                                              "zero_crossings", "n_samples"])
+            for mid, (mono, rate) in zip(pdf["media_id"], pcm):
+                rows.append({"media_id": mid,
+                             **audio_feature_row(mono, rate)})
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "rms", "zero_crossings", "n_samples",
+                "sample_rate", "duration_s", "centroid_hz"])
 
     return (media.filter(F.col("kind") == "audio")
             .select("media_id", "bytes", "fmt")
-            .mapInPandas(feats, "media_id string, rms double, "
-                                "zero_crossings int, n_samples int"))
+            .mapInPandas(feats, AUDIO_FEATURES_SCHEMA))

@@ -374,3 +374,40 @@ def py_kmv_by(pairs: list[tuple[str, int]], k: int = 64) -> list[dict]:
         out.append({"key": key, "n_mins": len(mins), "kth_hash": kth,
                     "est_distinct": est})
     return out
+
+
+def py_wav_quantize(x: np.ndarray, bits: int, float_pcm: bool) -> np.ndarray:
+    """Independent mirror of the WAV codec's quantization contract
+    (crawlspark.audiocodec): encode clips to [-1, 1] and rounds to
+    (2^(bits-1) - 1) full-scale; decode divides by 2^(bits-1) (8-bit is
+    the unsigned-biased variant, same arithmetic after bias removal);
+    IEEE-float is a float32 round-trip. Applied to GROUND-TRUTH samples it
+    yields exactly what wav_decode(wav_encode(x)) must return — the
+    codec-free half of the audio differential oracle."""
+    x = np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+    if float_pcm:
+        return x.astype(np.float32).astype(np.float64)
+    full = (1 << (bits - 1)) - 1
+    q = np.round(x * full)
+    return q / float(1 << (bits - 1))
+
+
+def py_wav_features(x: np.ndarray, rate: int, bits: int,
+                    float_pcm: bool) -> dict:
+    """Audio features from ground-truth samples through the quantization
+    mirror — must equal multimodal.audio_features over the ENCODED bytes
+    (proves wav_encode→wav_decode is the quantized identity AND the
+    feature math)."""
+    mono = py_wav_quantize(x, bits, float_pcm).mean(axis=1)
+    n = int(mono.shape[0])
+    mag = np.abs(np.fft.rfft(mono))
+    tot = float(mag.sum())
+    freqs = np.fft.rfftfreq(n, 1.0 / rate)
+    return {
+        "rms": float(np.sqrt(np.mean(mono ** 2))),
+        "zero_crossings": int(np.sum(np.diff(np.sign(mono)) != 0)),
+        "n_samples": n,
+        "sample_rate": int(rate),
+        "duration_s": n / rate,
+        "centroid_hz": float((freqs * mag).sum() / tot) if tot > 0 else 0.0,
+    }

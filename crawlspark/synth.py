@@ -430,6 +430,70 @@ def gen_pages_pdf(lo: int, hi: int, counts: list[int], n_images: int,
     return pd.DataFrame(rows)
 
 
+# --- audio (real WAV corpus) --------------------------------------------------
+
+AUDIO_RATES = [8000, 16000, 22050]
+AUDIO_BITS = [8, 16, 24, 32]
+
+
+def gen_audio_signal(i: int):
+    """Ground-truth float64 samples for audio clip ``i`` (pure function):
+    two sinusoids + a linear fade, mono or stereo. Returns
+    (x (n, ch), rate, bits, float_pcm) — the encode parameters the WAV
+    corpus row uses, so oracles can re-derive features codec-free."""
+    h = _h(i, 50)
+    n = 800 + (h % 5) * 400
+    rate = AUDIO_RATES[_h(i, 51) % len(AUDIO_RATES)]
+    ch = 1 + (_h(i, 52) % 2)
+    f1 = 110.0 + (h % 37) * 13.0
+    f2 = 430.0 + (_h(i, 53) % 29) * 17.0
+    t = np.arange(n, dtype=np.float64) / rate
+    fade = np.linspace(1.0, 0.25, n)
+    base = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(
+        2 * np.pi * f2 * t)
+    x = np.stack([base * fade] + (
+        [0.5 * np.sin(2 * np.pi * (f1 * 1.5) * t) * fade] if ch == 2
+        else []), axis=1)
+    float_pcm = _h(i, 54) % 5 == 0
+    bits = 32 if float_pcm else AUDIO_BITS[_h(i, 55) % len(AUDIO_BITS)]
+    return x, rate, bits, float_pcm
+
+
+def gen_audio_pdf(lo: int, hi: int) -> pd.DataFrame:
+    """Real-WAV media rows (media_id, kind, bytes, fmt, meta) covering
+    8/16/24/32-bit integer PCM and IEEE-float32, mono and stereo."""
+    from .audiocodec import wav_encode
+
+    rows = []
+    for i in range(lo, hi):
+        x, rate, bits, float_pcm = gen_audio_signal(i)
+        rows.append({
+            "media_id": f"aud{i:06d}", "kind": "audio",
+            "bytes": wav_encode(x, rate, bits, float_pcm=float_pcm),
+            "fmt": "wav",
+            "meta": {"rate": str(rate), "bits": str(bits),
+                     "float": str(int(float_pcm))},
+        })
+    return pd.DataFrame(rows)
+
+
+AUDIO_SCHEMA = ("media_id string, kind string, bytes binary, fmt string, "
+                "meta map<string,string>")
+
+
+def spark_audio(spark, n_clips: int, parallelism: int = 8):
+    """Distributed real-WAV media table (one row per clip, bytes encoded
+    executor-side — the driver never holds the corpus)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield gen_audio_pdf(int(ids.min()), int(ids.max()) + 1)
+
+    return (spark.range(0, n_clips, 1, parallelism)
+            .mapInPandas(gen, AUDIO_SCHEMA))
+
+
 # --- robots + seeds ----------------------------------------------------------
 
 _PREFIX_POOL = ["/admin", "/p/9", "/private", "/tmp"]
