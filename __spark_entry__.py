@@ -1291,7 +1291,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v7"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v8"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -1533,6 +1533,38 @@ def _ensure_oracle_files() -> None:
         {"zero_crossings": "int32", "n_samples": "int32",
          "sample_rate": "int32"}))
 
+    # video features from GROUND-TRUTH pixels (no codec in the loop): the
+    # Spark side demuxes avi_encode'd DIB clips and samples frames through
+    # the container index, so matching these rows proves the AVI
+    # encode→demux→frame-decode path is the identity AND the sampling
+    # formula (videocodec.sample_indices) and per-frame feature kernel are
+    # right. MJPG clips (i%3==0) are excluded — lossy by design, pinned by
+    # PSNR tests instead (same split as the image entries).
+    vrows = []
+    for i in range(N_VIDEO_CLIPS):
+        if i % 3 == 0:          # MJPG (lossy) — excluded by design
+            continue
+        n_frames, w, h, _fps, _codec = synth.gen_video_signal(i)
+        m = min(4, n_frames)
+        for j in [k * n_frames // m for k in range(m)]:
+            px = imaging.make_pixels(
+                synth.gen_video_frame_seed(i, j), w, h)
+            luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            hist = np.histogram(luma, bins=16, range=(0, 256))[0]
+            vrows.append({
+                "media_id": f"vid{i:06d}", "frame_idx": j,
+                "w": w, "h": h,
+                "mean_r": float(px[..., 0].mean()),
+                "mean_g": float(px[..., 1].mean()),
+                "mean_b": float(px[..., 2].mean()),
+                "phash": imaging.phash64(px),
+                "luma_hist": ",".join(str(int(v)) for v in hist),
+            })
+    write("video_features", pd.DataFrame(
+        vrows, columns=["media_id", "frame_idx", "w", "h", "mean_r",
+                        "mean_g", "mean_b", "phash", "luma_hist"]).astype(
+        {"frame_idx": "int32", "w": "int32", "h": "int32"}))
+
     # U5 outbound re-encode: independent urlencoder over the same fixture
     fix = pyref.u5_form_fixture()
     urows = [{"form_id": fid, "body": body, "encoding": label}
@@ -1698,6 +1730,27 @@ def q_phash_near_dup(spark, sf_dir):
 
 
 N_AUDIO_CLIPS = 500
+N_VIDEO_CLIPS = 300
+
+
+def q_video_features(spark, sf_dir):
+    """Real-AVI video pipeline at the driver: executor-side avi_encode of
+    the deterministic clip corpus (synth.gen_video_signal — frames ARE
+    imaging.make_pixels outputs) → container demux → evenly-spaced frame
+    sampling through the idx1 index (only sampled payloads decoded) →
+    per-frame image features (crawlspark/videocodec.py,
+    functions/multimodal.py:video_features). DIB (uncompressed) subset
+    only — decode is exact, so the oracle computes the same features from
+    GROUND-TRUTH pixels, never touching the container (MJPG clips are
+    lossy by design; pinned by PSNR tests, same split as images)."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import video_features
+    media = (synth.spark_video(spark, N_VIDEO_CLIPS, parallelism=8)
+             .filter(F.element_at(F.col("meta"), "codec") == "DIB"))
+    return (video_features(media, n_frames=4)
+            .withColumn("luma_hist",
+                        F.array_join(F.col("luma_hist"), ",")))
 
 
 def q_audio_features(spark, sf_dir):
@@ -1916,6 +1969,11 @@ SELECT media_id, w, h, mean_r, mean_g, mean_b, phash, luma_hist
 FROM read_parquet('{_ORACLE_DIR}/image_resize.parquet')
 """
 
+SQL_VIDEO_FEATURES = f"""
+SELECT media_id, frame_idx, w, h, mean_r, mean_g, mean_b, phash, luma_hist
+FROM read_parquet('{_ORACLE_DIR}/video_features.parquet')
+"""
+
 SQL_AUDIO_FEATURES = f"""
 SELECT media_id, rms, zero_crossings, n_samples, sample_rate, duration_s,
        centroid_hz
@@ -1954,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "audio_features": q_audio_features,
+        "video_features": q_video_features,
         "phash_dup_pairs": q_phash_dup_pairs,
         "phash_near_dup": q_phash_near_dup,
         # relational core
@@ -2091,4 +2150,5 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": SQL_IMAGE_RESIZE,
         # differential over ground-truth samples (quantization mirror):
         "audio_features": SQL_AUDIO_FEATURES,
+        "video_features": SQL_VIDEO_FEATURES,
     }

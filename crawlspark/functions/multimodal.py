@@ -15,8 +15,13 @@ container lacks are stubbed deterministically and clearly marked:
                    plumbing tests; compressed formats (mp3/ogg) raise.
   audio features — REAL (RMS, zero crossings, duration, spectral
                    centroid), differential-oracle checked at the driver.
-  video frames   — STUB: frame-sampling plumbing with deterministic fake
-                   frames; NotImplementedError for real containers.
+  video frames   — REAL for 'avi' (crawlspark.videocodec: RIFF/AVI
+                   demux, uncompressed BI_RGB exact + MJPG via the JPEG
+                   codec, index-seek decodes only sampled frames);
+                   'fakeframes' stand-in kept for plumbing tests;
+                   mp4/webm raise.
+  video features — REAL (per-sampled-frame image features), checked at
+                   the driver vs ground-truth pixels (DIB subset).
 
 Media table shape:
   media(media_id string, kind string, bytes binary, fmt string,
@@ -157,18 +162,73 @@ def audio_feature_row(mono: np.ndarray, rate: int) -> dict:
 
 def sample_video_frames(payloads: list, fmts: list, n_frames: int = 4
                         ) -> list:
-    """STUB frame sampler: deterministic fake frames per payload hash."""
+    """Sample up to ``n_frames`` evenly spaced frames per clip → list of
+    lists of (frame_idx, RGB array).
+
+    REAL for fmt='avi' (crawlspark.videocodec — uncompressed BI_RGB and
+    MJPG): the container index is parsed once and ONLY the sampled frames'
+    payloads are decoded (random access via idx1), so sampling 4 frames of
+    a 10k-frame clip never touches the rest. The deterministic
+    'fakeframes' stand-in remains for plumbing tests; containers needing
+    codecs this environment lacks (mp4/webm) raise loudly."""
+    from ..videocodec import AviReader, sample_indices
+
     out = []
     for data, fmt in zip(payloads, fmts):
-        if fmt != FAKE_VIDEO_FMT:
+        if fmt == "avi":
+            r = AviReader(bytes(data))
+            out.append([(j, r.frame(j))
+                        for j in sample_indices(r.n_frames, n_frames)])
+        elif fmt == FAKE_VIDEO_FMT:
+            seed = int(xxh64(bytes(data)) % 251)
+            out.append([
+                (f, ((np.indices((16, 16)).sum(axis=0) * (f + 1) + seed)
+                     % 256).astype(np.uint8))
+                for f in range(n_frames)])
+        else:
             raise NotImplementedError(
                 f"video container {fmt!r} unavailable in this environment; "
                 "plug a real demuxer here (same batch signature)")
-        seed = int(xxh64(bytes(data)) % 251)
-        frames = [((np.indices((16, 16)).sum(axis=0) * (f + 1) + seed) % 256)
-                  .astype(np.uint8) for f in range(n_frames)]
-        out.append(frames)
     return out
+
+
+VIDEO_FEATURES_SCHEMA = ("media_id string, frame_idx int, w int, h int, "
+                         "mean_r double, mean_g double, mean_b double, "
+                         "phash long, luma_hist array<int>")
+
+
+def video_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Demux (REAL AVI) → sample evenly spaced frames → per-frame image
+    features (same kernel as image_features), one Arrow batch at a time."""
+
+    def feats(batches):
+        for pdf in batches:
+            clips = sample_video_frames(list(pdf["bytes"]), list(pdf["fmt"]),
+                                        n_frames)
+            rows = []
+            for mid, frames in zip(pdf["media_id"], clips):
+                for j, px in frames:
+                    if px.ndim == 2:            # fakeframes are grayscale
+                        px = np.repeat(px[..., None], 3, axis=2)
+                    luma = (px.astype(np.float64)
+                            @ np.array([0.299, 0.587, 0.114]))
+                    hist = np.histogram(luma, bins=16, range=(0, 256))[0]
+                    rows.append({
+                        "media_id": mid, "frame_idx": j,
+                        "w": px.shape[1], "h": px.shape[0],
+                        "mean_r": float(px[..., 0].mean()),
+                        "mean_g": float(px[..., 1].mean()),
+                        "mean_b": float(px[..., 2].mean()),
+                        "phash": phash64(px),
+                        "luma_hist": hist.astype(int).tolist(),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "w", "h", "mean_r", "mean_g",
+                "mean_b", "phash", "luma_hist"])
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "bytes", "fmt")
+            .mapInPandas(feats, VIDEO_FEATURES_SCHEMA))
 
 
 AUDIO_FEATURES_SCHEMA = ("media_id string, rms double, zero_crossings int, "

@@ -477,6 +477,63 @@ def gen_audio_pdf(lo: int, hi: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# --- video (real AVI corpus) --------------------------------------------------
+
+VIDEO_FPS = [8, 12, 24]
+VIDEO_SIZES = [(24, 16), (32, 24), (40, 16)]
+
+
+def gen_video_frame_seed(i: int, f: int) -> int:
+    """Seed for clip i's frame f — the ground-truth-pixel handle oracles
+    use (imaging.make_pixels(seed, w, h) IS the frame)."""
+    return 100_000 + i * 97 + f
+
+
+def gen_video_signal(i: int):
+    """Clip parameters for video ``i`` (pure function): returns
+    (n_frames, w, h, fps, codec). Every 3rd clip is MJPG (lossy, like the
+    image corpus); the rest are DIB (uncompressed — decode is exact)."""
+    h_ = _h(i, 60)
+    n_frames = 6 + (h_ % 9)
+    w, h = VIDEO_SIZES[_h(i, 61) % len(VIDEO_SIZES)]
+    fps = VIDEO_FPS[_h(i, 62) % len(VIDEO_FPS)]
+    codec = "MJPG" if i % 3 == 0 else "DIB"
+    return n_frames, w, h, fps, codec
+
+
+def gen_video_pdf(lo: int, hi: int) -> pd.DataFrame:
+    """Real-AVI media rows (media_id, kind, bytes, fmt, meta) — DIB and
+    MJPG clips, frames from imaging.make_pixels."""
+    from .imaging import make_pixels
+    from .videocodec import avi_encode
+
+    rows = []
+    for i in range(lo, hi):
+        n_frames, w, h, fps, codec = gen_video_signal(i)
+        frames = [make_pixels(gen_video_frame_seed(i, f), w, h)
+                  for f in range(n_frames)]
+        rows.append({
+            "media_id": f"vid{i:06d}", "kind": "video",
+            "bytes": avi_encode(frames, fps=fps, codec=codec),
+            "fmt": "avi",
+            "meta": {"fps": str(fps), "codec": codec,
+                     "n_frames": str(n_frames)},
+        })
+    return pd.DataFrame(rows)
+
+
+def spark_video(spark, n_clips: int, parallelism: int = 8):
+    """Distributed real-AVI media table (bytes encoded executor-side)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield gen_video_pdf(int(ids.min()), int(ids.max()) + 1)
+
+    return (spark.range(0, n_clips, 1, parallelism)
+            .mapInPandas(gen, AUDIO_SCHEMA))
+
+
 AUDIO_SCHEMA = ("media_id string, kind string, bytes binary, fmt string, "
                 "meta map<string,string>")
 
