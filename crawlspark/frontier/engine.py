@@ -588,26 +588,40 @@ class CrawlEngine:
         # 100 TB target, re-evaluate the lookup's corpus scan
         fetched = ckpt(fetched)
 
-        refr = (fetched
-                .filter(F.col("refresh_canon").isNotNull())
-                .select(F.col("idx").alias("parent_idx"),
-                        F.col("canon").alias("parent_canon"),
-                        F.col("priority").alias("parent_priority"),
-                        F.col("refresh_canon"),
-                        F.xxhash64("refresh_canon").alias("r_hash")))
-        if seen is not None:
-            if seen_small or not self.store.table_dirs("seen"):
-                refr = refr.join(seen_keys, refr.r_hash == seen.url_hash,
-                                 "left_anti")
-            else:
-                refr = (self._bucketed_seen_flag(refr, hash_col="r_hash")
-                        .filter(F.col("_seen").isNull()).drop("_seen"))
-        refr = (refr.join(F.broadcast(scheduled.select(
-                              F.col("url_hash").alias("r_hash"))),
-                          "r_hash", "left_anti")
-                .withColumn("_rn", F.row_number().over(
-                    W.partitionBy("r_hash").orderBy("parent_idx")))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+        # refresh-empty gate: one tiny probe over the k-row checkpoint
+        # (limit-1, never the corpus) decides whether the refresh branch
+        # runs at all. Meta refreshes are rare in real crawls and absent in
+        # many corpora — without the gate every round pays the branch's
+        # corpus scan + seen probe + joins for an empty set. Semantics are
+        # unchanged: with zero refresh targets the union below was a no-op
+        # and every downstream table is a pure function of the primaries.
+        has_refresh = not (fetched
+                           .filter(F.col("refresh_canon").isNotNull())
+                           .isEmpty())
+
+        refr = None
+        if has_refresh:
+            refr = (fetched
+                    .filter(F.col("refresh_canon").isNotNull())
+                    .select(F.col("idx").alias("parent_idx"),
+                            F.col("canon").alias("parent_canon"),
+                            F.col("priority").alias("parent_priority"),
+                            F.col("refresh_canon"),
+                            F.xxhash64("refresh_canon").alias("r_hash")))
+            if seen is not None:
+                if seen_small or not self.store.table_dirs("seen"):
+                    refr = refr.join(seen_keys,
+                                     refr.r_hash == seen.url_hash,
+                                     "left_anti")
+                else:
+                    refr = (self._bucketed_seen_flag(refr, hash_col="r_hash")
+                            .filter(F.col("_seen").isNull()).drop("_seen"))
+            refr = (refr.join(F.broadcast(scheduled.select(
+                                  F.col("url_hash").alias("r_hash"))),
+                              "r_hash", "left_anti")
+                    .withColumn("_rn", F.row_number().over(
+                        W.partitionBy("r_hash").orderBy("parent_idx")))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
 
         # 9. fetch_seq: interleave refreshes right after their parents.
         # Sorting the primary∪refresh union by (parent slot, is_refresh)
@@ -623,25 +637,26 @@ class CrawlEngine:
         form_cols = [c for c in ("form_action", "form_method", "form_inputs",
                                  "set_cookies")
                      if c in fetched.columns]
-        refresh_pre = (self._cookie_gate(
-                self._corpus_lookup(refr, "refresh_canon"), jar_map)
-            .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
-            .select(F.col("refresh_canon").alias("canon"),
-                    F.col("r_hash").alias("url_hash"),
-                    host_udf("refresh_canon").alias("host"),
-                    F.col("parent_canon").alias("ref_url"),
-                    F.col("parent_priority").alias("priority"),
-                    F.col("status"), F.col("base_href"),
-                    F.col("links"), F.col("image_id"),
-                    *[F.col(c) for c in form_cols],
-                    F.lit(True).alias("is_refresh"),
-                    F.col("parent_idx").alias("_slot")))
-
         pre_cols = ["canon", "url_hash", "host", "ref_url", "priority",
                     "status", "base_href", "links", "image_id",
                     *form_cols, "is_refresh", "_slot"]
-        all_pre = (primaries_pre.select(*pre_cols)
-                   .unionByName(refresh_pre.select(*pre_cols)))
+        all_pre = primaries_pre.select(*pre_cols)
+        if has_refresh:
+            refresh_pre = (self._cookie_gate(
+                    self._corpus_lookup(refr, "refresh_canon"), jar_map)
+                .withColumn("status", F.coalesce(F.col("status"),
+                                                 F.lit(404)))
+                .select(F.col("refresh_canon").alias("canon"),
+                        F.col("r_hash").alias("url_hash"),
+                        host_udf("refresh_canon").alias("host"),
+                        F.col("parent_canon").alias("ref_url"),
+                        F.col("parent_priority").alias("priority"),
+                        F.col("status"), F.col("base_href"),
+                        F.col("links"), F.col("image_id"),
+                        *[F.col(c) for c in form_cols],
+                        F.lit(True).alias("is_refresh"),
+                        F.col("parent_idx").alias("_slot")))
+            all_pre = all_pre.unionByName(refresh_pre.select(*pre_cols))
         all_fetched, n_fetched = with_global_seq(
             all_pre, [F.col("_slot").asc(), F.col("is_refresh").asc()],
             out="fetch_seq", start=base_seq + 1, return_count=True)
