@@ -1291,7 +1291,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v8"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v9"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -1565,6 +1565,36 @@ def _ensure_oracle_files() -> None:
                         "mean_g", "mean_b", "phash", "luma_hist"]).astype(
         {"frame_idx": "int32", "w": "int32", "h": "int32"}))
 
+    # animated-GIF features from GROUND-TRUTH pixels (no codec in the
+    # loop): the Spark side gif_encodes palette-exact clips executor-side,
+    # decodes the LZW stream in one sequential pass up to the highest
+    # sampled index and composites frames, so matching these rows proves
+    # the GIF encode→decode→composite path is the identity AND the shared
+    # sampling formula + per-frame feature kernel. The whole corpus is
+    # lossless (exact palettes), so EVERY clip is checked — no exclusions.
+    grows = []
+    for i in range(N_GIF_CLIPS):
+        n_frames, w, h, n_colors, _dur, _il = synth.gen_gif_signal(i)
+        m = min(4, n_frames)
+        for j in [k * n_frames // m for k in range(m)]:
+            px = imaging.make_palette_pixels(
+                i, synth.gen_gif_frame_seed(i, j), w, h, n_colors)
+            luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            hist = np.histogram(luma, bins=16, range=(0, 256))[0]
+            grows.append({
+                "media_id": f"gif{i:06d}", "frame_idx": j,
+                "w": w, "h": h,
+                "mean_r": float(px[..., 0].mean()),
+                "mean_g": float(px[..., 1].mean()),
+                "mean_b": float(px[..., 2].mean()),
+                "phash": imaging.phash64(px),
+                "luma_hist": ",".join(str(int(v)) for v in hist),
+            })
+    write("gif_frames", pd.DataFrame(
+        grows, columns=["media_id", "frame_idx", "w", "h", "mean_r",
+                        "mean_g", "mean_b", "phash", "luma_hist"]).astype(
+        {"frame_idx": "int32", "w": "int32", "h": "int32"}))
+
     # U5 outbound re-encode: independent urlencoder over the same fixture
     fix = pyref.u5_form_fixture()
     urows = [{"form_id": fid, "body": body, "encoding": label}
@@ -1731,6 +1761,7 @@ def q_phash_near_dup(spark, sf_dir):
 
 N_AUDIO_CLIPS = 500
 N_VIDEO_CLIPS = 300
+N_GIF_CLIPS = 300
 
 
 def q_video_features(spark, sf_dir):
@@ -1749,6 +1780,26 @@ def q_video_features(spark, sf_dir):
     media = (synth.spark_video(spark, N_VIDEO_CLIPS, parallelism=8)
              .filter(F.element_at(F.col("meta"), "codec") == "DIB"))
     return (video_features(media, n_frames=4)
+            .withColumn("luma_hist",
+                        F.array_join(F.col("luma_hist"), ",")))
+
+
+def q_gif_frames(spark, sf_dir):
+    """Real animated-GIF pipeline at the driver: executor-side gif_encode
+    of the deterministic palette-exact clip corpus (synth.gen_gif_signal —
+    frames ARE imaging.make_palette_pixels outputs; interlaced clips
+    included) → one sequential LZW+composite pass per clip up to the
+    highest sampled frame (GIF has no random access — gifcodec.GifReader.
+    sample never decodes past it) → per-frame image features
+    (crawlspark/gifcodec.py, functions/multimodal.py:video_features).
+    The exact-palette encoder makes decode the identity, so the oracle
+    computes the same features from GROUND-TRUTH pixels, never touching
+    the codec — every clip checked, no lossy exclusions."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import video_features
+    media = synth.spark_gif(spark, N_GIF_CLIPS, parallelism=8)
+    return (video_features(media, n_frames=4, kind="gif")
             .withColumn("luma_hist",
                         F.array_join(F.col("luma_hist"), ",")))
 
@@ -1974,6 +2025,11 @@ SELECT media_id, frame_idx, w, h, mean_r, mean_g, mean_b, phash, luma_hist
 FROM read_parquet('{_ORACLE_DIR}/video_features.parquet')
 """
 
+SQL_GIF_FRAMES = f"""
+SELECT media_id, frame_idx, w, h, mean_r, mean_g, mean_b, phash, luma_hist
+FROM read_parquet('{_ORACLE_DIR}/gif_frames.parquet')
+"""
+
 SQL_AUDIO_FEATURES = f"""
 SELECT media_id, rms, zero_crossings, n_samples, sample_rate, duration_s,
        centroid_hz
@@ -2013,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
+        "gif_frames": q_gif_frames,
         "phash_dup_pairs": q_phash_dup_pairs,
         "phash_near_dup": q_phash_near_dup,
         # relational core
@@ -2151,4 +2208,5 @@ def oracle_sql() -> dict[str, str]:
         # differential over ground-truth samples (quantization mirror):
         "audio_features": SQL_AUDIO_FEATURES,
         "video_features": SQL_VIDEO_FEATURES,
+        "gif_frames": SQL_GIF_FRAMES,
     }

@@ -168,9 +168,13 @@ def sample_video_frames(payloads: list, fmts: list, n_frames: int = 4
     REAL for fmt='avi' (crawlspark.videocodec — uncompressed BI_RGB and
     MJPG): the container index is parsed once and ONLY the sampled frames'
     payloads are decoded (random access via idx1), so sampling 4 frames of
-    a 10k-frame clip never touches the rest. The deterministic
-    'fakeframes' stand-in remains for plumbing tests; containers needing
-    codecs this environment lacks (mp4/webm) raise loudly."""
+    a 10k-frame clip never touches the rest. REAL for fmt='gif' (animated
+    GIF, crawlspark.gifcodec): GIF's LZW stream has no random access and
+    frames composite onto earlier state, so sampling decodes ONE
+    sequential pass up to the highest sampled index and never past it.
+    The deterministic 'fakeframes' stand-in remains for plumbing tests;
+    containers needing codecs this environment lacks (mp4/webm) raise
+    loudly."""
     from ..videocodec import AviReader, sample_indices
 
     out = []
@@ -179,6 +183,11 @@ def sample_video_frames(payloads: list, fmts: list, n_frames: int = 4
             r = AviReader(bytes(data))
             out.append([(j, r.frame(j))
                         for j in sample_indices(r.n_frames, n_frames)])
+        elif fmt == "gif":
+            from ..gifcodec import GifReader
+            g = GifReader(bytes(data))
+            idxs = sample_indices(g.n_frames, n_frames)
+            out.append(list(zip(idxs, g.sample(idxs))))
         elif fmt == FAKE_VIDEO_FMT:
             seed = int(xxh64(bytes(data)) % 251)
             out.append([
@@ -197,9 +206,11 @@ VIDEO_FEATURES_SCHEMA = ("media_id string, frame_idx int, w int, h int, "
                          "phash long, luma_hist array<int>")
 
 
-def video_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Demux (REAL AVI) → sample evenly spaced frames → per-frame image
-    features (same kernel as image_features), one Arrow batch at a time."""
+def video_features(media: DataFrame, n_frames: int = 4,
+                   kind: str = "video") -> DataFrame:
+    """Demux (REAL AVI, or animated GIF via ``kind='gif'``) → sample evenly
+    spaced frames → per-frame image features (same kernel as
+    image_features), one Arrow batch at a time."""
 
     def feats(batches):
         for pdf in batches:
@@ -226,7 +237,7 @@ def video_features(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 "media_id", "frame_idx", "w", "h", "mean_r", "mean_g",
                 "mean_b", "phash", "luma_hist"])
 
-    return (media.filter(F.col("kind") == "video")
+    return (media.filter(F.col("kind") == kind)
             .select("media_id", "bytes", "fmt")
             .mapInPandas(feats, VIDEO_FEATURES_SCHEMA))
 

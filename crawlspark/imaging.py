@@ -59,6 +59,32 @@ def make_pixels(i: int, w: int, h: int) -> np.ndarray:
     return ((grad + noise) % 256).astype(np.uint8)
 
 
+def make_palette_pixels(clip_seed: int, frame_seed: int, w: int, h: int,
+                        n_colors: int = 64) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 frame drawn from a ≤``n_colors``-entry
+    palette that is a pure function of ``clip_seed`` — every frame of a
+    clip shares the palette, so a whole clip GIF-encodes losslessly
+    (gifcodec builds an exact global color table and round-trips such
+    frames to the bit). Same FIXTURES.md purity rules as make_pixels."""
+    n = int(n_colors)
+    ci = np.arange(n, dtype=np.uint64)
+    s = np.uint64(clip_seed)
+    pal = np.stack([
+        (ci * np.uint64(2654435761) + s * np.uint64(97) + np.uint64(13))
+        % np.uint64(256),
+        (ci * np.uint64(40503) + s * np.uint64(31) + np.uint64(101))
+        % np.uint64(256),
+        (ci * np.uint64(2246822519) + s * np.uint64(7) + np.uint64(191))
+        % np.uint64(256),
+    ], axis=1).astype(np.uint8)
+    ys = np.arange(h, dtype=np.uint64)[:, None]
+    xs = np.arange(w, dtype=np.uint64)[None, :]
+    f = np.uint64(frame_seed)
+    idx = ((ys * np.uint64(7) + xs * np.uint64(3)
+            + (ys * xs + f) // np.uint64(5) + f) % np.uint64(n))
+    return pal[idx.astype(np.int64)]
+
+
 # --- PNG (lossless) ----------------------------------------------------------
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -155,6 +181,9 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return png_encode(pixels)
     if fmt == "jpeg":
         return jpeg_encode(pixels)
+    if fmt == "gif":
+        from .gifcodec import gif_encode
+        return gif_encode([pixels])
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -167,6 +196,11 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         if data[:2] == b"\xff\xd8":
             return jpeg_decode(data)
         return lossy_decode(data)
+    if fmt == "gif":
+        # still-image view of a GIF: first composited frame (animations go
+        # through gifcodec.GifReader.sample / multimodal.video_features)
+        from .gifcodec import gif_decode_first
+        return gif_decode_first(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -534,6 +534,68 @@ def spark_video(spark, n_clips: int, parallelism: int = 8):
             .mapInPandas(gen, AUDIO_SCHEMA))
 
 
+# --- animated GIF (real gifcodec corpus) --------------------------------------
+
+GIF_SIZES = [(20, 14), (28, 20), (36, 12)]
+GIF_COLORS = [16, 64, 250]
+
+
+def gen_gif_frame_seed(i: int, f: int) -> int:
+    """Seed for clip i's frame f — ground-truth handle for the oracle
+    (imaging.make_palette_pixels(i, seed, w, h, n) IS the frame)."""
+    return 200_000 + i * 89 + f
+
+
+def gen_gif_signal(i: int):
+    """Clip parameters for GIF ``i`` (pure function): returns
+    (n_frames, w, h, n_colors, duration_cs, interlace). Frames share one
+    clip palette (≤ n_colors distinct RGB) so encode→decode is exact —
+    the lossless role DIB plays in the AVI corpus."""
+    h_ = _h(i, 70)
+    n_frames = 1 + (h_ % 8)
+    w, h = GIF_SIZES[_h(i, 71) % len(GIF_SIZES)]
+    n_colors = GIF_COLORS[_h(i, 72) % len(GIF_COLORS)]
+    duration = 4 + (_h(i, 73) % 20)
+    interlace = i % 4 == 0
+    return n_frames, w, h, n_colors, duration, interlace
+
+
+def gen_gif_pdf(lo: int, hi: int) -> pd.DataFrame:
+    """Real animated-GIF media rows (media_id, kind, bytes, fmt, meta) —
+    palette-exact clips from imaging.make_palette_pixels."""
+    from .gifcodec import gif_encode
+    from .imaging import make_palette_pixels
+
+    rows = []
+    for i in range(lo, hi):
+        n_frames, w, h, n_colors, duration, interlace = gen_gif_signal(i)
+        frames = [make_palette_pixels(i, gen_gif_frame_seed(i, f), w, h,
+                                      n_colors)
+                  for f in range(n_frames)]
+        rows.append({
+            "media_id": f"gif{i:06d}", "kind": "gif",
+            "bytes": gif_encode(frames, duration_cs=duration,
+                                interlace=interlace),
+            "fmt": "gif",
+            "meta": {"n_frames": str(n_frames), "colors": str(n_colors),
+                     "interlace": str(int(interlace))},
+        })
+    return pd.DataFrame(rows)
+
+
+def spark_gif(spark, n_clips: int, parallelism: int = 8):
+    """Distributed real animated-GIF media table (bytes encoded
+    executor-side)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield gen_gif_pdf(int(ids.min()), int(ids.max()) + 1)
+
+    return (spark.range(0, n_clips, 1, parallelism)
+            .mapInPandas(gen, AUDIO_SCHEMA))
+
+
 AUDIO_SCHEMA = ("media_id string, kind string, bytes binary, fmt string, "
                 "meta map<string,string>")
 
