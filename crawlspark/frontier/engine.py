@@ -543,6 +543,16 @@ class CrawlEngine:
         cut = postcap_cut(stats, cfg.k_global)
         pruned = (survivors if cut is None else survivors.filter(
             F.floor(F.col("priority") * 64) >= cut))
+        # materialized once: the sequencer's repartitionByRange runs a
+        # range-boundary SAMPLING job over its child before the exchange
+        # executes it again — without this pivot the salted two-level
+        # ranking (two window shuffles over the hot-host slice, the most
+        # expensive part of scheduling) executed TWICE per round. pruned
+        # is O(k) narrow rows (post-cut), so the pivot is cheap at any
+        # scale. (CRAWLSPARK_NO_SEQ_PIVOT=1 is a measurement hook for
+        # interleaved A/B trials, not a tuning knob.)
+        if not os.environ.get("CRAWLSPARK_NO_SEQ_PIVOT"):
+            pruned = ckpt(pruned)
         seq_df, n_pruned = with_global_seq(pruned, order_cols(), out="idx",
                                            start=0, return_count=True)
         scheduled = (seq_df.filter(F.col("idx") < cfg.k_global)

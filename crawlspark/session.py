@@ -110,6 +110,17 @@ def get_spark(app: str = "crawlspark", cores: int | None = None,
                 "-Djava.net.preferIPv4Stack=true"
                 + (" -XX:+UseParallelGC"
                    if os.environ.get("SPARK_GRAFT_GC", "parallel") == "parallel"
+                   else "")
+                # GC threads track the executor-thread count, not the host's
+                # vCPUs: the JVM defaults to ~5/8 of 32 vCPUs (≈23 GC
+                # threads), which oversubscribes a local[2]/local[8] run on
+                # a bandwidth-capped host — pause work then contends with
+                # itself. Default = cores (the local[N] level); override
+                # with SPARK_GRAFT_GC_THREADS.
+                + (f" -XX:ParallelGCThreads="
+                   f"{os.environ.get('SPARK_GRAFT_GC_THREADS', cores)}"
+                   if os.environ.get("SPARK_GRAFT_GC", "parallel") == "parallel"
+                   and os.environ.get("SPARK_GRAFT_GC_THREADS", "") != "default"
                    else ""))
         # Shuffle/spill scratch on tmpfs: the sandbox block device is IOPS-
         # throttled (~65 MB/s) and caused multi-10s random stalls; a real
