@@ -1193,10 +1193,11 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Exact all-pairs cosine ≥ τ — the correctness baseline the LSH path is
-    verified against (q_embedding_neardup_lsh). τ=0.2 keeps the matched row
-    set non-empty on the synthetic embeddings (τ=0.95 matched 0 rows — a
-    vacuous check)."""
+    """Exact all-pairs cosine ≥ τ — CORRECTNESS BASELINE ONLY (crossJoin is
+    O(n²); never a recommended path beyond small SF). The scale path is
+    q_embedding_neardup_lsh (sign-LSH bucket join + exact verify). τ=0.2
+    keeps the matched row set non-empty on the synthetic embeddings
+    (τ=0.95 matched 0 rows — a vacuous check)."""
     from crawlspark.functions.dedup import cosine_sim
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("left_id"),

@@ -78,7 +78,7 @@ from pyspark.sql import functions as F
 
 from ..plans import with_global_seq
 from ..session import ckpt, clear_ckpts
-from ..urltools import canonicalize_udf, host_udf, path_udf
+from ..urltools import canonicalize_udf, host_udf, path_udf, url_parts_udf
 from .politeness import (budget_col, next_host_state, order_cols,
                          prune_to_global_topk, robots_allowed_col,
                          topk_per_host)
@@ -295,12 +295,13 @@ class CrawlEngine:
         "every frontier row is robots-allowed" lets each round skip the
         robots join and the path column on both full-frontier passes."""
         fr = (seeds
-              .withColumn("canon", canonicalize_udf(
+              .withColumn("_u", url_parts_udf(
                   F.col("url"), F.lit(None).cast("string")))
-              .filter(F.col("canon").isNotNull())
+              .filter(F.col("_u.canon").isNotNull())
+              .withColumn("canon", F.col("_u.canon"))
               .withColumn("url_hash", F.xxhash64("canon"))
-              .withColumn("host", host_udf("canon"))
-              .withColumn("path", path_udf("canon"))
+              .withColumn("host", F.col("_u.host"))
+              .withColumn("path", F.col("_u.path"))
               .withColumn("priority", F.lit(0.0))
               .withColumn("discovered_seq", F.col("seed_pos").cast("long"))
               .withColumn("ref_url", F.lit(None).cast("string"))
@@ -711,14 +712,18 @@ class CrawlEngine:
                                      F.col("form_inputs")).alias("href"),
                                  F.lit(FORM_POS).cast("int").alias("pos")))
             exp = exp.unionByName(forms_exp)
+        # fused URL kernel: one Arrow stage computes (canon, host, path)
+        # per child — the chained canonicalize→host→path UDFs paid three
+        # Python stages and re-split the canon string twice, on the
+        # round's largest Python input (O(k·fanout) rows)
         children = (exp
-                    .withColumn("child", canonicalize_udf(
+                    .withColumn("_u", url_parts_udf(
                         F.col("href"), F.col("base")))
-                    .filter(F.col("child").isNotNull())
-                    .select(F.col("child").alias("canon"),
-                            F.xxhash64("child").alias("url_hash"),
-                            host_udf("child").alias("host"),
-                            path_udf("child").alias("path"),
+                    .filter(F.col("_u.canon").isNotNull())
+                    .select(F.col("_u.canon").alias("canon"),
+                            F.xxhash64("_u.canon").alias("url_hash"),
+                            F.col("_u.host").alias("host"),
+                            F.col("_u.path").alias("path"),
                             (F.col("priority") - 1).alias("priority"),
                             (F.col("fetch_seq") * 100
                              + F.col("pos")).cast("long")

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..frontier.engine import FRONTIER_COLS
 from ..frontier.state import SnapshotStore
-from ..urltools import canonicalize_udf, host_udf, path_udf
+from ..urltools import url_parts_udf
 
 SEED_SCHEMA = "value string"
 
@@ -41,13 +41,14 @@ def watch_seed_dir(spark: SparkSession, seed_dir: str):
     raw = (spark.readStream.format("text")
            .schema(SEED_SCHEMA)
            .load(seed_dir))
-    canon = canonicalize_udf(F.trim(F.col("value")),
-                             F.lit(None).cast("string"))
-    return (raw.select(canon.alias("canon"))
-            .filter(F.col("canon").isNotNull())
-            .withColumn("url_hash", F.xxhash64("canon"))
-            .withColumn("host", host_udf("canon"))
-            .withColumn("path", path_udf("canon"))
+    parts = url_parts_udf(F.trim(F.col("value")),
+                          F.lit(None).cast("string"))
+    return (raw.select(parts.alias("_u"))
+            .filter(F.col("_u.canon").isNotNull())
+            .select(F.col("_u.canon").alias("canon"),
+                    F.xxhash64("_u.canon").alias("url_hash"),
+                    F.col("_u.host").alias("host"),
+                    F.col("_u.path").alias("path"))
             .dropDuplicates(["url_hash"]))
 
 

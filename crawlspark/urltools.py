@@ -34,18 +34,17 @@ from urllib.parse import urljoin, urlsplit, urlunsplit, parse_qsl, urlencode
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
-def canonicalize(url: str, base: str | None = None) -> str | None:
-    """Resolve ``url`` against ``base`` and return the canonical normal form.
-
-    Returns None for unusable hrefs (empty, fragment-only, non-http(s)
-    schemes like mailto:/javascript:) — callers drop those rows, mirroring
-    the reference's attr-missing skip semantics (unmarshal.go:104-109).
-    """
+def _canon_parts(url: str, base: str | None = None):
+    """(canon, netloc, path) of the canonical form, or None for unusable
+    hrefs. The single parse shared by canonicalize() and the fused UDF:
+    netloc/path here are BY CONSTRUCTION identical to re-splitting the
+    canon string (host_of/path_of), which the fused-vs-chained parity test
+    pins."""
     if url is None:
         return None
     url = url.strip()
@@ -72,7 +71,18 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
         pairs = parse_qsl(query, keep_blank_values=True)
         pairs.sort(key=lambda kv: kv[0])  # stable → duplicate keys keep order
         query = urlencode(pairs)
-    return urlunsplit((scheme, netloc, path, query, ""))
+    return urlunsplit((scheme, netloc, path, query, "")), netloc, path
+
+
+def canonicalize(url: str, base: str | None = None) -> str | None:
+    """Resolve ``url`` against ``base`` and return the canonical normal form.
+
+    Returns None for unusable hrefs (empty, fragment-only, non-http(s)
+    schemes like mailto:/javascript:) — callers drop those rows, mirroring
+    the reference's attr-missing skip semantics (unmarshal.go:104-109).
+    """
+    p = _canon_parts(url, base)
+    return None if p is None else p[0]
 
 
 def host_of(canon: str) -> str:
@@ -103,6 +113,26 @@ def path_udf(canon: pd.Series) -> pd.Series:
     return canon.map(lambda c: path_of(c) if c is not None else None)
 
 
+# a DataType OBJECT, not a DDL string: module-level @pandas_udf with a DDL
+# string needs an active SparkContext at import time (session.py gotcha)
+_URL_PARTS_TYPE = StructType([StructField("canon", StringType()),
+                              StructField("host", StringType()),
+                              StructField("path", StringType())])
+
+
+@pandas_udf(_URL_PARTS_TYPE)
+def url_parts_udf(url: pd.Series, base: pd.Series) -> pd.DataFrame:
+    """Fused (href, base) → struct(canon, host, path): ONE Arrow round-trip
+    and ONE urlsplit where the chained canonicalize_udf → host_udf/path_udf
+    pipeline paid three Python stages and re-parsed the canon string twice.
+    This is the hot path of frontier expansion (O(k·fanout) rows/round).
+    Unusable hrefs yield a null struct — filter on ``col.canon``."""
+    rows = [_canon_parts(u, b) for u, b in zip(url, base)]
+    return pd.DataFrame(
+        [(None, None, None) if r is None else r for r in rows],
+        columns=["canon", "host", "path"], dtype="object")
+
+
 def with_canonical(df, url_col: str, base_col: str | None = None,
                    out: str = "canon"):
     """Attach canonical URL + url_hash + host + path columns.
@@ -111,9 +141,11 @@ def with_canonical(df, url_col: str, base_col: str | None = None,
     to the oracle's pure-Python xxh64 (crawlspark.hashing, verified in tests).
     """
     base = F.col(base_col) if base_col else F.lit(None).cast("string")
-    df = df.withColumn(out, canonicalize_udf(F.col(url_col), base))
+    df = df.withColumn("_u", url_parts_udf(F.col(url_col), base))
     return (
-        df.withColumn("url_hash", F.xxhash64(F.col(out)))
-        .withColumn("host", host_udf(F.col(out)))
-        .withColumn("path", path_udf(F.col(out)))
+        df.withColumn(out, F.col("_u.canon"))
+        .withColumn("url_hash", F.xxhash64(F.col(out)))
+        .withColumn("host", F.col("_u.host"))
+        .withColumn("path", F.col("_u.path"))
+        .drop("_u")
     )

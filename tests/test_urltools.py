@@ -52,3 +52,26 @@ def test_udf_matches_pure(spark):
            with_canonical(df, "u", "b", out="c").select("c").collect()]
     want = [canonicalize(u, b) for u, b in rows]
     assert got == want
+
+
+def test_fused_parts_match_chained(spark):
+    """url_parts_udf (one parse) must equal canonicalize + host_of/path_of
+    (re-parse of the canon string) on the full vector envelope — ports,
+    query sort, fragment, unusable hrefs, base-relative forms."""
+    from crawlspark.urltools import url_parts_udf
+
+    rows = [("HTTP://H.TEST:80/a?b=2&a=1#f", None),
+            ("https://h.test:443/x", None),
+            ("http://h.test:8080/x?z=1&z=0", None),
+            ("http://h.test", None),
+            ("/p/7", BASE), ("../q", BASE), ("x/y", BASE),
+            ("#top", BASE), ("", BASE), ("mailto:x@y.z", BASE),
+            ("javascript:void(0)", BASE), (None, BASE)]
+    df = spark.createDataFrame(rows, ["u", "b"])
+    got = (df.select(url_parts_udf(F.col("u"), F.col("b")).alias("p"))
+           .select("p.canon", "p.host", "p.path").collect())
+    for (u, b), r in zip(rows, got):
+        c = canonicalize(u, b)
+        assert r["canon"] == c
+        assert r["host"] == (host_of(c) if c is not None else None)
+        assert r["path"] == (path_of(c) if c is not None else None)
