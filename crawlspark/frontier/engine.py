@@ -479,7 +479,16 @@ class CrawlEngine:
             seen_flag = (seen.select("url_hash")
                          .withColumn("_seen", F.lit(True)))
             seen_keys = F.broadcast(seen_flag) if seen_small else seen_flag
-            if shards_df is not None:
+            # While the seen set is broadcastable the approximate pre-filter
+            # is pure overhead: the exact decide is already ONE codegen
+            # broadcast hash join over the narrow frontier, and the
+            # Bloom/cuckoo probe would add a full-frontier Arrow round-trip
+            # through Python plus a two-branch union to avoid... that same
+            # broadcast join. The filter earns its keep only beyond
+            # broadcast, where it bounds the rows that must meet the
+            # bucketed seen table. (Shards are still BUILT every round so
+            # the regime switch needs no backfill.)
+            if shards_df is not None and not seen_small:
                 shard_dirs = store.table_dirs("seen_shards") or []
                 blob_bytes = cfg.seen_shards * (cfg.seen_m_bits // 8)
                 if shard_dirs and blob_bytes > cfg.seen_blob_broadcast_bytes:
@@ -499,9 +508,7 @@ class CrawlEngine:
                          .withColumn("_seen",
                                      F.lit(None).cast("boolean")))
                 suspect = allowed.filter(F.col("_maybe")).drop("_maybe")
-                if seen_small:
-                    suspect = suspect.join(seen_keys, "url_hash", "left")
-                elif self.store.table_dirs("seen"):
+                if self.store.table_dirs("seen"):
                     # beyond-broadcast regime: per-bucket executor-side
                     # probe against the hash-partitioned seen table — the
                     # seen set is read (its relevant buckets only), never

@@ -194,7 +194,11 @@ def test_engine_matches_oracle_sharded_blobs(spark, t1_data, oracle_result,
     tier, pages, robots, seeds = t1_data
     cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_kind=kind,
                       seen_shards=4, seen_m_bits=1 << 16,
-                      validate_fraction=0, seen_blob_broadcast_bytes=0)
+                      validate_fraction=0, seen_blob_broadcast_bytes=0,
+                      # the approximate filter only runs beyond the
+                      # broadcastable-seen regime (engine skips it as pure
+                      # overhead otherwise) — force that regime here
+                      seen_broadcast_rows=0)
     store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_shblob_"))
     eng = CrawlEngine(spark, store, pages, robots, None, cfg)
     eng.seed(seeds)
@@ -210,13 +214,16 @@ def test_engine_matches_oracle_sharded_blobs(spark, t1_data, oracle_result,
     store.destroy()
 
 
-def test_engine_matches_oracle_bucketed_seen(spark, t1_data, oracle_result):
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_engine_matches_oracle_bucketed_seen(spark, t1_data, oracle_result,
+                                             kind):
     """Forces the beyond-broadcast exact-decide path
-    (seen_broadcast_rows=0 -> per-bucket executor-side probe against the
-    hash-partitioned seen table) — order and seen set must still match the
-    oracle exactly."""
+    (seen_broadcast_rows=0 -> broadcast-blob Bloom/cuckoo pre-filter +
+    per-bucket executor-side probe against the hash-partitioned seen
+    table) — order and seen set must still match the oracle exactly."""
     tier, pages, robots, seeds = t1_data
     cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_kind=kind,
                       seen_m_bits=1 << 16, validate_fraction=0,
                       seen_broadcast_rows=0, seen_buckets=8)
     store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_bkt_"))
