@@ -546,11 +546,19 @@ class CrawlEngine:
         # fraction that froze N-vs-4N scaling at ~0.25 efficiency.
         from .politeness import over_budget_hosts, postcap_cut, schedule_stats
         stats = ckpt(schedule_stats(allowed))
-        survivors = topk_per_host(allowed, cfg.salt_buckets,
-                                  over=over_budget_hosts(stats))
         cut = postcap_cut(stats, cfg.k_global)
-        pruned = (survivors if cut is None else survivors.filter(
+        # the cut is applied BEFORE the salted ranking, not after: priority
+        # is the leading sort key, so each host's ≥cut rows are a PREFIX of
+        # its priority-desc order and cap∘cut ≡ cut∘cap (top-budget of a
+        # prefix = top-budget ∩ prefix) — provably identical output, but
+        # the windows sort only the O(k) rows above the cut instead of the
+        # whole over-budget slice (at a 30%-hot frontier that is the
+        # round's largest sort). The cut itself is computed from post-cap
+        # counts (postcap_cut), so ≥ k rows survive, exactly as before.
+        cand = (allowed if cut is None else allowed.filter(
             F.floor(F.col("priority") * 64) >= cut))
+        pruned = topk_per_host(cand, cfg.salt_buckets,
+                               over=over_budget_hosts(stats))
         # materialized once: the sequencer's repartitionByRange runs a
         # range-boundary SAMPLING job over its child before the exchange
         # executes it again — without this pivot the salted two-level
