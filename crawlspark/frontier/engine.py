@@ -602,12 +602,6 @@ class CrawlEngine:
 
         # 8. meta-refresh (depth 1): resolve against base, claim targets
         is2xx = (F.floor(F.col("status") / 100) == 2)
-        fetched = fetched.withColumn(
-            "refresh_canon",
-            F.when(is2xx & F.col("meta_refresh_url").isNotNull(),
-                   canonicalize_udf(
-                       F.col("meta_refresh_url"),
-                       F.coalesce(F.col("base_href"), F.col("canon")))))
         # materialized once: both consumers (refr, primaries) would
         # otherwise re-run the k-row parse (raw corpora: the Arrow-batched
         # charset+link extraction) inside the sequencer job — and at the
@@ -618,16 +612,26 @@ class CrawlEngine:
         # (limit-1, never the corpus) decides whether the refresh branch
         # runs at all. Meta refreshes are rare in real crawls and absent in
         # many corpora — without the gate every round pays the branch's
-        # corpus scan + seen probe + joins for an empty set. Semantics are
-        # unchanged: with zero refresh targets the union below was a no-op
-        # and every downstream table is a pure function of the primaries.
-        has_refresh = not (fetched
-                           .filter(F.col("refresh_canon").isNotNull())
-                           .isEmpty())
+        # corpus scan + seen probe + joins for an empty set. The probe is
+        # pure column logic and the canonicalize UDF runs only INSIDE the
+        # branch, over the refresh candidates — Spark extracts pandas UDFs
+        # into an unconditional projection, so putting the UDF on the
+        # k-row `fetched` plan paid a full-k Arrow round-trip (URL + base
+        # strings both ways) every round even with zero refreshes.
+        # Semantics are unchanged: with zero candidate rows the union
+        # below was a no-op and every downstream table is a pure function
+        # of the primaries; a candidate whose target canonicalizes to null
+        # is dropped inside the branch exactly as before.
+        refresh_cand = is2xx & F.col("meta_refresh_url").isNotNull()
+        has_refresh = not fetched.filter(refresh_cand).isEmpty()
 
         refr = None
         if has_refresh:
             refr = (fetched
+                    .filter(refresh_cand)
+                    .withColumn("refresh_canon", canonicalize_udf(
+                        F.col("meta_refresh_url"),
+                        F.coalesce(F.col("base_href"), F.col("canon"))))
                     .filter(F.col("refresh_canon").isNotNull())
                     .select(F.col("idx").alias("parent_idx"),
                             F.col("canon").alias("parent_canon"),
