@@ -1107,6 +1107,95 @@ FROM documents
 """
 
 
+def q_docs_clean(spark, sf_dir):
+    """Composite training-data cleaning pipeline — the end-to-end shape a
+    100 TB corpus pass actually runs, as ONE declarative plan: per-doc
+    lang-ID + quality score + token count (pure Column exprs, whole-stage
+    codegen) → row filters (lang, quality floor, token floor — all pushed
+    below the shuffle) → head-fingerprint dedup keeping the best survivor
+    per fingerprint by (quality desc, doc_id asc). The only shuffle is the
+    dedup groupBy on the fingerprint hash, over filter survivors only.
+    Quality is compared ROUNDED to 6 dp on both sides — the text_quality
+    entry proves the rounded values are bit-identical between Spark and
+    DuckDB, which makes the threshold and the keep-best order
+    deterministic across engines."""
+    from crawlspark.functions import text as T
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        T.lang_id(c).alias("lang"),
+        F.round(T.quality_score(c), 6).alias("quality"),
+        T.token_count(c).alias("n_tokens"),
+        T.fingerprint(c).alias("_fp"))
+    kept = (scored
+            .filter((F.col("lang") == "en") & (F.col("quality") >= 0.7)
+                    & (F.col("n_tokens") >= 24))
+            .groupBy("_fp")
+            .agg(F.min_by(
+                F.struct("doc_id", "lang", "quality", "n_tokens"),
+                F.struct((-F.col("quality")).alias("nq"),
+                         F.col("doc_id").alias("d"))).alias("_best"))
+            .select("_best.*"))
+    return kept
+
+
+SQL_DOCS_CLEAN = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(text) > 0 THEN
+           (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+           / len(text) ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+           / len(toks) ELSE 0.0 END AS sr,
+         CASE WHEN len(toks) > 0 THEN
+           list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE
+           / len(toks) ELSE 0.0 END AS mwl,
+         len(list_filter(toks, x -> list_contains(
+             ['el','la','de','que','y','en','un','los','se','no'], x))) AS es,
+         len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS de,
+         len(list_filter(toks, x -> list_contains(
+             ['le','la','les','de','et','est','un','une','que','pour'], x))) AS fr
+  FROM t),
+s AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[぀-ヿ一-鿿]') THEN 'cjk'
+              WHEN greatest(sr_cnt, es, de, fr) > 0 THEN
+                CASE WHEN sr_cnt = greatest(sr_cnt, es, de, fr) THEN 'en'
+                     WHEN es = greatest(sr_cnt, es, de, fr) THEN 'es'
+                     WHEN de = greatest(sr_cnt, es, de, fr) THEN 'de'
+                     WHEN fr = greatest(sr_cnt, es, de, fr) THEN 'fr' END
+              ELSE 'unknown' END AS lang,
+         round((least(n / 100.0, 1.0)
+                + (1.0 - least(pr * 4, 1.0))
+                + (1.0 - least(abs(sr - 0.4) * 2, 1.0))
+                + (CASE WHEN mwl >= 3 AND mwl <= 8 THEN 1.0 ELSE 0.5 END))
+               / 4.0, 6) AS quality,
+         n AS n_tokens,
+         md5(array_to_string(toks[1:8], ' ')) AS fp
+  FROM (SELECT *,
+               len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'],
+                   x))) AS sr_cnt,
+               len(toks) AS n
+        FROM f))
+SELECT doc_id, lang, quality, n_tokens
+FROM s
+WHERE lang = 'en' AND quality >= 0.7 AND n_tokens >= 24
+QUALIFY row_number() OVER (PARTITION BY fp
+                           ORDER BY quality DESC, doc_id ASC) = 1
+"""
+
+
 # -- dedup families ----------------------------------------------------------
 
 def q_exact_dedup(spark, sf_dir):
@@ -2117,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_by_type": q_kmv_by_type,
         "fingerprint": q_fingerprint,
+        "docs_clean": q_docs_clean,
         # dedup
         "exact_dedup": q_exact_dedup,
         "exact_dup_pairs": q_exact_dup_pairs,
@@ -2183,6 +2273,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "text_quality": SQL_TEXT_QUALITY,
         "lang_id": SQL_LANG_ID,
+        "docs_clean": SQL_DOCS_CLEAN,
         "kmv_distinct": SQL_KMV_DISTINCT,
         "kmv_by_type": SQL_KMV_BY_TYPE,
         "fingerprint": SQL_FINGERPRINT,
