@@ -1381,7 +1381,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v9"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v10"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -1492,6 +1492,18 @@ def _ensure_oracle_files() -> None:
         ["round", "fetch_seq", "canon", "ref_url", "status",
          "is_refresh", "image_id", "host"]].astype(
         {"round": "int32", "status": "int32"}))
+
+    # phash payload dedup (the north rule's per-round dedup stage): the
+    # same t1 crawl with phash_dedup on — the oracle keeps its own
+    # first-seen phash map (oracle.note_payload) across rounds
+    ipdf = synth.gen_images_pdf(0, tier.n_images, materialize_bytes=False)
+    image_phash = {i: int(p)
+                   for i, p in zip(ipdf["image_id"], ipdf["phash"])}
+    res_p = oracle.simulate(pages_by_url, robots, seeds,
+                            round_ms=30_000, k_global=100, max_rounds=3,
+                            image_phash=image_phash, phash_dedup=True)
+    write("crawl_phash_dedup",
+          pd.DataFrame(res_p.payload_dups).astype({"round": "int32"}))
 
     # page_parse expected: the structured generator output, flattened to
     # driver-hashable scalars (the Spark side re-derives these by PARSING
@@ -1788,6 +1800,37 @@ def q_crawl_cookies(spark, sf_dir):
     return (store.read("fetch_log").orderBy("fetch_seq")
             .select("round", "fetch_seq", "canon", "ref_url", "status",
                     "is_refresh", "image_id", "host"))
+
+
+def q_crawl_phash_dedup(spark, sf_dir):
+    """North-rule phash dedup end-to-end at the driver: the t1 crawl
+    (3 rounds, k=100) with cfg.phash_dedup on — the first fetch (in
+    fetch_seq order, across rounds, surviving kill/resume via the
+    phash_seen state table) of each exact perceptual hash wins, every
+    later fetch of the same phash lands in payload_dups with dup_of =
+    the winner's fetch_seq. Oracle = the sequential simulator keeping its
+    own first-seen map (oracle.note_payload)."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+    from crawlspark.frontier.robots import robots_cache_from_bodies
+    tier = synth.TIERS["t1"]
+    pages = synth.spark_pages(spark, tier, parallelism=8).cache()
+    robots = robots_cache_from_bodies(
+        synth.spark_robots_bodies(spark, tier)).cache()
+    seeds = synth.spark_seeds(spark, tier)
+    images = synth.spark_images(spark, tier, parallelism=8)
+    cfg = CrawlConfig(k_global=100, max_rounds=3, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      phash_dedup=True, shuffle_partitions=8)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="entry_phash_crawl_", dir=scratch))
+    eng = CrawlEngine(spark, store, pages, robots, images, cfg)
+    eng.seed(seeds)
+    eng.run()
+    return (store.read("payload_dups").orderBy("fetch_seq")
+            .select("round", "fetch_seq", "image_id", "phash", "dup_of"))
 
 
 def q_form_urlencode(spark, sf_dir):
@@ -2141,6 +2184,11 @@ SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
 FROM read_parquet('{_ORACLE_DIR}/crawl_cookies.parquet')
 """
 
+SQL_CRAWL_PHASH_DEDUP = f"""
+SELECT round, fetch_seq, image_id, phash, dup_of
+FROM read_parquet('{_ORACLE_DIR}/crawl_phash_dedup.parquet')
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -2222,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # long-running entries last (budget-cut costs fewest rows)
         "crawl_form_submit": q_crawl_form_submit,
         "crawl_cookies": q_crawl_cookies,
+        "crawl_phash_dedup": q_crawl_phash_dedup,
     }
 
 
@@ -2261,6 +2310,7 @@ def oracle_sql() -> dict[str, str]:
         "form_urlencode": SQL_FORM_URLENCODE,
         "crawl_form_submit": SQL_CRAWL_FORM_SUBMIT,
         "crawl_cookies": SQL_CRAWL_COOKIES,
+        "crawl_phash_dedup": SQL_CRAWL_PHASH_DEDUP,
         "anchor_select": SQL_ANCHOR_SELECT,
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,

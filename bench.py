@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "pricing_summary", "order_revenue", "fetch_seq", "topk_per_host",
     "token_counts", "text_quality", "exact_dedup", "ngram_jaccard",
     "minhash_lsh", "simhash", "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
+    "docs_clean",
 ]
 
 CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")
@@ -135,6 +136,20 @@ def main():
     wide["all_trials_s"] = [t["seconds"] for t in trials]
     timings["wide_frontier_round"] = wide["seconds"]
 
+    # north-rule-COMPLETE wide round: the same job plus the per-round
+    # payload-fidelity stage (decode png-exact / jpeg-PSNR, phash recheck,
+    # caption equality over a deterministic 2% sample of fetched rows —
+    # frontier/validate.py, one Arrow mapInPandas pass). Recorded
+    # separately so the schedule-only number stays comparable to r1/r2.
+    vtrials = [run_wide_round(spark, WIDE_N, WIDE_K, CPUS,
+                              tempfile.mkdtemp(prefix="bench_widev_",
+                                               dir=_bench_tmp()),
+                              validate_fraction=0.02)
+               for _ in range(2)]
+    widev = min(vtrials, key=lambda w: w["seconds"])
+    widev["all_trials_s"] = [t["seconds"] for t in vtrials]
+    timings["wide_frontier_validated"] = widev["seconds"]
+
     crawl = bench_crawl(spark)
     timings["crawl_engine"] = crawl["seconds"]
 
@@ -154,6 +169,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "wide_frontier": wide,
+        "wide_frontier_validated": widev,
         "crawl_e2e": crawl,
         "host_window": host,
     }

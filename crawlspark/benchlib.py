@@ -68,7 +68,7 @@ def make_wide_corpus(spark: SparkSession, n_rows: int,
         F.lit(None).cast("string").alias("base_href"),
         F.lit(None).cast("string").alias("meta_refresh_url"),
         F.array(link(7), link(8)).alias("links"),
-        F.concat(F.lit("img"), i.cast("string")).alias("image_id"),
+        F.format_string("img%010d", i).alias("image_id"),
         F.lit(200).alias("status"))
 
 
@@ -87,15 +87,69 @@ def make_wide_robots(spark: SparkSession) -> DataFrame:
          .cast("long").alias("crawl_delay_ms"))
 
 
+WIDE_IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, "
+                      "fmt string, caption string, phash bigint")
+
+
+def make_wide_images(spark: SparkSession, n_rows: int,
+                     parallelism: int = 32,
+                     cache_root: str | None = None) -> DataFrame:
+    """Ground-truth image metadata (input_hint shape) for every wide-corpus
+    page. bytes is NULL — a real crawl receives payload bytes at fetch time,
+    so the validate stage synthesizes them from image_id via the same pure
+    function (see frontier/validate.py). phash + caption are the expensive
+    part (numpy per row, Arrow-batched); they are a pure function of
+    n_rows, so the table is built once and cached to parquet keyed by
+    n_rows — repeated scaling trials (fresh JVMs) don't re-pay the build,
+    and the build never lands inside a timed window."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from .synth import gen_image_row
+    if cache_root is None:
+        cache_root = ("/dev/shm" if os.path.isdir("/dev/shm")
+                      else tempfile.gettempdir())
+    path = os.path.join(cache_root, f"crawlspark_wide_images_{n_rows}")
+    if not os.path.isdir(path):
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame([gen_image_row(int(i) * 10,
+                                                  materialize_bytes=False)
+                                    for i in pdf["id"]])
+        tmp = f"{path}.tmp{os.getpid()}"
+        # Build wide regardless of the trial's core count: the cache is
+        # shared across trials, and a low-parallelism build would shape
+        # every later trial's scan partitioning.
+        (spark.range(0, n_rows // 10, 1, max(parallelism, 32))
+         .mapInPandas(gen, WIDE_IMAGES_SCHEMA)
+         .write.mode("overwrite").parquet(tmp))
+        try:
+            os.rename(tmp, path)        # atomic vs concurrent trials
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def run_wide_round(spark: SparkSession, n_rows: int, k_global: int,
                    parallelism: int, store_dir: str,
-                   rounds: int = 1) -> dict:
-    """Seed a wide frontier, run `rounds` scheduling rounds, return stats."""
+                   rounds: int = 1, validate_fraction: float = 0.0) -> dict:
+    """Seed a wide frontier, run `rounds` scheduling rounds, return stats.
+
+    validate_fraction > 0 adds the north-rule payload-fidelity stage to
+    every round: a deterministic sample of fetched rows is image-decoded
+    (png exact / jpeg PSNR>=40dB), phash-rechecked, and caption-compared
+    in one Arrow mapInPandas pass (frontier/validate.py). 0 keeps the
+    schedule-only workload (round-1/2 compatible numbers)."""
     import time
 
     from .frontier import CrawlConfig, CrawlEngine, SnapshotStore
 
     corpus = make_wide_corpus(spark, n_rows, parallelism)
+    images = (make_wide_images(spark, n_rows, parallelism)
+              if validate_fraction > 0 else None)
     robots = make_wide_robots(spark)
     # the engine's invariant: frontier rows are robots-allowed at insert
     # (engine.seed applies the same filter to seed lists)
@@ -109,13 +163,14 @@ def run_wide_round(spark: SparkSession, n_rows: int, k_global: int,
                         "discovered_seq", "ref_url"))
     cfg = CrawlConfig(k_global=k_global, max_rounds=rounds,
                       seen_shards=16, seen_m_bits=1 << 24,
-                      salt_buckets=parallelism, validate_fraction=0)
+                      salt_buckets=parallelism,
+                      validate_fraction=validate_fraction)
     store = SnapshotStore(spark, store_dir)
     from .frontier.engine import FETCH_LOG_SCHEMA
     empty_log = spark.createDataFrame([], FETCH_LOG_SCHEMA)
     store.commit(-1, {"frontier": frontier, "fetch_log": empty_log},
                  counters={"fetched_total": 0})
-    eng = CrawlEngine(spark, store, corpus, robots, None, cfg)
+    eng = CrawlEngine(spark, store, corpus, robots, images, cfg)
     t0 = time.time()
     stats = eng.run(max_rounds=rounds)
     dt = time.time() - t0
@@ -125,4 +180,5 @@ def run_wide_round(spark: SparkSession, n_rows: int, k_global: int,
     return {"seconds": round(dt, 2), "rounds": len(stats),
             "n_frontier": n_rows, "k_global": k_global,
             "scheduled": scheduled, "fetched": fetched,
+            "validate_fraction": validate_fraction,
             "urls_per_sec": round((scheduled + fetched) / dt, 1)}

@@ -173,6 +173,14 @@ class CrawlConfig:
     # document-order slot oracle.FORM_POS. Off by default: submitting is a
     # crawl POLICY (the reference leaves it to user code).
     auto_submit_forms: bool = False
+    # phash payload dedup (the north rule's per-round "phash dedup" stage):
+    # dedup fetched 2xx image payloads by exact perceptual hash, in-round
+    # AND across rounds (phash_seen append state). The first fetch in
+    # fetch_seq order wins; every later fetch of the same phash lands in
+    # the payload_dups table with dup_of = the winning fetch_seq, so a
+    # downstream store can skip the duplicate payload. Off by default:
+    # dropping duplicate payloads is a crawl policy, not a fetch semantic.
+    phash_dedup: bool = False
     # merge-on-read frontier commits: a normal round writes only the O(k)
     # deltas (frontier_add: children kept; frontier_rm: removal hashes) and
     # the read reconstructs frontier = base ∖ removals ∪ (adds ∖ any
@@ -910,6 +918,52 @@ class CrawlEngine:
                          .orderBy("fetch_seq")
                          .limit(cfg.debug_sample_rows))
 
+        # phash payload dedup (north rule): the first fetch of each exact
+        # perceptual hash wins, in fetch_seq order, across rounds. Every
+        # input here is ≤k rows except the two scans that are probed by
+        # BROADCASTING the round's keys into them — the images table (one
+        # column-pruned scan; in a live crawl the phash is computed from
+        # the payload at fetch time and this join disappears) and the
+        # committed phash_seen state (append-only at rest, never shuffled).
+        payload_dups = None
+        phash_winners = None
+        if cfg.phash_dedup and self.images is not None:
+            keys = (all_fetched
+                    .filter(is2 & F.col("image_id").isNotNull())
+                    .select("image_id", "fetch_seq"))
+            ph = ckpt(self.images.select("image_id", "phash")
+                      .join(F.broadcast(keys), "image_id"))
+            phash_seen = store.read("phash_seen")
+            prior = None
+            if phash_seen is not None:
+                prior = (phash_seen
+                         .join(F.broadcast(ph.select("phash").distinct()),
+                               "phash")
+                         .groupBy("phash")
+                         .agg(F.min("first_seq").alias("_prior_seq")))
+            round_min = (ph.groupBy("phash")
+                         .agg(F.min("fetch_seq").alias("_round_min")))
+            enriched = ph.join(F.broadcast(round_min), "phash")
+            enriched = (enriched.join(F.broadcast(prior), "phash", "left")
+                        if prior is not None
+                        else enriched.withColumn(
+                            "_prior_seq", F.lit(None).cast("long")))
+            dup_of = F.coalesce(
+                F.col("_prior_seq"),
+                F.when(F.col("fetch_seq") > F.col("_round_min"),
+                       F.col("_round_min")))
+            enriched = ckpt(enriched.withColumn("_dup_of", dup_of))
+            payload_dups = (enriched
+                            .filter(F.col("_dup_of").isNotNull())
+                            .withColumn("round", F.lit(r))
+                            .select("round", "fetch_seq", "image_id",
+                                    "phash",
+                                    F.col("_dup_of").alias("dup_of")))
+            phash_winners = (enriched
+                             .filter(F.col("_dup_of").isNull())
+                             .select("phash",
+                                     F.col("fetch_seq").alias("first_seq")))
+
         # payload fidelity sampling (input_hint invariant), if corpus present
         if self.images is not None and cfg.validate_fraction > 0:
             from .validate import validate_payloads
@@ -931,6 +985,9 @@ class CrawlEngine:
         }
         if cookies_next is not None:
             tables["cookies"] = cookies_next
+        if payload_dups is not None:
+            tables["payload_dups"] = payload_dups
+            tables["phash_seen"] = phash_winners
         if compact:
             tables["frontier"] = frontier_next
         else:

@@ -29,6 +29,10 @@ import os
 import shutil
 
 APPEND_TABLES = {"fetch_log", "seen", "metrics",
+                 # phash payload dedup (engine cfg.phash_dedup): per-round
+                 # duplicate-payload records and the winners that extend the
+                 # cross-round phash_seen state
+                 "payload_dups", "phash_seen",
                  # merge-on-read frontier deltas (engine.run_round step 11):
                  # per-round additions (wide rows) and removal hashes, each
                  # tagged with delta_round; the REPLACE "frontier" table is

@@ -72,6 +72,14 @@ def validate_payloads(all_fetched, images, fraction: float) -> int:
               .filter(F.pmod(F.col("url_hash"), F.lit(1000)) < gate)
               .select("image_id"))
     joined = sample.join(images, "image_id", "inner")
-    checked = joined.select("image_id", "bytes", "fmt", "caption", "phash") \
-                    .mapInPandas(_check_batch, _VALIDATE_SCHEMA)
+    # Decode is the expensive part (numpy per row, ~1.5 ms png / ~30 ms
+    # jpeg). The sampled rows otherwise land in however few partitions the
+    # images scan packs into (file-packing can collapse a small metadata
+    # table to ONE task); spread the sample across the session's shuffle
+    # width first — the shuffle moves only the sampled rows.
+    width = int(all_fetched.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    checked = (joined.select("image_id", "bytes", "fmt", "caption", "phash")
+               .repartition(width)
+               .mapInPandas(_check_batch, _VALIDATE_SCHEMA))
     return checked.filter(~F.col("ok")).count()

@@ -32,6 +32,7 @@ class OracleResult:
     fetch_log: list = field(default_factory=list)  # dicts, in fetch_seq order
     seen: set = field(default_factory=set)         # url_hash values
     rounds: int = 0
+    payload_dups: list = field(default_factory=list)  # phash-dedup records
 
 
 def _key(row) -> tuple:
@@ -42,7 +43,9 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
              round_ms: int = 30_000, k_global: int = 1_000,
              max_rounds: int = 100, auto_submit_forms: bool = False,
              form_encoding: str | None = None,
-             initial_cookies: dict | None = None) -> OracleResult:
+             initial_cookies: dict | None = None,
+             image_phash: dict | None = None,
+             phash_dedup: bool = False) -> OracleResult:
     """pages_by_url: canonical url -> page dict (FIXTURES.md §2 row shape);
     robots: host -> (disallow_prefixes, crawl_delay_ms);
     seeds: [url, ...] in seed_pos order.
@@ -72,6 +75,26 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     res = OracleResult()
     jar: dict[str, dict] = {h: dict(m)
                             for h, m in (initial_cookies or {}).items()}
+
+    # phash payload dedup (engine cfg.phash_dedup): first fetch of each
+    # exact perceptual hash — in fetch_seq order, across rounds — wins;
+    # later fetches are recorded as duplicates of that winner.
+    # ``image_phash``: image_id -> phash (the images table's metadata).
+    phash_first: dict[int, int] = {}
+
+    def note_payload(rnd: int, seq: int, image_id) -> None:
+        if not phash_dedup or image_id is None:
+            return
+        ph = (image_phash or {}).get(image_id)
+        if ph is None:
+            return
+        first = phash_first.get(ph)
+        if first is None:
+            phash_first[ph] = seq
+        else:
+            res.payload_dups.append({
+                "round": rnd, "fetch_seq": seq, "image_id": image_id,
+                "phash": ph, "dup_of": first})
 
     def _norm(v):
         if isinstance(v, dict):
@@ -189,6 +212,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
             })
             res.seen.add(row["url_hash"])
             if ok and status // 100 == 2:
+                note_payload(r, seq, page["image_id"])
                 children.extend(_expand(page, row["canon"], row["priority"],
                                         seq, auto_submit_forms,
                                         form_encoding))
@@ -212,6 +236,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                 })
                 res.seen.add(rh)
                 if rok and rstatus // 100 == 2:
+                    note_payload(r, seq, rpage["image_id"])
                     children.extend(_expand(rpage, rc, row["priority"], seq,
                                             auto_submit_forms,
                                             form_encoding))

@@ -1,4 +1,4 @@
-"""Dev probe: one wide-frontier run. Usage: _wide_probe.py CORES [N K ROUNDS]"""
+"""Dev probe: one wide-frontier run. Usage: _wide_probe.py CORES [N K ROUNDS VALIDATE_FRACTION]"""
 import sys
 import tempfile
 
@@ -11,11 +11,13 @@ cores = int(sys.argv[1])
 n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
 k = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
 rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+vf = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
 
 s = get_spark("wide", cores=cores)
 s.sparkContext.setLogLevel("ERROR")
 r = run_wide_round(s, n, k, cores,
-                   tempfile.mkdtemp(prefix=f"wp{cores}_", dir="/dev/shm"), rounds=rounds)
+                   tempfile.mkdtemp(prefix=f"wp{cores}_", dir="/dev/shm"),
+                   rounds=rounds, validate_fraction=vf)
 print(f"RESULT cores={cores}", r, flush=True)
 s.stop()
 

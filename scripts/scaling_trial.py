@@ -3,7 +3,7 @@ level in a fresh JVM and append the result to a trials JSONL. Running trials
 as separate short processes (instead of one long orchestrator) keeps each
 measurement isolated and lets the caller interleave levels explicitly.
 
-Usage:  python scripts/scaling_trial.py <cores> <n_rows> <k_global> <out.jsonl>
+Usage:  python scripts/scaling_trial.py <cores> <n_rows> <k_global> <out.jsonl> [validate_fraction]
 Then:   python scripts/scaling_report.py <out.jsonl> <lo> <hi>   # writes BENCH_SCALING.json
 """
 
@@ -19,6 +19,7 @@ CORES = int(sys.argv[1])
 N_ROWS = int(sys.argv[2])
 K_GLOBAL = int(sys.argv[3])
 OUT = sys.argv[4]
+VALIDATE = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
 
 CHILD = """
 import os, sys, tempfile, json
@@ -26,11 +27,13 @@ sys.path.insert(0, "/root/repo")
 from crawlspark.session import get_spark
 from crawlspark.benchlib import run_wide_round
 cores = int(sys.argv[1]); n = int(sys.argv[2]); k = int(sys.argv[3])
+vf = float(sys.argv[4])
 s = get_spark("scaling", cores=cores)
 s.sparkContext.setLogLevel("ERROR")
 d = "/dev/shm" if os.path.isdir("/dev/shm") else None
 r = run_wide_round(s, n, k, cores,
-                   tempfile.mkdtemp(prefix=f"scal{cores}_", dir=d), rounds=2)
+                   tempfile.mkdtemp(prefix=f"scal{cores}_", dir=d), rounds=2,
+                   validate_fraction=vf)
 print("CHILD_RESULT " + json.dumps(r))
 s.stop()
 """
@@ -69,7 +72,8 @@ def main():
     c = canary()
     ac = agg_canary()
     p = subprocess.run(
-        [sys.executable, "-c", CHILD, str(CORES), str(N_ROWS), str(K_GLOBAL)],
+        [sys.executable, "-c", CHILD, str(CORES), str(N_ROWS), str(K_GLOBAL),
+         str(VALIDATE)],
         capture_output=True, text=True, timeout=3600,
         env={**os.environ, "SPARK_GRAFT_AQE": "0"})
     for line in p.stdout.splitlines():
