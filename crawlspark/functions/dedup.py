@@ -86,7 +86,8 @@ def jaccard(a, b):
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                         n: int = 3, text_col: str = "text",
                         id_col: str = "doc_id",
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        materialize: bool = True) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs. Without a candidate set this
     prunes by a shared-first-gram bucket join (cheap candidate generation:
     near-identical docs share their first shingle); with `candidates`
@@ -94,6 +95,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     with_grams = (_fan_out(docs, id_col)
                   .select(F.col(id_col).alias("id"),
                           word_ngrams(F.col(text_col), n).alias("grams")))
+    if materialize:
+        # The gram projection feeds THREE consumers (the df-stats explode
+        # and both verify join sides). Unmaterialized, Spark re-scans the
+        # corpus and recomputes every doc's gram array per consumer — and
+        # the explode's inferred size(grams)>0 predicate is pushed into the
+        # scan, so an unsplittable small-file scan pays the full gram
+        # compute serially on ONE task (measured: 2 single-task stages =
+        # half the sf0.1 wall). One MEMORY_AND_DISK materialization is
+        # strictly less work at any scale; persist (not checkpoint) keeps
+        # lineage for block-loss recompute, and the ContextCleaner frees
+        # the blocks when the plan is garbage-collected.
+        with_grams = with_grams.persist()
     if candidates is None:
         # Candidate buckets = each doc's K RAREST grams (min document
         # frequency, lexicographic tiebreak) — prefix filtering. Rare grams
