@@ -223,6 +223,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7,
                     F.slice("sig", bnd * rows + 1, rows),
                     lambda v: v.cast("string")),
                     bnd.cast("string"))))).alias("band", "bucket"))
+    # banded feeds BOTH self-join sides; unmaterialized, the Arrow
+    # signature stage (scan → gram-hash → mapInPandas min/mix) runs once
+    # per side. The persisted relation is narrow — (id, band, bucket) =
+    # docs × bands rows of three longs — so this is the cheapest point to
+    # cut the pipeline in half (same reasoning as ngram_jaccard_pairs'
+    # gram materialization; ContextCleaner frees the blocks).
+    banded = banded.persist()
     a = banded.select(F.col("id").alias("left_id"), "band", "bucket")
     b = banded.select(F.col("id").alias("right_id"), "band", "bucket")
     cands = (a.join(b, ["band", "bucket"])
