@@ -121,7 +121,12 @@ class CatalogStore:
             data = ckpt(data)
         data.write.mode("overwrite").insertInto(tbl)
 
-    def commit(self, round_no: int, tables: dict, counters: dict) -> None:
+    def commit(self, round_no: int, tables: dict, counters: dict,
+               precommit=None) -> None:
+        """Same contract as SnapshotStore.commit: ``precommit`` (if given)
+        runs after every table write and BEFORE the manifest snapshot —
+        raising leaves the round invisible (the manifest's commit_seq cut
+        ignores orphaned partition data)."""
         from concurrent.futures import ThreadPoolExecutor
 
         # dynamic partition overwrite must be a SESSION conf for insertInto
@@ -137,6 +142,8 @@ class CatalogStore:
                     tables.items()))
         finally:
             self.spark.conf.set(conf, prev)
+        if precommit is not None:
+            precommit()               # abort before the manifest snapshot
         manifest = self._read_manifest()
         next_seq = self._next_commit_seq()
         rounds = [r for r in manifest["rounds"] if r["round"] < round_no]

@@ -964,13 +964,36 @@ class CrawlEngine:
                              .select("phash",
                                      F.col("fetch_seq").alias("first_seq")))
 
-        # payload fidelity sampling (input_hint invariant), if corpus present
+        # payload fidelity sampling (input_hint invariant), if corpus
+        # present. The decode/count action overlaps the commit's table
+        # writes (it runs in its own thread; the store joins it AFTER the
+        # writes and BEFORE the manifest replace), so a fidelity failure
+        # still precedes the atomic commit point — same crash-before-commit
+        # semantics, minus the serial wall time.
+        validate_gate = None
         if self.images is not None and cfg.validate_fraction > 0:
+            from threading import Thread
+
             from .validate import validate_payloads
-            n_bad = validate_payloads(
-                all_fetched, self.images, cfg.validate_fraction)
-            if n_bad:
-                raise RuntimeError(f"payload fidelity violated on {n_bad} rows")
+            _vres: dict = {}
+            _imgs, _frac = self.images, cfg.validate_fraction
+
+            def _validate():
+                try:
+                    _vres["n_bad"] = validate_payloads(all_fetched, _imgs,
+                                                       _frac)
+                except BaseException as e:   # surfaced by the gate
+                    _vres["err"] = e
+            _vthread = Thread(target=_validate, daemon=True)
+            _vthread.start()
+
+            def validate_gate():
+                _vthread.join()
+                if "err" in _vres:
+                    raise _vres["err"]
+                if _vres["n_bad"]:
+                    raise RuntimeError(
+                        f"payload fidelity violated on {_vres['n_bad']} rows")
 
         _t = self._tick(_t, 'plan build')
         tables = {
@@ -996,7 +1019,8 @@ class CrawlEngine:
             tables["frontier_rm"] = removals.withColumn(
                 "delta_round", F.lit(r))
         store.commit(r, tables,
-                     counters={"fetched_total": int(base_seq + n_fetched)})
+                     counters={"fetched_total": int(base_seq + n_fetched)},
+                     precommit=validate_gate)
         _t = self._tick(_t, 'commit writes')
         self._unpersist_new_rdds(_rdds_before)
         clear_ckpts()

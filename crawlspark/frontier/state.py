@@ -93,7 +93,8 @@ class SnapshotStore:
     def _dir(self, table: str, round_no: int) -> str:
         return os.path.join(self.root, table, f"r{round_no:06d}")
 
-    def commit(self, round_no: int, tables: dict, counters: dict) -> None:
+    def commit(self, round_no: int, tables: dict, counters: dict,
+               precommit=None) -> None:
         """Write all round tables, then commit them atomically via manifest.
 
         ``tables``: {name: DataFrame}. A crash before the manifest replace
@@ -104,6 +105,11 @@ class SnapshotStore:
         tables (metrics, seen_shards) ride along with the big frontier
         write instead of serializing behind it. Atomicity is unchanged:
         nothing is visible until the single manifest replace.
+
+        ``precommit``: optional callable invoked after every table write
+        succeeds and BEFORE the manifest replace; raising aborts the
+        commit (the round stays invisible). The engine uses it to join
+        its concurrently-running payload-fidelity check.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -120,6 +126,8 @@ class SnapshotStore:
 
         with ThreadPoolExecutor(max_workers=max(1, len(tables))) as ex:
             list(ex.map(_write, tables.items()))  # propagate any failure
+        if precommit is not None:
+            precommit()                           # abort before manifest
         manifest = self._read_manifest()
         manifest["rounds"] = [r for r in manifest["rounds"]
                               if r["round"] < round_no]

@@ -66,9 +66,10 @@ def test_catalog_crash_mid_commit_recovers(spark):
     class CrashMidCommit(CatalogStore):
         armed = False
 
-        def commit(self, round_no, tables, counters):
+        def commit(self, round_no, tables, counters, precommit=None):
             if not self.armed:
-                return super().commit(round_no, tables, counters)
+                return super().commit(round_no, tables, counters,
+                                      precommit=precommit)
             # the parent's data-write phase, verbatim — then die before
             # the manifest publish
             from concurrent.futures import ThreadPoolExecutor

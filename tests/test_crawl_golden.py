@@ -475,3 +475,24 @@ def test_phash_dedup_resume(spark, t1_data):
     assert {g[0] for g in got} >= {0, 2}
     assert got == want
     store2.destroy()
+
+
+def test_payload_validation_failure_aborts_commit(spark, t1_data):
+    """Fidelity failure must precede the atomic commit point even though
+    the validation action now overlaps the commit's table writes: the
+    round directory stays invisible (manifest not replaced), exactly as
+    if the process had crashed mid-commit."""
+    from pyspark.sql import functions as F
+    tier, pages, robots, seeds = t1_data
+    images = (synth.spark_images(spark, tier, parallelism=8)
+              .withColumn("phash", F.col("phash") + F.lit(1)))  # corrupt
+    cfg = CrawlConfig(k_global=100, max_rounds=1, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=1.0)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_valfail_"))
+    eng = CrawlEngine(spark, store, pages, robots, images, cfg)
+    eng.seed(seeds)
+    with pytest.raises(RuntimeError, match="payload fidelity"):
+        eng.run()
+    assert store.last_round() == -1          # only the seed commit exists
+    assert store.read("fetch_log").count() == 0
+    store.destroy()
