@@ -1227,6 +1227,122 @@ QUALIFY row_number() OVER (PARTITION BY fp
 """
 
 
+def q_docs_clean_fuzzy(spark, sf_dir):
+    """docs_clean's fuzzy-dedup sibling — the full training-data cleaning
+    pipeline with NEAR-dup clustering instead of exact-fingerprint dedup:
+    lang/quality/token filters (pushed to the scan) → minhash-LSH pair
+    graph over the SURVIVORS → connected components (star-contraction) →
+    keep the min-id doc per cluster, reporting how many near-dups it
+    absorbed. Filter-then-pair commutes with pair-then-filter: signatures
+    and band buckets are per-doc, so the survivor pair set equals the
+    all-docs pair set restricted to survivor endpoints — which is exactly
+    how the oracle (recursive-CTE reachability over the materialized pair
+    table joined to the survivor set) computes it."""
+    _ensure_oracle_files()
+    from crawlspark.functions import text as T
+    from crawlspark.functions.dedup import (connected_components,
+                                            minhash_lsh_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = docs.select(
+        "doc_id", "text",
+        T.lang_id(c).alias("lang"),
+        F.round(T.quality_score(c), 6).alias("quality"),
+        T.token_count(c).alias("n_tokens"))
+    surv = scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.7)
+                         & (F.col("n_tokens") >= 24))
+    pairs = minhash_lsh_pairs(surv, threshold=0.1)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = (surv.join(comp, "doc_id", "left")
+               .withColumn("component",
+                           F.coalesce("component",
+                                      F.col("doc_id").cast("long"))))
+    clusters = labeled.groupBy("component").agg(
+        F.min("doc_id").alias("doc_id"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"))
+    return (clusters
+            .join(labeled.select("doc_id", "lang", "quality", "n_tokens"),
+                  "doc_id")
+            .select("doc_id", "lang", "quality", "n_tokens", "n_dups"))
+
+
+SQL_DOCS_CLEAN_FUZZY_TMPL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(text) > 0 THEN
+           (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+           / len(text) ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+           / len(toks) ELSE 0.0 END AS sr,
+         CASE WHEN len(toks) > 0 THEN
+           list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE
+           / len(toks) ELSE 0.0 END AS mwl,
+         len(list_filter(toks, x -> list_contains(
+             ['el','la','de','que','y','en','un','los','se','no'], x))) AS es,
+         len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS de,
+         len(list_filter(toks, x -> list_contains(
+             ['le','la','les','de','et','est','un','une','que','pour'], x))) AS fr
+  FROM t),
+s AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[぀-ヿ一-鿿]') THEN 'cjk'
+              WHEN greatest(sr_cnt, es, de, fr) > 0 THEN
+                CASE WHEN sr_cnt = greatest(sr_cnt, es, de, fr) THEN 'en'
+                     WHEN es = greatest(sr_cnt, es, de, fr) THEN 'es'
+                     WHEN de = greatest(sr_cnt, es, de, fr) THEN 'de'
+                     WHEN fr = greatest(sr_cnt, es, de, fr) THEN 'fr' END
+              ELSE 'unknown' END AS lang,
+         round((least(n / 100.0, 1.0)
+                + (1.0 - least(pr * 4, 1.0))
+                + (1.0 - least(abs(sr - 0.4) * 2, 1.0))
+                + (CASE WHEN mwl >= 3 AND mwl <= 8 THEN 1.0 ELSE 0.5 END))
+               / 4.0, 6) AS quality,
+         n AS n_tokens
+  FROM (SELECT *,
+               len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'],
+                   x))) AS sr_cnt,
+               len(toks) AS n
+        FROM f)),
+surv AS (
+  SELECT doc_id, lang, quality, n_tokens FROM s
+  WHERE lang = 'en' AND quality >= 0.7 AND n_tokens >= 24),
+p AS (
+  SELECT left_id AS a, right_id AS b
+  FROM read_parquet('{oracle_dir}/minhash_pairs.parquet')
+  WHERE round(n_inter::DOUBLE / n_union, 6) >= 0.1 AND left_id <> right_id),
+pe AS (
+  SELECT p.a, p.b FROM p
+  JOIN surv sa ON sa.doc_id = p.a
+  JOIN surv sb ON sb.doc_id = p.b),
+edges AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+lab AS (
+  SELECT v.doc_id, v.lang, v.quality, v.n_tokens,
+         COALESCE(c.component, v.doc_id) AS component
+  FROM surv v LEFT JOIN comp c ON c.node = v.doc_id),
+cl AS (
+  SELECT component, MIN(doc_id) AS doc_id,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+  FROM lab GROUP BY component)
+SELECT cl.doc_id, l.lang, l.quality, l.n_tokens, cl.n_dups
+FROM cl JOIN lab l ON l.doc_id = cl.doc_id AND l.component = cl.component
+"""
+
+
 # -- dedup families ----------------------------------------------------------
 
 def q_exact_dedup(spark, sf_dir):
@@ -1310,6 +1426,25 @@ def q_simhash(spark, sf_dir):
     from crawlspark.functions.dedup import simhash_pairs
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_distance=3)
+
+
+def q_dup_components(spark, sf_dir):
+    """Near-dup cluster id per document: transitive closure of the minhash
+    LSH pair graph (alternating large-star/small-star — Kiveris SoCC'14),
+    singletons labeled with their own id. The oracle is an INDEPENDENT
+    algorithm: DuckDB recursive-CTE reachability over the same pair set
+    (pyref's materialized minhash pairs, already value-checked by the
+    minhash_lsh entry)."""
+    _ensure_oracle_files()
+    from crawlspark.functions.dedup import (connected_components,
+                                            minhash_lsh_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.1)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component")))
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -2101,6 +2236,27 @@ SELECT left_id, right_id, distance
 FROM read_parquet('{_ORACLE_DIR}/simhash_pairs.parquet')
 """
 
+# Independent connected-components oracle: recursive-CTE reachability
+# (node → min reachable id) over the SAME pair set the minhash_lsh entry
+# value-checks; Spark answers with star-contraction instead.
+SQL_DUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT left_id AS a, right_id AS b
+  FROM read_parquet('{_ORACLE_DIR}/minhash_pairs.parquet')
+  WHERE round(n_inter::DOUBLE / n_union, 6) >= 0.1 AND left_id <> right_id
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
 SQL_EMBEDDING_NEARDUP_LSH = f"""
 SELECT left_id, right_id, round(cosine_raw, 6) AS cosine
 FROM read_parquet('{_ORACLE_DIR}/embedding_lsh_pairs.parquet')
@@ -2279,12 +2435,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_by_type": q_kmv_by_type,
         "fingerprint": q_fingerprint,
         "docs_clean": q_docs_clean,
+        "docs_clean_fuzzy": q_docs_clean_fuzzy,
         # dedup
         "exact_dedup": q_exact_dedup,
         "exact_dup_pairs": q_exact_dup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "dup_components": q_dup_components,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         # similarity search
@@ -2348,6 +2506,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "lang_id": SQL_LANG_ID,
         "docs_clean": SQL_DOCS_CLEAN,
+        # {oracle_dir} is formatted lazily: _ORACLE_DIR is defined below
+        # the template in module order
+        "docs_clean_fuzzy": SQL_DOCS_CLEAN_FUZZY_TMPL.format(
+            oracle_dir=_ORACLE_DIR),
         "kmv_distinct": SQL_KMV_DISTINCT,
         "kmv_by_type": SQL_KMV_BY_TYPE,
         "fingerprint": SQL_FINGERPRINT,
@@ -2360,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         # sequential crawl simulator), SELECTed from parquet:
         "minhash_lsh": SQL_MINHASH_LSH,
         "simhash": SQL_SIMHASH,
+        "dup_components": SQL_DUP_COMPONENTS,
         "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
         "ann_topk_lsh": SQL_ANN_TOPK_LSH,
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,

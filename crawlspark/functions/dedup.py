@@ -404,3 +404,123 @@ def phash_near_dup(images: DataFrame, max_distance: int = 3,
                     .alias("distance"))
             .distinct()
             .filter(F.col("distance") <= max_distance))
+
+
+# -- connected components (dup-pair graph → clusters) -----------------------------
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its STRICTLY LARGER neighbors
+    to the minimum of its closed neighborhood min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges larger→smaller; every node connects
+    its smaller neighbors AND itself to min(N(u))."""
+    d = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (d.join(mins, "u")
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (rewired.union(self_edges)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame,
+                         left_col: str = "left_id",
+                         right_col: str = "right_id",
+                         max_iters: int = 50) -> DataFrame:
+    """(node, component) for every node of the dup-pair graph, where
+    `component` is the smallest node id reachable from `node`.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in O(log n)
+    rounds on any graph — NOT O(diameter) like naive min-label propagation,
+    so a 10^9-node chain still finishes in ~30 rounds. Each round is two
+    keyed shuffles over narrow (long, long) edges; no driver-side graph
+    state — the only driver traffic is one (count, hash-sum) fingerprint
+    per round for the convergence test, confirmed by an exact set compare
+    (count equality + one-direction exceptAll) before returning.
+
+    Every round `localCheckpoint`s the edge set: iterative self-reference
+    otherwise compounds the LOGICAL plan ~6× per round (persist() caches
+    blocks but not the plan) and Catalyst plan construction OOMs the
+    driver near round ~10. Lineage truncation is the documented pattern
+    for iterative DataFrame algorithms; on a real cluster with executor
+    loss concerns, swap for reliable `checkpoint()` via a checkpoint dir —
+    the algorithm is unchanged.
+
+    This is the clustering step the pair generators above feed: near-dup
+    PAIRS (minhash/simhash/embedding/phash) are not directly actionable
+    for dedup — a keep-one-per-cluster policy needs the transitive closure
+    (a~b, b~c ⇒ {a,b,c} one cluster even when a≁c).
+    """
+    e = (pairs.select(F.col(left_col).cast("long").alias("u"),
+                      F.col(right_col).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct())
+    spark = pairs.sparkSession
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    e = e.localCheckpoint(eager=True)
+    prev_sig = _sig(e)
+    if prev_sig[0] == 0:
+        return spark.createDataFrame([], "node long, component long")
+    for _ in range(max_iters):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _sig(e2)
+        if sig == prev_sig and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e, prev_sig = e2, sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds")
+    # Converged state is a star forest: every non-root points at its
+    # component min; roots appear only on the right. groupBy-min is a
+    # cheap belt-and-braces normalization (already unique per node here).
+    members = (e.select(F.col("u").alias("node"),
+                        F.col("v").alias("component"))
+               .groupBy("node").agg(F.min("component").alias("component")))
+    roots = (e.select(F.col("v").alias("node")).distinct()
+             .join(members.select("node"), "node", "left_anti")
+             .select("node", F.col("node").alias("component")))
+    # e is checkpointed: the lazy result reads its blocks twice (members +
+    # roots); the ContextCleaner frees them when the plan is GC'd.
+    return members.union(roots)
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         left_col: str = "left_id",
+                         right_col: str = "right_id") -> DataFrame:
+    """Stamp every doc with its near-dup cluster id (singletons = self) and
+    an `is_canonical` flag — keep rows where is_canonical to dedup.
+
+    Canonical = smallest id in the cluster (deterministic, join-free given
+    connected_components' min-label convention). The components table is
+    tiny relative to the corpus (only docs that matched SOME pair), so the
+    join is broadcast-able at any corpus scale where the dup fraction is
+    bounded."""
+    comp = (connected_components(pairs, left_col, right_col)
+            .withColumnRenamed("node", id_col))
+    return (docs.join(comp, id_col, "left")
+            .withColumn("component",
+                        F.coalesce(F.col("component"),
+                                   F.col(id_col).cast("long")))
+            .withColumn("is_canonical",
+                        F.col(id_col).cast("long") == F.col("component")))
