@@ -1138,6 +1138,79 @@ FROM documents
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-family repetition signals per doc — distinct-token ratio,
+    most-common-token frequency, duplicate-2-gram density. Pure Column
+    array expressions: at 100 TB this runs at scan speed inside
+    WholeStageCodegen with no shuffle."""
+    from crawlspark.functions.text import (dup_2gram_ratio, token_count,
+                                           top_token_ratio,
+                                           uniq_token_ratio)
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        F.round(uniq_token_ratio(c), 6).alias("uniq_token_ratio"),
+        F.round(top_token_ratio(c), 6).alias("top_token_ratio"),
+        F.round(dup_2gram_ratio(c), 6).alias("dup_2gram_ratio"))
+
+
+SQL_DOC_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks,
+         str_split_regex(lower(trim(text)), '\\s+') AS rtoks,
+         list_sort(list_distinct(list_transform(
+             range(1, greatest(len(str_split_regex(lower(trim(text)),
+                                                   '\\s+')) - 1, 1) + 1),
+             i -> array_to_string(
+                  str_split_regex(lower(trim(text)), '\\s+')[i:i+1], ' '))))
+           AS g2
+  FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                  ELSE 0.0 END, 6) AS uniq_token_ratio,
+       round(CASE WHEN len(toks) > 0
+                  THEN list_max(list_transform(list_distinct(toks),
+                       d -> len(list_filter(toks, x -> x = d))))::DOUBLE
+                       / len(toks)
+                  ELSE 0.0 END, 6) AS top_token_ratio,
+       round(1.0 - len(g2)::DOUBLE / greatest(len(rtoks) - 1, 1), 6)
+         AS dup_2gram_ratio
+FROM t
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    from crawlspark.functions.text import tfidf_top_terms
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, lower(u.t) AS term
+  FROM documents, UNNEST(str_split_regex(trim(text), '\\s+')) AS u(t)
+  WHERE len(trim(text)) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, score,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
 def q_docs_clean(spark, sf_dir):
     """Composite training-data cleaning pipeline — the end-to-end shape a
     100 TB corpus pass actually runs, as ONE declarative plan: per-doc
@@ -2434,6 +2507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_by_type": q_kmv_by_type,
         "fingerprint": q_fingerprint,
+        "doc_repetition": q_doc_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "docs_clean": q_docs_clean,
         "docs_clean_fuzzy": q_docs_clean_fuzzy,
         # dedup
@@ -2513,6 +2588,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": SQL_KMV_DISTINCT,
         "kmv_by_type": SQL_KMV_BY_TYPE,
         "fingerprint": SQL_FINGERPRINT,
+        "doc_repetition": SQL_DOC_REPETITION,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

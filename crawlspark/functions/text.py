@@ -101,3 +101,71 @@ def fingerprint(c: Column, n_tokens: int = 8) -> Column:
         F.slice(F.transform(ws_tokens(c), lambda t: F.lower(t)),
                 1, n_tokens), " ")
     return F.md5(prefix)
+
+
+# -- repetition (gopher-style quality signals) --------------------------------
+
+def uniq_token_ratio(c: Column) -> Column:
+    """distinct tokens / total tokens — low values flag boilerplate/spam."""
+    toks = F.transform(ws_tokens(c), lambda t: F.lower(t))
+    return F.when(F.size(toks) > 0,
+                  F.size(F.array_distinct(toks)) / F.size(toks)) \
+            .otherwise(F.lit(0.0))
+
+
+def top_token_ratio(c: Column) -> Column:
+    """Frequency of the single most common token / total tokens. Per-row
+    O(unique·n) array expression — bounded by doc length, stays inside
+    WholeStageCodegen (no shuffle, no Python)."""
+    toks = F.transform(ws_tokens(c), lambda t: F.lower(t))
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    return F.when(F.size(toks) > 0,
+                  F.array_max(counts) / F.size(toks)) \
+            .otherwise(F.lit(0.0))
+
+
+def dup_2gram_ratio(c: Column) -> Column:
+    """1 − distinct word-2-grams / total word-2-grams — repeated-phrase
+    density (the Gopher repetition family's n-gram signal). Uses the same
+    token/gram construction as dedup.word_ngrams so the SQL mirror is the
+    already-value-checked ngram expression."""
+    from .dedup import word_ngrams
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    total = F.greatest(F.size(toks) - 1, F.lit(1))
+    return F.lit(1.0) - F.size(word_ngrams(c, 2)) / total
+
+
+# -- TF-IDF top terms ----------------------------------------------------------
+
+def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Top-k TF-IDF terms per document: tf = in-doc term count,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed).
+
+    100 TB shape: two hash aggregations (doc-term tf, term df — both with
+    map-side partial aggregation) + one join of tf against the
+    vocabulary-sized df table (AQE picks broadcast when the vocabulary
+    fits) + a per-doc window over that doc's distinct terms only. N is a
+    single O(1) driver scalar from count(). Rank is deterministic:
+    (rounded score desc, term asc).
+    """
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(ws_tokens(c),
+                              lambda t: F.lower(t))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.count()
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score", F.round(
+                  F.col("tf")
+                  * (F.log(F.lit(float(n + 1)) / (F.col("df") + 1))
+                     + F.lit(1.0)), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "term", "score", "rank"))

@@ -266,3 +266,49 @@ def test_image_features_on_progressive_payloads(spark):
         assert b["luma_hist"] == p["luma_hist"]
         assert (b["mean_r"], b["mean_g"], b["mean_b"]) == \
                (p["mean_r"], p["mean_g"], p["mean_b"])
+
+
+def test_repetition_signals(spark):
+    from crawlspark.functions.text import (dup_2gram_ratio, top_token_ratio,
+                                           uniq_token_ratio)
+    import pyspark.sql.functions as SF
+    rows = [
+        (1, "a a a a"),            # 1 uniq of 4; top=4/4; 2grams: "a a" ×3 → dup 2/3
+        (2, "w x y z"),            # all distinct; no dup 2grams
+        (3, ""),                   # empty → zeros
+        (4, "spam spam ham"),      # top = 2/3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    c = SF.col("text")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        SF.round(uniq_token_ratio(c), 6).alias("u"),
+        SF.round(top_token_ratio(c), 6).alias("t"),
+        SF.round(dup_2gram_ratio(c), 6).alias("g")).collect()}
+    assert got[1]["u"] == 0.25 and got[1]["t"] == 1.0
+    assert got[1]["g"] == round(1 - 1 / 3, 6)
+    assert got[2]["u"] == 1.0 and got[2]["g"] == 0.0
+    assert got[3]["u"] == 0.0 and got[3]["t"] == 0.0
+    assert got[4]["t"] == round(2 / 3, 6)
+
+
+def test_tfidf_top_terms(spark):
+    from crawlspark.functions.text import tfidf_top_terms
+    import math
+    rows = [(1, "cat cat dog"), (2, "dog fish"), (3, "fish fish fish cat")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: cat tf=2 df=2, dog tf=1 df=2 → cat ranks first
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["term"] for r in d1] == ["cat", "dog"]
+    idf2 = math.log(4 / 3) + 1
+    assert d1[0]["score"] == round(2 * idf2, 6)
+    assert d1[0]["rank"] == 1
+    # every doc has at most k rows, ranks contiguous from 1
+    for doc, rs in by_doc.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
