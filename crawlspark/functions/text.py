@@ -157,7 +157,13 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.explode(F.transform(ws_tokens(c),
                               lambda t: F.lower(t))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds TWO consumers (the scoring join's left side and the df
+    # aggregation): unmaterialized, Spark re-runs the corpus explode+agg
+    # once per consumer (verified in the physical plan — same
+    # multi-consumer rule as dedup.py's gram projection). The persisted
+    # relation is narrow: (doc_id, term, count) for distinct doc-terms.
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")).persist())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.count()
     scored = (tf.join(dfreq, "term")
