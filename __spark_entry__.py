@@ -209,6 +209,30 @@ FROM events GROUP BY event_type
 """
 
 
+def q_event_window_rollup(spark, sf_dir):
+    """Tumbling event-time windows (the streaming metrics rollup's batch
+    twin — crawlspark/streaming/metrics_stream.py; one micro-batch of the
+    watermarked stream computes exactly this plan). window() buckets are
+    epoch-aligned, which the oracle reproduces with plain epoch floor
+    arithmetic."""
+    from crawlspark.streaming.metrics_stream import windowed_rollup
+    ev = _t(spark, sf_dir, "events")
+    return windowed_rollup(ev, window_dur="30 minutes")
+
+
+SQL_EVENT_WINDOW_ROLLUP = """
+SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP
+         AS window_start,
+       to_timestamp(floor(epoch(ts) / 1800) * 1800 + 1800)::TIMESTAMP
+         AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(28,6)), 4)::DOUBLE AS sum_value,
+       round(sum(value::DECIMAL(28,6))::DOUBLE / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 # -- ordering / politeness windows (SURVEY §2.6 A1/A5, §2.7) -----------------
 
 def q_fetch_seq(spark, sf_dir):
@@ -2467,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "event_metrics": q_event_metrics,
+        "event_window_rollup": q_event_window_rollup,
         "metrics_rollup": q_metrics_rollup,
         # ordering / politeness windows
         "fetch_seq": q_fetch_seq,
@@ -2543,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING,
         "order_revenue": SQL_ORDER_REVENUE,
         "event_metrics": SQL_EVENT_METRICS,
+        "event_window_rollup": SQL_EVENT_WINDOW_ROLLUP,
         "metrics_rollup": SQL_METRICS_ROLLUP,
         "fetch_seq": SQL_FETCH_SEQ,
         "topk_per_host": SQL_TOPK_PER_HOST,

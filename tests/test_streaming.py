@@ -216,3 +216,64 @@ def test_streaming_politeness_idle_host_credit_frozen(spark):
     # budget = (30000 + 6000) // 12000 = 3
     assert sum(r["admitted"] for r in rows) == 3
     assert rows[0]["credit_ms"] == 0
+
+
+def test_metrics_stream_watermark_late_data(spark):
+    """Watermarked tumbling-window rollup: a late-but-inside-watermark row
+    merges into its open window, a beyond-watermark row is dropped, and
+    append mode emits each finalized (window, key) exactly once."""
+    import json
+    import os
+    import tempfile
+
+    from crawlspark.streaming.metrics_stream import metrics_stream
+
+    root = tempfile.mkdtemp(prefix="metrics_stream_")
+    indir = os.path.join(root, "in")
+    os.makedirs(indir)
+    src = (spark.readStream
+           .schema("ts timestamp, event_type string, value double")
+           .json(indir))
+    out = metrics_stream(src, window_dur="30 seconds",
+                         watermark="60 seconds")
+    q = (out.writeStream.format("memory").queryName("mrollup")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .start())
+
+    def drop(name, rows):
+        tmp = os.path.join(root, name)
+        with open(tmp, "w") as f:
+            for ts, et, v in rows:
+                f.write(json.dumps(
+                    {"ts": ts, "event_type": et, "value": v}) + "\n")
+        os.replace(tmp, os.path.join(indir, name))
+        q.processAllAvailable()
+
+    # batch 1: window A = [10:00:00, 10:00:30); watermark after = 09:59:20
+    drop("f1.json", [("2024-01-01T10:00:05.000Z", "view", 1.0),
+                     ("2024-01-01T10:00:20.000Z", "view", 2.0)])
+    # batch 2: late row for A, INSIDE the 60 s watermark -> merges;
+    # the 10:02 advancer moves the watermark to 10:01:00 (> A's end)
+    drop("f2.json", [("2024-01-01T10:00:10.000Z", "view", 4.0),
+                     ("2024-01-01T10:02:00.000Z", "click", 1.0)])
+    # batch 3: BEYOND-watermark row for A (10:00:01 < wm 10:01:00) ->
+    # dropped; A finalizes and emits in this batch with n=3, not 4
+    drop("f3.json", [("2024-01-01T10:00:01.000Z", "view", 100.0),
+                     ("2024-01-01T10:05:00.000Z", "click", 1.0)])
+    # batch 4: advancer so the 10:02 click window also finalizes
+    drop("f4.json", [("2024-01-01T10:10:00.000Z", "click", 1.0)])
+    q.stop()
+
+    rows = spark.sql("select * from mrollup").collect()
+    keyed = {}
+    for r in rows:
+        k = (r["window_start"].isoformat(), r["event_type"])
+        assert k not in keyed, f"append emitted {k} twice"
+        keyed[k] = r
+    a = keyed[("2024-01-01T10:00:00", "view")]
+    assert a["n_events"] == 3
+    assert float(a["sum_value"]) == 7.0
+    assert float(a["avg_value"]) == round(7.0 / 3, 6)
+    b = keyed[("2024-01-01T10:02:00", "click")]
+    assert b["n_events"] == 1
