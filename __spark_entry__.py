@@ -233,6 +233,36 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag → flag → running sum per
+    user (one shuffle) then per-session aggregate. Integer-microsecond
+    time arithmetic on both sides."""
+    from crawlspark.functions.sessions import session_stats
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_s=1800)
+
+
+SQL_EVENT_SESSIONS = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM x)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM y GROUP BY user_id, session_seq
+"""
+
+
 # -- ordering / politeness windows (SURVEY §2.6 A1/A5, §2.7) -----------------
 
 def q_fetch_seq(spark, sf_dir):
@@ -2492,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_revenue": q_order_revenue,
         "event_metrics": q_event_metrics,
         "event_window_rollup": q_event_window_rollup,
+        "event_sessions": q_event_sessions,
         "metrics_rollup": q_metrics_rollup,
         # ordering / politeness windows
         "fetch_seq": q_fetch_seq,
@@ -2569,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue": SQL_ORDER_REVENUE,
         "event_metrics": SQL_EVENT_METRICS,
         "event_window_rollup": SQL_EVENT_WINDOW_ROLLUP,
+        "event_sessions": SQL_EVENT_SESSIONS,
         "metrics_rollup": SQL_METRICS_ROLLUP,
         "fetch_seq": SQL_FETCH_SEQ,
         "topk_per_host": SQL_TOPK_PER_HOST,

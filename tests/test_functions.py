@@ -312,3 +312,31 @@ def test_tfidf_top_terms(spark):
         ranks = sorted(r["rank"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1))
         assert len(rs) <= 2
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime
+
+    from crawlspark.functions.sessions import session_stats, sessionize
+
+    T = datetime
+    rows = [  # user 1: 3 events, gap of exactly 1800s is NOT a new session
+        (1, 1, T(2024, 1, 1, 10, 0, 0)),
+        (2, 1, T(2024, 1, 1, 10, 30, 0)),    # +1800s → same session
+        (3, 1, T(2024, 1, 1, 11, 0, 1)),     # +1801s → NEW session
+        # user 2: single event
+        (4, 2, T(2024, 1, 1, 9, 0, 0)),
+        # user 1 again, far later
+        (5, 1, T(2024, 1, 2, 0, 0, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "ts timestamp_ntz")
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize(ev, gap_s=1800).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 3}
+    stats = {(r["user_id"], r["session_seq"]): r
+             for r in session_stats(ev, gap_s=1800).collect()}
+    assert stats[(1, 1)]["n_events"] == 2
+    assert stats[(1, 1)]["duration_us"] == 1800 * 1_000_000
+    assert stats[(1, 2)]["n_events"] == 1
+    assert stats[(2, 1)]["duration_us"] == 0
