@@ -263,6 +263,36 @@ FROM y GROUP BY user_id, session_seq
 """
 
 
+PAGERANK_NODES = 512
+PAGERANK_ITERS = 5
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Authority scoring over a link graph (frontier re-prioritization —
+    the in-degree-aware upgrade to the crawl's parent-derived priority):
+    5 exact fixed-point integer power iterations with damping 0.85,
+    dangling-mass recirculation and teleport. Edges are derived
+    deterministically from lineitem (orderkey→partkey mod 512) so both
+    sides compute the graph from the same parquet; every arithmetic step
+    is integer, so the DuckDB unrolled-CTE twin is BIT-identical — no
+    float-order hazard."""
+    from crawlspark.functions.graph import pagerank_fixed_point
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % PAGERANK_NODES).alias("src"),
+        (F.col("l_partkey") % PAGERANK_NODES).alias("dst"))
+    return pagerank_fixed_point(edges, PAGERANK_NODES,
+                                iters=PAGERANK_ITERS)
+
+
+def _sql_link_pagerank() -> str:
+    from crawlspark.functions.graph import pagerank_sql
+    return pagerank_sql(
+        f"SELECT DISTINCT l_orderkey % {PAGERANK_NODES} AS src, "
+        f"l_partkey % {PAGERANK_NODES} AS dst FROM lineitem",
+        PAGERANK_NODES, iters=PAGERANK_ITERS)
+
+
 # -- ordering / politeness windows (SURVEY §2.6 A1/A5, §2.7) -----------------
 
 def q_fetch_seq(spark, sf_dir):
@@ -2523,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_metrics": q_event_metrics,
         "event_window_rollup": q_event_window_rollup,
         "event_sessions": q_event_sessions,
+        "link_pagerank": q_link_pagerank,
         "metrics_rollup": q_metrics_rollup,
         # ordering / politeness windows
         "fetch_seq": q_fetch_seq,
@@ -2601,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         "event_metrics": SQL_EVENT_METRICS,
         "event_window_rollup": SQL_EVENT_WINDOW_ROLLUP,
         "event_sessions": SQL_EVENT_SESSIONS,
+        "link_pagerank": _sql_link_pagerank(),
         "metrics_rollup": SQL_METRICS_ROLLUP,
         "fetch_seq": SQL_FETCH_SEQ,
         "topk_per_host": SQL_TOPK_PER_HOST,
