@@ -293,6 +293,195 @@ def _sql_link_pagerank() -> str:
         PAGERANK_NODES, iters=PAGERANK_ITERS)
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time enrichment: every non-purchase event picks up the
+    user's most recent purchase at-or-before it (value + timestamp).
+    Union-window as-of join (functions/asof.py): ONE shuffle by user_id,
+    no range explosion; right-side ties broken by max event_id. The
+    oracle is a correlated ORDER BY ... LIMIT 1 subquery — a genuinely
+    different evaluation strategy over the same semantics."""
+    from crawlspark.functions.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") != "purchase")
+            .select("event_id", "user_id", "ts", "event_type", "value"))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id",
+                     F.col("value").alias("last_purchase_value"),
+                     F.col("ts").alias("last_purchase_ts")))
+    return asof_join(left, right, on="user_id", left_ts="ts",
+                     right_ts="ts",
+                     value_cols=["last_purchase_value", "last_purchase_ts"],
+                     right_tiebreak="event_id")
+
+
+SQL_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
+       (SELECT r.value FROM events r
+         WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+           AND r.ts <= l.ts
+         ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS last_purchase_value,
+       (SELECT r.ts FROM events r
+         WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+           AND r.ts <= l.ts
+         ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS last_purchase_ts
+FROM events l WHERE l.event_type <> 'purchase'
+"""
+
+
+# Per-language keep rates for the stratified-sample driver entry. The
+# entry uses the PORTABLE multiplicative mixer (sampling.py) as the hash
+# so DuckDB evaluates the identical arithmetic; production callers keep
+# the xxhash64 default (unit-tested for rate accuracy in test_sampling).
+SAMPLE_RATES = [("en", 0.2), ("zh", 0.4), ("es", 0.6),
+                ("de", 0.8), ("fr", 1.0)]
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling: keep iff
+    mix(doc_id) % 1000 < rate[lang]*1000 — a pure row-local predicate
+    (scan-speed, zero shuffle, reproducible), rates broadcast."""
+    from crawlspark.functions.sampling import portable_mix, stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(SAMPLE_RATES, ["lang", "rate"])
+    out = stratified_sample(
+        docs, "lang", rates, key_col="doc_id",
+        hash_bucket=F.pmod(portable_mix("doc_id"), F.lit(1000)))
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_stratified_sample() -> str:
+    from crawlspark.functions.sampling import PORTABLE_MIX_SQL
+    mix = PORTABLE_MIX_SQL.format(key="doc_id")
+    cases = " ".join(f"WHEN '{lang}' THEN {round(rate * 1000)}"
+                     for lang, rate in SAMPLE_RATES)
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ({mix}) % 1000 < CASE lang {cases} ELSE 0 END
+"""
+
+
+def q_sample_topn(spark, sf_dir):
+    """Fixed-size deterministic per-language sample: the 20 docs with the
+    smallest (mix(doc_id), doc_id) per lang — a distributed 'reservoir'
+    that is one rank window (one shuffle by stratum)."""
+    from crawlspark.functions.sampling import portable_mix, topn_per_stratum
+    docs = _t(spark, sf_dir, "documents")
+    return topn_per_stratum(docs, "lang", 20, portable_mix("doc_id"),
+                            "doc_id").select("doc_id", "lang", "n_chars")
+
+
+def _sql_sample_topn() -> str:
+    from crawlspark.functions.sampling import PORTABLE_MIX_SQL
+    mix = PORTABLE_MIX_SQL.format(key="doc_id")
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ({mix}), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+"""
+
+
+DECONTAM_N = 3  # synth docs share 3-grams but no 8-grams; production uses
+#                 8-13 — the plan shape (broadcast bench grams) is identical
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag docs sharing any token n-gram with
+    the 'benchmark' slice (doc_id % 97 == 0). Bench gram hashes are
+    BROADCAST (benchmark sets are small at any corpus scale); the corpus
+    side is one scan + explode, grams travel as xxhash64 longs."""
+    from crawlspark.functions.contamination import contamination
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination(rest, bench, n=DECONTAM_N)
+
+
+SQL_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= {DECONTAM_N} THEN
+      list_transform(generate_series(1, len(toks) - {DECONTAM_N - 1}),
+                     i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], ' '))
+    ELSE []::VARCHAR[] END) AS gram
+  FROM t),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+  FROM g JOIN bg USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def q_quality_quantiles(spark, sf_dir):
+    """Exact per-language quantiles of the composite quality score with a
+    rank-based (percentile_disc-lower) definition in integer arithmetic —
+    bit-identical cross-engine, no float-interpolation hazard. One
+    shuffle by lang (rank window + same-partitioning aggregate)."""
+    from crawlspark.functions import text as T
+    from crawlspark.functions.stats import exact_group_quantiles
+    docs = _t(spark, sf_dir, "documents")
+    q6 = F.round(T.quality_score(F.col("text")), 6)
+    return exact_group_quantiles(
+        docs, "lang", q6, F.col("doc_id"),
+        {"p25": (25, 100), "p50": (50, 100),
+         "p75": (75, 100), "p90": (90, 100)})
+
+
+_SQL_QUALITY_EXPR = """
+  SELECT doc_id, lang,
+         round((least(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(str_split_regex(trim(text), '\\s+')) END
+                      / 100.0, 1.0)
+                + (1.0 - least((CASE WHEN len(text) > 0 THEN
+                     (len(text) - len(regexp_replace(text, '[^\\w\\s]', '',
+                                                     'g')))::DOUBLE
+                     / len(text) ELSE 0.0 END) * 4, 1.0))
+                + (1.0 - least(abs((CASE WHEN len(trim(text)) > 0 THEN
+                     len(list_filter(list_transform(
+                         str_split_regex(trim(text), '\\s+'),
+                         x -> lower(x)), x -> list_contains(
+                         ['the','a','of','and','to','in','is','that','it',
+                          'for'], x)))::DOUBLE
+                     / len(str_split_regex(trim(text), '\\s+'))
+                     ELSE 0.0 END) - 0.4) * 2, 1.0))
+                + (CASE WHEN (CASE WHEN len(trim(text)) > 0 THEN
+                     list_aggregate(list_transform(
+                         str_split_regex(trim(text), '\\s+'),
+                         x -> len(x)), 'sum')::DOUBLE
+                     / len(str_split_regex(trim(text), '\\s+'))
+                     ELSE 0.0 END) BETWEEN 3 AND 8
+                   THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS q
+  FROM documents
+"""
+
+SQL_QUALITY_QUANTILES = f"""
+WITH s AS ({_SQL_QUALITY_EXPR}),
+r AS (
+  SELECT lang, q,
+         row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s)
+SELECT lang, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = (25 * (n - 1)) // 100 + 1 THEN q END) AS p25,
+       max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN q END) AS p50,
+       max(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN q END) AS p75,
+       max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN q END) AS p90
+FROM r GROUP BY lang
+"""
+
+
 # -- ordering / politeness windows (SURVEY §2.6 A1/A5, §2.7) -----------------
 
 def q_fetch_seq(spark, sf_dir):
@@ -2554,6 +2743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_rollup": q_event_window_rollup,
         "event_sessions": q_event_sessions,
         "link_pagerank": q_link_pagerank,
+        "asof_join": q_asof_join,
+        "stratified_sample": q_stratified_sample,
+        "sample_topn": q_sample_topn,
+        "decontaminate": q_decontaminate,
+        "quality_quantiles": q_quality_quantiles,
         "metrics_rollup": q_metrics_rollup,
         # ordering / politeness windows
         "fetch_seq": q_fetch_seq,
@@ -2633,6 +2827,11 @@ def oracle_sql() -> dict[str, str]:
         "event_window_rollup": SQL_EVENT_WINDOW_ROLLUP,
         "event_sessions": SQL_EVENT_SESSIONS,
         "link_pagerank": _sql_link_pagerank(),
+        "asof_join": SQL_ASOF_JOIN,
+        "stratified_sample": _sql_stratified_sample(),
+        "sample_topn": _sql_sample_topn(),
+        "decontaminate": SQL_DECONTAMINATE,
+        "quality_quantiles": SQL_QUALITY_QUANTILES,
         "metrics_rollup": SQL_METRICS_ROLLUP,
         "fetch_seq": SQL_FETCH_SEQ,
         "topk_per_host": SQL_TOPK_PER_HOST,

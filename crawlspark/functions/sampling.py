@@ -1,0 +1,76 @@
+"""Deterministic sampling for training-data pipelines.
+
+Two operators, both pure Column expressions (scan-speed, zero shuffle for
+the rate sampler, one per-stratum shuffle for the fixed-size sampler):
+
+  stratified_sample   — keep each row iff hash(key) mod M < rate[stratum]*M.
+                        Per-language / per-source downsampling at corpus
+                        scale: the decision is a pure function of the row,
+                        so it is reproducible, streamable, and needs no
+                        coordination — the canonical 100 TB shape. Rates
+                        ride a broadcast-joined dim table (at 10^10 docs
+                        the rate table is still tiny).
+  topn_per_stratum    — the N rows with the smallest hash per stratum:
+                        a deterministic distributed "reservoir" that is a
+                        rank window over (stratum), i.e. exactly one
+                        shuffle by stratum. Unlike rate sampling it yields
+                        a FIXED sample size per stratum regardless of
+                        stratum cardinality.
+
+The default hash is xxhash64 (JVM-side, bit-mirrored in
+crawlspark/hashing.py for oracles). The driver entry passes a portable
+multiplicative mixer instead — ((key mod 1000003) * 2654435761) mod
+2^31-1 — chosen because it is overflow-free BIGINT arithmetic that ANSI
+SQL engines (DuckDB) evaluate identically, making the oracle fully
+independent; production callers should keep the xxhash64 default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Knuth multiplicative mixer over a Mersenne-prime field: (key % 1000003)
+# caps the operand so key * 2654435761 < 2^63 for ANY bigint key — the
+# whole pipeline stays in exact BIGINT arithmetic on every engine.
+PORTABLE_MIX_SQL = "((({key}) % 1000003) * 2654435761) % 2147483647"
+
+
+def portable_mix(key: str | Column) -> Column:
+    k = F.col(key) if isinstance(key, str) else key
+    return ((k % F.lit(1000003)) * F.lit(2654435761)) % F.lit(2147483647)
+
+
+def default_hash(key: str | Column, buckets: int = 1_000_000) -> Column:
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(k), F.lit(buckets))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: DataFrame,
+                      key_col: str, hash_bucket: Column | None = None,
+                      buckets: int = 1000) -> DataFrame:
+    """Keep each row iff its hash bucket < rate_ppb for its stratum.
+
+    ``rates``: a small DataFrame (strata_col, rate double in [0,1]) —
+    broadcast-joined. ``hash_bucket``: an integer Column in [0, buckets);
+    defaults to xxhash64(key_col) mod buckets. Rows whose stratum has no
+    rate row are DROPPED (explicit-allowlist semantics).
+    """
+    if hash_bucket is None:
+        hash_bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    thresh = rates.select(
+        strata_col,
+        F.round(F.col("rate") * buckets).cast("long").alias("_thresh"))
+    return (df.join(F.broadcast(thresh), strata_col)
+            .filter(hash_bucket < F.col("_thresh"))
+            .drop("_thresh"))
+
+
+def topn_per_stratum(df: DataFrame, strata_col: str, n: int,
+                     order_col: Column, tiebreak_col: str) -> DataFrame:
+    """The n rows with the smallest (order_col, tiebreak) per stratum —
+    deterministic fixed-size per-stratum sampling in one shuffle."""
+    w = Window.partitionBy(strata_col).orderBy(
+        order_col.asc(), F.col(tiebreak_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn"))
