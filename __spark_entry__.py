@@ -1832,6 +1832,29 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return embedding_neardup_pairs(emb, threshold=0.2)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic deduplication over the embedding column:
+    sign-LSH near-dup pair graph (bucket join + exact cosine verify — no
+    all-pairs anywhere) → connected components (alternating
+    large-star/small-star) → keep the min-id vector per semantic cluster.
+    This is the composite a training-data pipeline actually runs: pairs
+    alone are not actionable, the transitive closure decides keeps.
+    Oracle: DuckDB recursive-CTE reachability over pyref's independently
+    materialized pair set (itself value-checked by embedding_neardup_lsh)."""
+    _ensure_oracle_files()
+    from crawlspark.functions.dedup import (connected_components,
+                                            embedding_neardup_pairs)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.2)
+    comp = connected_components(pairs).withColumnRenamed("node", "vec_id")
+    return (emb.select(F.col("vec_id").cast("long").alias("vec_id"))
+            .join(comp, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("component", "vec_id").alias("cluster"),
+                    (F.coalesce("component", F.col("vec_id"))
+                     == F.col("vec_id")).alias("is_canonical")))
+
+
 # -- similarity search -------------------------------------------------------
 
 def q_ann_topk(spark, sf_dir):
@@ -2609,6 +2632,25 @@ FROM read_parquet('{_ORACLE_DIR}/embedding_lsh_pairs.parquet')
 WHERE round(cosine_raw, 6) >= 0.2
 """
 
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE pairs AS (
+  SELECT left_id AS a, right_id AS b
+  FROM read_parquet('{_ORACLE_DIR}/embedding_lsh_pairs.parquet')
+  WHERE round(cosine_raw, 6) >= 0.2 AND left_id <> right_id
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS cluster,
+       COALESCE(c.component, e.vec_id) = e.vec_id AS is_canonical
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+"""
+
 SQL_ANN_TOPK_LSH = f"""
 WITH c AS (
   SELECT query_id, neighbor_id, round(cosine_raw, 6) AS cosine
@@ -2799,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "dup_components": q_dup_components,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         # similarity search
@@ -2889,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": SQL_MINHASH_LSH,
         "simhash": SQL_SIMHASH,
         "dup_components": SQL_DUP_COMPONENTS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
         "ann_topk_lsh": SQL_ANN_TOPK_LSH,
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,
