@@ -8,9 +8,10 @@ document is contaminated and must be dropped or flagged before training.
 Scale shape (100 TB corpus, benchmark sets are small — thousands of
 docs): the benchmark gram set is built once, deduplicated, and BROADCAST;
 the corpus side explodes its grams and probes the broadcast hash set —
-one scan of the corpus, no corpus-scale shuffle at all (the per-doc
-aggregate re-groups by doc_id, which is the pre-explode partitioning, so
-AQE coalesces it locally when the source is already doc-partitioned).
+one scan of the corpus, no corpus-scale shuffle at all. The only
+exchanges carry contamination HITS (post-probe), which are ≈0 rows for a
+clean corpus — the per-doc distinct/aggregate runs after the probe, never
+over the raw gram stream.
 Grams travel as xxhash64 longs, never strings — 8 B/gram instead of
 ~50 B. Tokenization = the shared lowercased whitespace tokens
 (functions/text.ws_tokens), so fingerprints line up with the dedup
@@ -47,14 +48,18 @@ def contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
                            .alias("gram"))
                    .select(F.xxhash64("gram").alias("gh"))
                    .distinct())
-    doc_grams = (docs
-                 .select(doc_id,
-                         F.explode(ngram_array(F.col(text), n))
-                         .alias("gram"))
-                 .select(doc_id, F.xxhash64("gram").alias("gh"))
-                 .distinct())
-    hits = (doc_grams
+    # Broadcast-probe FIRST, dedup SECOND: the (doc_id, gh) distinct needs
+    # a shuffle, and run before the bench filter it would carry the FULL
+    # corpus gram set; after the map-side broadcast join it carries only
+    # contamination hits (≈0 rows for a clean corpus). Equivalent result:
+    # bench_grams is distinct, so the 1:1 join preserves per-doc gram
+    # multiplicity and distinct-after == distinct-before ∩ bench.
+    hits = (docs
+            .select(doc_id,
+                    F.explode(ngram_array(F.col(text), n)).alias("gram"))
+            .select(doc_id, F.xxhash64("gram").alias("gh"))
             .join(F.broadcast(bench_grams), "gh")
+            .distinct()
             .groupBy(doc_id)
             .agg(F.count(F.lit(1)).alias("n_hits")))
     return (docs.select(doc_id)
