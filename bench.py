@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "pricing_summary", "order_revenue", "fetch_seq", "topk_per_host",
     "token_counts", "text_quality", "exact_dedup", "ngram_jaccard",
     "minhash_lsh", "simhash", "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
-    "docs_clean", "dup_components",
+    "docs_clean", "dup_components", "asof_join", "decontaminate",
 ]
 
 CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")
