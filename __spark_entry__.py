@@ -1459,6 +1459,98 @@ FROM t
 """
 
 
+def q_segment_dedup(spark, sf_dir):
+    """CCNet-style duplicated-segment removal (functions/text.py
+    segment_dedup): the corpus is cut into 8-token segments, exactly one
+    occurrence of each distinct segment survives (smallest (doc_id,
+    seg_idx)), docs come back re-joined with drop counters. One corpus
+    shuffle keyed by xxhash64(segment) + one by doc id — the oracle
+    partitions by the raw segment string, identical grouping absent a
+    64-bit collision (impossible to manufacture at sf scale)."""
+    from crawlspark.functions.text import segment_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=8)
+
+
+SQL_SEGMENT_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0),
+idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+  FROM toks),
+segs AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         array_to_string(list_slice(t, CAST(i*8+1 AS BIGINT),
+                                    CAST(i*8+8 AS BIGINT)), ' ') AS seg
+  FROM idx),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id,
+       COUNT(*) AS n_segs,
+       COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS clean_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML parse (frontier/sitemap.py): per-site <urlset> bodies
+    are synthesized from events (ordered string_agg of <url> blocks with
+    optional lastmod/priority and &amp; entities), then parsed back with
+    the pure-Column regexp extractor. The oracle is INDEPENDENT — it
+    computes the expected entries directly from events without any XML,
+    so the driver check proves parse(build(x)) == x."""
+    from crawlspark.frontier.sitemap import parse_sitemaps
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    block = F.concat(
+        F.lit("<url><loc> http://site"), (eid % 5).cast("string"),
+        F.lit(".example/p/"), eid.cast("string"),
+        F.when(eid % 7 == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+        F.lit(" </loc>"),
+        F.when(eid % 3 == 0,
+               F.concat(F.lit("<lastmod>2024-01-"),
+                        F.lpad(((eid % 28) + 1).cast("string"), 2, "0"),
+                        F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.when(eid % 4 == 0,
+               F.concat(F.lit("<priority>0."),
+                        (eid % 10).cast("string"),
+                        F.lit("</priority>"))).otherwise(F.lit("")),
+        F.lit("</url>"))
+    bodies = (ev.groupBy((eid % 5).alias("site"))
+              .agg(F.concat(
+                  F.lit("<urlset>"),
+                  F.array_join(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(eid.alias("e"), block.alias("b")))),
+                      lambda s: s.b), ""),
+                  F.lit("</urlset>")).alias("body")))
+    return parse_sitemaps(bodies, src_cols=("site",))
+
+
+SQL_SITEMAP_PARSE = """
+SELECT event_id % 5 AS site,
+       CAST(row_number() OVER (PARTITION BY event_id % 5
+                               ORDER BY event_id) - 1 AS INT) AS entry_pos,
+       'http://site' || (event_id % 5)::VARCHAR || '.example/p/'
+           || event_id::VARCHAR
+           || CASE WHEN event_id % 7 = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+       CASE WHEN event_id % 3 = 0
+            THEN '2024-01-' || lpad(((event_id % 28) + 1)::VARCHAR, 2, '0')
+       END AS lastmod,
+       CASE WHEN event_id % 4 = 0
+            THEN CAST('0.' || (event_id % 10)::VARCHAR AS DOUBLE)
+       END AS priority
+FROM events
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from crawlspark.functions.text import tfidf_top_terms
     docs = _t(spark, sf_dir, "documents")
@@ -2832,6 +2924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "segment_dedup": q_segment_dedup,
+        "sitemap_parse": q_sitemap_parse,
         "docs_clean": q_docs_clean,
         "docs_clean_fuzzy": q_docs_clean_fuzzy,
         # dedup
@@ -2922,6 +3016,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "doc_repetition": SQL_DOC_REPETITION,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "segment_dedup": SQL_SEGMENT_DEDUP,
+        "sitemap_parse": SQL_SITEMAP_PARSE,
         "exact_dedup": SQL_EXACT_DEDUP,
         "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -175,3 +175,53 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("doc_id", "term", "score", "rank"))
+
+
+# -- duplicated-segment removal (CCNet-style line dedup) -----------------------
+
+def segment_dedup(docs, seg_tokens: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Corpus-level duplicated-segment removal — the CCNet/"line dedup"
+    pass re-expressed over token segments (the synthetic documents carry
+    no newlines, so the "line" unit is a fixed window of ``seg_tokens``
+    whitespace tokens; on real crawl text the splitter swaps for
+    split('\\n') with identical downstream plumbing).
+
+    Semantics: every document is cut into consecutive non-overlapping
+    segments; for each distinct segment VALUE exactly one occurrence
+    survives — the one with the smallest (doc_id, seg_idx) — and all
+    later occurrences (within or across documents) are dropped. Each doc
+    comes back with its surviving segments re-joined in order plus drop
+    counters.
+
+    Scale shape: ONE corpus shuffle keyed by the 8-byte xxhash64 of the
+    segment (strings never ride the exchange as keys; a 64-bit collision
+    merges two groups — the standard CCNet trade, negligible below ~10^9
+    distinct segments, and the window's (doc_id, seg_idx) order keeps the
+    result deterministic even then) + one shuffle by doc id for the
+    re-assembly. Both are hash-agg/window stages with no Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = ws_tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    seg_arr = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+    ex = docs.select(F.col(id_col),
+                     F.posexplode(seg_arr).alias("seg_idx", "seg"))
+    w = Window.partitionBy(F.xxhash64("seg")).orderBy(id_col, "seg_idx")
+    ranked = ex.withColumn("_rn", F.row_number().over(w))
+    kept = F.when(F.col("_rn") == 1,
+                  F.struct(F.col("seg_idx"), F.col("seg")))
+    return (ranked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_segs"),
+                 F.count(F.when(F.col("_rn") > 1, 1)).alias("n_dropped"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda s: s.seg), " ").alias("clean_text")))
