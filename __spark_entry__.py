@@ -1551,6 +1551,74 @@ FROM events
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (functions/packing.py): docs laid
+    end-to-end in doc_id order, chopped every 256 tokens; each doc gets
+    its absolute stream offset and block span. The offset comes from the
+    distributed exclusive prefix sum (plans/ordering.with_global_cumsum —
+    range exchange + P-row collect + pid-partitioned window, never an
+    unpartitioned window); the oracle computes the same stream with a
+    plain single-node cumsum window — different mechanism, same math."""
+    from crawlspark.functions.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    # "offset" is a reserved word in DuckDB — surface it as tok_offset
+    return (pack_sequences(docs, block_tokens=256)
+            .withColumnRenamed("offset", "tok_offset"))
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM t)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 256 AS block_start,
+       (tok_offset + n_tokens - 1) // 256 AS block_end,
+       (tok_offset + n_tokens - 1) // 256 - tok_offset // 256 + 1 AS n_blocks
+FROM c
+"""
+
+
+def q_pack_blocks(spark, sf_dir):
+    """Block-side view of the packing manifest: one row per (block, doc)
+    incidence with the doc's block-local token span — what a training
+    loader consumes. Pure explode over the per-doc manifest."""
+    from crawlspark.functions.packing import explode_blocks, pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return explode_blocks(pack_sequences(docs, block_tokens=256), 256)
+
+
+SQL_PACK_BLOCKS = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM t),
+blocks AS (
+  SELECT doc_id, tok_offset, n_tokens,
+         unnest(range(tok_offset // 256,
+                      (tok_offset + n_tokens - 1) // 256 + 1)) AS block_id
+  FROM c)
+SELECT block_id, doc_id,
+       CAST(greatest(tok_offset, block_id*256) - block_id*256 AS INT)
+         AS tok_start,
+       CAST(least(tok_offset + n_tokens, block_id*256 + 256) - block_id*256
+            AS INT) AS tok_end
+FROM blocks
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from crawlspark.functions.text import tfidf_top_terms
     docs = _t(spark, sf_dir, "documents")
@@ -2926,6 +2994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "segment_dedup": q_segment_dedup,
         "sitemap_parse": q_sitemap_parse,
+        "pack_sequences": q_pack_sequences,
+        "pack_blocks": q_pack_blocks,
         "docs_clean": q_docs_clean,
         "docs_clean_fuzzy": q_docs_clean_fuzzy,
         # dedup
@@ -3018,6 +3088,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "segment_dedup": SQL_SEGMENT_DEDUP,
         "sitemap_parse": SQL_SITEMAP_PARSE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "pack_blocks": SQL_PACK_BLOCKS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

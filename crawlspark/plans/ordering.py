@@ -83,3 +83,57 @@ def with_global_seq(df: DataFrame, sort_cols, out: str = "seq",
            .withColumn(out, F.lit(start) + F.col("_off") + F.col("_lrn"))
            .drop("_pid", "_lrn", "_off"))
     return (res, acc) if return_count else res
+
+
+def with_global_cumsum(df: DataFrame, sort_cols, value_col: str,
+                       out: str = "cumsum",
+                       num_partitions: int | None = None) -> DataFrame:
+    """EXCLUSIVE global running sum of ``value_col`` over the total order
+    ``sort_cols`` — row r gets the sum of all values strictly before it —
+    without an unpartitioned window (same two-phase shape as
+    ``with_global_seq``: the per-partition aggregate is a SUM instead of a
+    COUNT, and the in-partition rank becomes an in-partition running sum).
+
+    Plan: range exchange + in-partition sort + codegen (pid, lrn) stamp,
+    one P-row collect of per-partition sums → prefix offsets broadcast
+    back, then a window partitioned BY pid ordered by lrn adds the
+    in-partition exclusive sum. The window's hash exchange on pid is the
+    only extra shuffle and carries exactly the caller's projection — at
+    the packing use-site that is (doc_id, n_tokens), 16 B/row, so the
+    prefix sum over a 10^10-doc corpus moves ~160 GB, the same order as
+    the sequencer itself. Determinism: identical sandwich argument as
+    with_global_seq (output is a pure function of the sort order; the
+    stamp is frozen by the localCheckpoint before any consumer sees it).
+    """
+    from pyspark.sql import Window
+    spark = df.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (df.repartitionByRange(P, *sort_cols)
+              .sortWithinPartitions(*sort_cols))
+    stamped = (ranged
+               .withColumn("_mii", F.monotonically_increasing_id())
+               .withColumn("_pid",
+                           F.shiftright(F.col("_mii"), _MII_ROW_BITS)
+                           .cast("int"))
+               .withColumn("_lrn",
+                           F.col("_mii").bitwiseAND((1 << _MII_ROW_BITS) - 1))
+               .drop("_mii")
+               .transform(ckpt))
+    sums = {r["_pid"]: r["s"] for r in
+            stamped.groupBy("_pid")
+            .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+            .collect()}
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid] or 0)
+    if not offsets:
+        return stamped.withColumn(out, F.lit(None).cast("long")) \
+                      .drop("_pid", "_lrn")
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = (Window.partitionBy("_pid").orderBy("_lrn")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (stamped.join(F.broadcast(off_df), "_pid")
+            .withColumn(out, F.col("_off") + F.coalesce(
+                F.sum(F.col(value_col).cast("long")).over(w), F.lit(0)))
+            .drop("_pid", "_lrn", "_off"))
