@@ -1619,6 +1619,59 @@ FROM blocks
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 keyword retrieval (functions/retrieval.py):
+    20 queries = the distinct first-2-token prefixes of docs 0-19.
+    Corpus side = the same two hash-agg shuffles as TF-IDF; query terms,
+    their df, and the query set itself are broadcast, so only matching
+    doc-terms reach scoring. Scores rounded to 6 dp BEFORE the per-query
+    ranking on both sides (float discipline), doc_id tiebreak."""
+    from crawlspark.functions.retrieval import bm25_topk
+    from crawlspark.functions.text import ws_tokens
+    docs = _t(spark, sf_dir, "documents")
+    queries = (docs.filter(F.col("doc_id") < 20)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.explode(F.array_distinct(F.slice(
+                           F.transform(ws_tokens(F.col("text")),
+                                       lambda t: F.lower(t)),
+                           1, 2))).alias("term")))
+    return bm25_topk(docs, queries, k=5)
+
+
+SQL_BM25_TOPK = """
+WITH d AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> lower(x)) AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS tot FROM d),
+q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:2])) AS term
+      FROM d WHERE doc_id < 20),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(SUM(
+           ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                             / (stats.tot::DOUBLE / stats.n)))), 6) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from crawlspark.functions.text import tfidf_top_terms
     docs = _t(spark, sf_dir, "documents")
@@ -2996,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "pack_sequences": q_pack_sequences,
         "pack_blocks": q_pack_blocks,
+        "bm25_topk": q_bm25_topk,
         "docs_clean": q_docs_clean,
         "docs_clean_fuzzy": q_docs_clean_fuzzy,
         # dedup
@@ -3090,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_blocks": SQL_PACK_BLOCKS,
+        "bm25_topk": SQL_BM25_TOPK,
         "exact_dedup": SQL_EXACT_DEDUP,
         "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -1,0 +1,87 @@
+"""bm25_topk unit tests: pure-Python differential on a small corpus plus
+semantic properties (idf ordering, tf saturation, length normalization).
+The driver entry pins the DuckDB differential at sf0.01."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from crawlspark.functions.retrieval import bm25_topk
+
+K1, B = 1.2, 0.75
+
+
+def _py_bm25(docs, queries, k=5):
+    toks = {d: t.lower().split() for d, t in docs if t.strip()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for qid, terms in queries:
+        scores = {}
+        for t in set(terms):
+            df = sum(1 for tk in toks.values() if t in tk)
+            if df == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for d, tk in toks.items():
+                tf = tk.count(t)
+                if tf:
+                    scores[d] = scores.get(d, 0.0) + (
+                        idf * tf * (K1 + 1)
+                        / (tf + K1 * (1 - B + B * len(tk) / avgdl)))
+        ranked = sorted(((round(s, 6), d) for d, s in scores.items()),
+                        key=lambda x: (-x[0], x[1]))[:k]
+        out[qid] = [(d, s) for s, d in ranked]
+    return out
+
+
+def _run(spark, docs, queries, k=5):
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        ["query_id", "term"])
+    got = {}
+    for r in bm25_topk(ddf, qdf, k=k).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    return {q: [(d, s) for _, d, s in sorted(v)] for q, v in got.items()}
+
+
+def test_bm25_differential(spark):
+    docs = [(i, " ".join("w%d" % ((i * 7 + j * 3) % 13)
+                         for j in range(5 + i % 9))) for i in range(40)]
+    queries = [(0, ["w0", "w5"]), (1, ["w1"]), (2, ["w12", "w3"]),
+               (3, ["nosuchterm"])]
+    exp = _py_bm25(docs, queries)
+    got = _run(spark, docs, queries)
+    for qid, want in exp.items():
+        if not want:
+            assert qid not in got
+            continue
+        assert [d for d, _ in got[qid]] == [d for d, _ in want], qid
+        for (gd, gs), (wd, ws) in zip(got[qid], want):
+            assert abs(gs - ws) < 1e-6, (qid, gd)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    docs = [(1, "common rare"), (2, "common other"), (3, "common thing"),
+            (4, "common stuff")]
+    got = _run(spark, docs, [(0, ["rare"]), (1, ["common"])])
+    # the rare-term query puts doc 1 first with a higher score than any
+    # common-term hit (idf of a 1-df term beats a 4-df term)
+    assert got[0][0][0] == 1
+    assert got[0][0][1] > got[1][0][1]
+
+
+def test_bm25_length_normalization(spark):
+    # same tf=1 for 'x': the SHORTER doc scores higher
+    docs = [(1, "x " + "pad " * 20), (2, "x y")]
+    got = _run(spark, docs, [(0, ["x"])])
+    assert [d for d, _ in got[0]] == [2, 1]
+
+
+def test_bm25_tf_saturation(spark):
+    # tf 4 vs 1 at equal length: higher tf wins but sublinearly
+    docs = [(1, "x x x x"), (2, "x y z w"), (3, "a b c d")]
+    got = _run(spark, docs, [(0, ["x"])])
+    assert [d for d, _ in got[0]] == [1, 2]
+    assert got[0][0][1] < 4 * got[0][1][1]
