@@ -383,6 +383,38 @@ SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
 """
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """sqrt-temperature training mixture (sampling.py temperature_mixture):
+    per-source keep counts from EXACT integer arithmetic (isqrt weights,
+    integer div budget — no float anywhere, so the oracle reproduces the
+    plan bit-for-bit), rows chosen as the smallest (mix, doc_id) per
+    source. Budget = 25% of the corpus."""
+    from crawlspark.functions.sampling import portable_mix, temperature_mixture
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "source", "doc_id",
+                              target_frac_ppm=250_000,
+                              hash_col=portable_mix("doc_id"))
+    return out.select("doc_id", "source", "lang")
+
+
+def _sql_temperature_mixture() -> str:
+    from crawlspark.functions.sampling import PORTABLE_MIX_SQL
+    mix = PORTABLE_MIX_SQL.format(key="doc_id")
+    return f"""
+WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+w AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+s AS (SELECT SUM(w) AS sw, SUM(c) AS tot FROM w),
+n AS (SELECT source, least(c, ((tot * 250000 // 1000000) * w) // sw)
+        AS keep FROM w CROSS JOIN s),
+r AS (SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ({mix}), doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.source, r.lang
+FROM r JOIN n USING (source) WHERE r.rn <= n.keep
+"""
+
+
 DECONTAM_N = 3  # synth docs share 3-grams but no 8-grams; production uses
 #                 8-13 — the plan shape (broadcast bench grams) is identical
 
@@ -3001,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "stratified_sample": q_stratified_sample,
         "sample_topn": q_sample_topn,
+        "temperature_mixture": q_temperature_mixture,
         "decontaminate": q_decontaminate,
         "quality_quantiles": q_quality_quantiles,
         "metrics_rollup": q_metrics_rollup,
@@ -3091,6 +3124,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "stratified_sample": _sql_stratified_sample(),
         "sample_topn": _sql_sample_topn(),
+        "temperature_mixture": _sql_temperature_mixture(),
         "decontaminate": SQL_DECONTAMINATE,
         "quality_quantiles": SQL_QUALITY_QUANTILES,
         "metrics_rollup": SQL_METRICS_ROLLUP,

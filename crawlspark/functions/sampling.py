@@ -74,3 +74,47 @@ def topn_per_stratum(df: DataFrame, strata_col: str, n: int,
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n)
             .drop("_rn"))
+
+
+def mixture_plan(df: DataFrame, source_col: str,
+                 target_frac_ppm: int) -> list[tuple]:
+    """Per-source keep counts for a temperature-0.5 (sqrt-weighted)
+    training mixture, in EXACT integer arithmetic so any oracle can
+    reproduce it bit-for-bit (no pow/float anywhere):
+
+        w_s    = isqrt(c_s)            (floor square root)
+        T      = (Σc · ppm) div 10^6   (global row budget)
+        keep_s = min(c_s, (T · w_s) div Σw)
+
+    sqrt-weighting is the standard low-resource upweighting: a source
+    with 1% of the corpus gets ~√-proportionally more than its raw share.
+    Returns [(source, c_s, keep_s)]; one hash-agg + a tiny collect."""
+    import math
+    rows = sorted((r[0], int(r[1])) for r in
+                  df.groupBy(source_col).count().collect())
+    total = sum(c for _, c in rows)
+    sw = sum(math.isqrt(c) for _, c in rows)
+    t = (total * int(target_frac_ppm)) // 1_000_000
+    return [(s, c, min(c, (t * math.isqrt(c)) // sw)) for s, c in rows]
+
+
+def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
+                        target_frac_ppm: int,
+                        hash_col: Column | None = None) -> DataFrame:
+    """Deterministic sqrt-temperature mixture sample: keep exactly
+    ``keep_s`` rows per source (mixture_plan), chosen as the rows with
+    the smallest (hash, key) per source — the fixed-size deterministic
+    reservoir. One corpus shuffle (the per-source rank window); the plan
+    is a broadcast dim. The default hash is xxhash64; the driver entry
+    passes portable_mix so DuckDB replays the identical choice."""
+    spark = df.sparkSession
+    plan = mixture_plan(df, source_col, target_frac_ppm)
+    plan_df = spark.createDataFrame(
+        [(s, k) for s, _, k in plan], f"{source_col} string, _keep long")
+    h = hash_col if hash_col is not None else F.xxhash64(F.col(key_col))
+    w = Window.partitionBy(source_col).orderBy(h.asc(),
+                                               F.col(key_col).asc())
+    return (df.join(F.broadcast(plan_df), source_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_keep"))
+            .drop("_rn", "_keep"))

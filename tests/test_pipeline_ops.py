@@ -162,3 +162,47 @@ def test_exact_group_quantiles_validates_p(spark):
     with pytest.raises(ValueError, match="outside"):
         exact_group_quantiles(df, "g", F.col("v"), F.col("id"),
                               {"bad": (3, 2)})
+
+
+# -- temperature mixture --------------------------------------------------------
+
+def test_mixture_plan_integer_exact(spark):
+    import math
+    from crawlspark.functions.sampling import mixture_plan
+    rows = [("a",)] * 100 + [("b",)] * 25 + [("c",)] * 4
+    df = spark.createDataFrame(rows, ["source"])
+    plan = {s: (c, k) for s, c, k in mixture_plan(df, "source", 500_000)}
+    total, sw = 129, math.isqrt(100) + math.isqrt(25) + math.isqrt(4)
+    t = (total * 500_000) // 1_000_000            # 64
+    assert plan == {s: (c, min(c, (t * math.isqrt(c)) // sw))
+                    for s, c in [("a", 100), ("b", 25), ("c", 4)]}
+    # sqrt temperature upweights the small source: c shares 4/129 ≈ 3.1%
+    # of the corpus but gets isqrt share 2/17 ≈ 11.8% of the budget
+    assert plan["c"][1] * 129 > 4 * t
+
+
+def test_temperature_mixture_exact_counts_and_determinism(spark):
+    from crawlspark.functions.sampling import (mixture_plan, portable_mix,
+                                               temperature_mixture)
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mixture(df, "source", "doc_id", 300_000,
+                              hash_col=portable_mix("doc_id"))
+    got = out.groupBy("source").count().collect()
+    plan = {s: k for s, _, k in mixture_plan(df, "source", 300_000)}
+    assert {r["source"]: r["count"] for r in got} == plan
+    # deterministic: same rows on a different partitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in temperature_mixture(
+        df.repartition(7), "source", "doc_id", 300_000,
+        hash_col=portable_mix("doc_id")).collect())
+    assert a == b
+
+
+def test_temperature_mixture_budget_cap(spark):
+    from crawlspark.functions.sampling import mixture_plan
+    # a tiny source whose sqrt share exceeds its cardinality is capped
+    df = spark.createDataFrame([("big",)] * 400 + [("tiny",)] * 2,
+                               ["source"])
+    plan = {s: (c, k) for s, c, k in mixture_plan(df, "source", 900_000)}
+    assert plan["tiny"][1] <= 2
