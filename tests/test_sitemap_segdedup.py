@@ -107,3 +107,48 @@ def test_segment_dedup_whitespace_and_partial_tail(spark):
     out = _dedup_rows(spark, [(1, "  a   b  c ")], seg_tokens=2)
     # \s+ tokenize → ["a","b","c"]; tail segment is the single token "c"
     assert (out[1].n_segs, out[1].clean_text) == (2, "a b c")
+
+
+def test_sitemap_seeds_drive_engine_identically(spark):
+    """Composition golden: seeding the engine from parsed sitemap bodies
+    (one <urlset> per host, pages in doc order) produces the byte-same
+    fetch_log as seeding from the direct seed list — sitemap discovery is
+    a drop-in frontier source."""
+    import tempfile
+
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+
+    tier = synth.TIERS["t1"]
+    pages = spark.createDataFrame(
+        synth.gen_pages_pdf(0, tier.n_pages, synth.page_counts(tier),
+                            tier.n_images))
+    robots = synth.spark_robots(spark, tier)
+    direct = synth.gen_seeds_pdf(tier)
+
+    # one sitemap per host, containing that host's seeds in doc order
+    bodies = []
+    for h in sorted({int(u.split("host")[1].split(".")[0])
+                     for u in direct["url"]}):
+        locs = [u for u in direct["url"] if f"host{h}." in u]
+        bodies.append((h, "<urlset>" + "".join(
+            f"<url><loc>{u}</loc></url>" for u in locs) + "</urlset>"))
+    bdf = spark.createDataFrame(bodies, ["host_idx", "body"])
+    parsed = parse_sitemaps(bdf, src_cols=("host_idx",))
+    # the direct list interleaves hosts (page k of every host before page
+    # k+1 of any): that order is (entry_pos, host_idx)
+    seeds = sitemap_seeds(parsed, order_cols=("entry_pos", "host_idx"))
+
+    def run(seed_df):
+        cfg = CrawlConfig(k_global=50, max_rounds=2, seen_shards=4,
+                          seen_m_bits=1 << 16, validate_fraction=0)
+        store = SnapshotStore(spark, tempfile.mkdtemp(prefix="smseed_"))
+        eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+        eng.seed(seed_df)
+        eng.run()
+        return [(r["fetch_seq"], r["canon"], r["status"]) for r in
+                store.read("fetch_log").orderBy("fetch_seq").collect()]
+
+    got = run(seeds)
+    want = run(spark.createDataFrame(direct))
+    assert got == want and len(got) > 0
