@@ -1704,6 +1704,39 @@ FROM scored QUALIFY rank <= 5
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality scoring, unigram flavor (functions/text.py
+    unigram_logprob): per-term log-probs under the corpus's own unigram
+    LM rounded ONCE to integer micro-nats, per-doc sums in exact BIGINT
+    (tf x micronats) — the oracle needs no float tolerance. Same plan
+    skeleton as tfidf (persisted tf projection; one LM join)."""
+    from crawlspark.functions.text import unigram_logprob
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, lower(u.t) AS term
+  FROM documents, UNNEST(str_split_regex(trim(text), '\\s+')) AS u(t)
+  WHERE len(trim(text)) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+lm AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM lm),
+lp AS (SELECT term,
+              CAST(round(ln(c::DOUBLE / (SELECT t FROM tot)::DOUBLE)
+                         * 1000000) AS BIGINT) AS lp_micro
+       FROM lm)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * lp.lp_micro) AS BIGINT) AS sum_lp_micro,
+       CAST(SUM(tf.tf * lp.lp_micro) AS BIGINT)
+         // CAST(SUM(tf.tf) AS BIGINT) AS mean_lp_micro
+FROM tf JOIN lp USING (term)
+GROUP BY tf.doc_id
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from crawlspark.functions.text import tfidf_top_terms
     docs = _t(spark, sf_dir, "documents")
@@ -3083,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_blocks": q_pack_blocks,
         "bm25_topk": q_bm25_topk,
+        "unigram_logprob": q_unigram_logprob,
         "docs_clean": q_docs_clean,
         "docs_clean_fuzzy": q_docs_clean_fuzzy,
         # dedup
@@ -3179,6 +3213,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_blocks": SQL_PACK_BLOCKS,
         "bm25_topk": SQL_BM25_TOPK,
+        "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "exact_dedup": SQL_EXACT_DEDUP,
         "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

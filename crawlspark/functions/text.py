@@ -225,3 +225,44 @@ def segment_dedup(docs, seg_tokens: int = 8, text_col: str = "text",
                  F.array_join(
                      F.transform(F.array_sort(F.collect_list(kept)),
                                  lambda s: s.seg), " ").alias("clean_text")))
+
+
+# -- unigram LM scoring (CCNet-style LM quality filter, unigram flavor) --------
+
+def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Score every document by its mean unigram log-probability under the
+    corpus's own unigram LM — the CCNet LM-filter stage with the n-gram
+    model replaced by the corpus unigram distribution (no external model
+    in this sandbox; the plumbing — train counts, broadcast-free token
+    join, per-doc aggregate — is the real shape).
+
+    Float discipline: each distinct term's log-prob ln(c_t/T) is rounded
+    ONCE to integer micro-nats; per-doc sums are then tf·micronats BIGINT
+    arithmetic — exact on any engine, so the oracle needs no tolerance
+    (a 1-ulp ln() difference flips a micro-nat only at an exact .5
+    boundary, ~1e-10/term).
+
+    Scale shape: same skeleton as tfidf_top_terms — the (doc, term, tf)
+    projection is persisted for its two consumers (LM aggregation, doc
+    scoring); the LM join is the only corpus-scale shuffle; output is one
+    hash-agg by doc. All JVM.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(ws_tokens(F.col(text_col)),
+                              lambda t: F.lower(t))).alias("term"))
+    tf = (toks.groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")).persist())
+    lm = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = int(lm.agg(F.sum("c")).first()[0] or 0)
+    lp = lm.select(
+        "term",
+        F.round(F.log(F.col("c").cast("double") / F.lit(float(total)))
+                * 1_000_000).cast("long").alias("lp_micro"))
+    return (tf.join(lp, "term")
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.sum(F.col("tf") * F.col("lp_micro")).cast("long")
+                 .alias("sum_lp_micro"))
+            .withColumn("mean_lp_micro",
+                        F.expr("sum_lp_micro div n_tokens")))

@@ -85,3 +85,34 @@ def test_bm25_tf_saturation(spark):
     got = _run(spark, docs, [(0, ["x"])])
     assert [d for d, _ in got[0]] == [1, 2]
     assert got[0][0][1] < 4 * got[0][1][1]
+
+
+# -- unigram LM scoring ---------------------------------------------------------
+
+def test_unigram_logprob_exact_math(spark):
+    import math
+    from crawlspark.functions.text import unigram_logprob
+    docs = [(1, "a a b"), (2, "b c")]
+    # corpus: a:2 b:2 c:1, T=5
+    got = {r.doc_id: r for r in
+           unigram_logprob(spark.createDataFrame(
+               docs, ["doc_id", "text"])).collect()}
+    lp = {t: round(math.log(c / 5) * 1_000_000)
+          for t, c in [("a", 2), ("b", 2), ("c", 1)]}
+    want1 = 2 * lp["a"] + lp["b"]
+    want2 = lp["b"] + lp["c"]
+    assert (got[1].n_tokens, got[1].sum_lp_micro) == (3, want1)
+    assert (got[2].n_tokens, got[2].sum_lp_micro) == (2, want2)
+    # int() truncates toward zero like Spark div / DuckDB //
+    assert got[1].mean_lp_micro == int(want1 / 3)
+    # rarer tokens => lower (more negative) mean logprob
+    assert got[2].mean_lp_micro < got[1].mean_lp_micro
+
+
+def test_unigram_logprob_common_docs_score_higher(spark):
+    from crawlspark.functions.text import unigram_logprob
+    docs = [(i, "common words here") for i in range(9)] + [(9, "zzz qqq")]
+    got = {r.doc_id: r.mean_lp_micro for r in
+           unigram_logprob(spark.createDataFrame(
+               docs, ["doc_id", "text"])).collect()}
+    assert got[9] < min(got[i] for i in range(9))
