@@ -72,6 +72,20 @@ def sitemap_index_locs(body: Column) -> Column:
     return F.filter(locs, lambda l: l.isNotNull())
 
 
+_ROBOTS_SITEMAP = (r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*"
+                   r"([^#\r\n]+?)[ \t]*(?:#[^\r\n]*)?$")
+
+
+def robots_sitemap_urls(body: Column) -> Column:
+    """array<string> of ``Sitemap:`` directive URLs in a robots.txt body.
+    Per the sitemaps protocol the directive is group-independent (it
+    applies regardless of any User-agent section), so this is a flat
+    line scan: case-insensitive key, inline comments stripped, value
+    trimmed. Pure Column regexp — runs at scan speed next to
+    robots_cache_from_bodies over the same bodies."""
+    return F.regexp_extract_all(body, F.lit(_ROBOTS_SITEMAP), 1)
+
+
 def parse_sitemaps(df: DataFrame, body_col: str = "body",
                    src_cols: tuple = ()) -> DataFrame:
     """Explode sitemap bodies to one row per ``<url>`` entry:

@@ -152,3 +152,22 @@ def test_sitemap_seeds_drive_engine_identically(spark):
     got = run(seeds)
     want = run(spark.createDataFrame(direct))
     assert got == want and len(got) > 0
+
+
+def test_robots_sitemap_directive(spark):
+    from crawlspark.frontier.sitemap import robots_sitemap_urls
+    body = """User-agent: *
+Disallow: /private
+SITEMAP: http://a.example/sm.xml
+sitemap: http://a.example/sm2.xml   # trailing comment
+User-agent: other
+Sitemap:http://a.example/sm3.xml
+notasitemap: http://x/
+Sitemap:
+"""
+    df = spark.createDataFrame([(body,)], ["body"])
+    got = df.select(robots_sitemap_urls(F.col("body")).alias("u")).first().u
+    # group-independent, case-insensitive key, comments stripped; the
+    # value-less directive yields nothing
+    assert got == ["http://a.example/sm.xml", "http://a.example/sm2.xml",
+                   "http://a.example/sm3.xml"]
