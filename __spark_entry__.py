@@ -1583,6 +1583,95 @@ FROM events
 """
 
 
+def q_warc_source(spark, sf_dir):
+    """WARC container source (crawlspark/warc.py, ISO 28500): per-file
+    archives are built executor-side from events rows (warcinfo head,
+    request records for every 5th event, a response record per event;
+    even file ids gzip per member — the .warc.gz convention), then parsed
+    back with the Arrow-batched record scanner. The oracle computes the
+    expected response rows — INCLUDING each one's rec_seq within its
+    archive — directly from events without touching any bytes, so the
+    driver check proves parse(build(x)) == x over both encodings."""
+    import pandas as pd
+    from crawlspark.warc import (build_record, build_warc,
+                                 http_response_block, parse_warc_records)
+    ev = _t(spark, sf_dir, "events").select("event_id")
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(key[0])
+        recs = [build_record(
+            "warcinfo",
+            {"WARC-Record-ID": f"<urn:uuid:info-{fid}>",
+             "WARC-Date": "2024-03-01T00:00:00Z",
+             "Content-Type": "application/warc-fields"},
+            b"software: crawlspark\r\n")]
+        for eid in sorted(int(e) for e in pdf["event_id"]):
+            uri = (f"http://site{eid % 7}.example/doc/{eid}"
+                   + ("?q=1&r=2" if eid % 13 == 0 else ""))
+            sec = eid % 86400
+            date = (f"2024-03-01T{sec // 3600:02d}:"
+                    f"{sec % 3600 // 60:02d}:{sec % 60:02d}Z")
+            if eid % 5 == 0:
+                recs.append(build_record(
+                    "request",
+                    {"WARC-Target-URI": uri, "WARC-Date": date,
+                     "WARC-Record-ID": f"<urn:uuid:req-{eid}>",
+                     "Content-Type": "application/http;msgtype=request"},
+                    (f"GET /doc/{eid} HTTP/1.1\r\n"
+                     f"Host: site{eid % 7}.example\r\n\r\n").encode()))
+            status = 404 if eid % 11 == 0 else 200
+            payload = (f"payload-{eid}-" + "x" * (eid % 17)).encode()
+            recs.append(build_record(
+                "response",
+                {"WARC-Target-URI": uri, "WARC-Date": date,
+                 "WARC-Record-ID": f"<urn:uuid:resp-{eid}>",
+                 "Content-Type": "application/http;msgtype=response"},
+                http_response_block(
+                    status, payload,
+                    reason="OK" if status == 200 else "Not Found")))
+        return pd.DataFrame([{
+            "src": str(fid),
+            "content": build_warc(recs, gzip_records=(fid % 2 == 0))}])
+
+    files = (ev.groupBy((F.col("event_id") % 7).alias("fid"))
+             .applyInPandas(build, "src string, content binary"))
+    return (parse_warc_records(files)
+            .filter(F.col("rec_type") == "response")
+            .select("src", "rec_seq", "target_uri", "warc_date",
+                    "http_status",
+                    F.col("http_content_type").alias("content_type"),
+                    F.col("payload").cast("string").alias("payload_text"),
+                    "payload_len"))
+
+
+SQL_WARC_SOURCE = """
+SELECT (event_id % 7)::VARCHAR AS src,
+       -- rec_seq inside the archive: 1 warcinfo head + one request per
+       -- preceding-or-own %5 event + the responses before this one
+       CAST(row_number() OVER w - 1 + 1
+            + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY event_id % 7 ORDER BY event_id
+                    ROWS UNBOUNDED PRECEDING) AS INT) AS rec_seq,
+       'http://site' || (event_id % 7)::VARCHAR || '.example/doc/'
+           || event_id::VARCHAR
+           || CASE WHEN event_id % 13 = 0 THEN '?q=1&r=2' ELSE '' END
+           AS target_uri,
+       '2024-03-01T' || lpad(((event_id % 86400) // 3600)::VARCHAR, 2, '0')
+           || ':' || lpad((((event_id % 86400) % 3600) // 60)::VARCHAR,
+                          2, '0')
+           || ':' || lpad(((event_id % 86400) % 60)::VARCHAR, 2, '0')
+           || 'Z' AS warc_date,
+       CASE WHEN event_id % 11 = 0 THEN 404 ELSE 200 END AS http_status,
+       'text/html' AS content_type,
+       'payload-' || event_id::VARCHAR || '-' || repeat('x', event_id % 17)
+           AS payload_text,
+       CAST(length('payload-' || event_id::VARCHAR || '-')
+            + event_id % 17 AS INT) AS payload_len
+FROM events
+WINDOW w AS (PARTITION BY event_id % 7 ORDER BY event_id)
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (functions/packing.py): docs laid
     end-to-end in doc_id order, chopped every 256 tokens; each doc gets
@@ -3113,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "segment_dedup": q_segment_dedup,
         "sitemap_parse": q_sitemap_parse,
+        "warc_source": q_warc_source,
         "pack_sequences": q_pack_sequences,
         "pack_blocks": q_pack_blocks,
         "bm25_topk": q_bm25_topk,
@@ -3210,6 +3300,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "segment_dedup": SQL_SEGMENT_DEDUP,
         "sitemap_parse": SQL_SITEMAP_PARSE,
+        "warc_source": SQL_WARC_SOURCE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_blocks": SQL_PACK_BLOCKS,
         "bm25_topk": SQL_BM25_TOPK,
