@@ -1672,6 +1672,145 @@ WINDOW w AS (PARTITION BY event_id % 7 ORDER BY event_id)
 """
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (frontier/recrawl.py): events
+    become a per-URL fetch history (one URL per user, ts = event_id
+    seconds, changed on every third event), rolled up in ONE shuffle and
+    scored with the exact-integer first-order staleness (n_changes · age
+    · 1e6 div span — Spark's integral `div` vs DuckDB's `//`, bit-equal);
+    top-5 per host by staleness."""
+    from crawlspark.frontier.recrawl import (change_history_stats,
+                                             recrawl_candidates)
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    hist = ev.select(
+        F.concat(F.lit("http://h"), (uid % 20).cast("string"),
+                 F.lit(".example/p/"), uid.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (uid % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.col("event_id").alias("ts_s"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("changed"))
+    stats = change_history_stats(hist)
+    return (recrawl_candidates(stats, now_s=1_000_000, per_host_k=5)
+            .select("url", "host", "n_fetches", "n_changes", "first_s",
+                    "last_s", "span_s", "stale_ppm", "recrawl_rank"))
+
+
+SQL_RECRAWL_PRIORITY = """
+WITH h AS (
+  SELECT 'http://h' || (user_id % 20)::VARCHAR || '.example/p/'
+             || user_id::VARCHAR AS url,
+         'h' || (user_id % 20)::VARCHAR || '.example' AS host,
+         count(*) AS n_fetches,
+         CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_changes,
+         MIN(event_id) AS first_s, MAX(event_id) AS last_s,
+         MAX(event_id) - MIN(event_id) AS span_s
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT *, CAST(n_changes * (1000000 - last_s) * 1000000 // span_s
+                 AS BIGINT) AS stale_ppm
+  FROM h WHERE span_s > 0)
+SELECT url, host, n_fetches, n_changes, first_s, last_s, span_s, stale_ppm,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY stale_ppm DESC, url ASC)
+            AS INT) AS recrawl_rank
+FROM s
+QUALIFY recrawl_rank <= 5
+"""
+
+
+def q_url_traps(spark, sf_dir):
+    """Crawler-trap detection (frontier/traps.py): synthesized URL mix
+    (an exploding /cal/N/N family, a bounded /tag/tN family, a static
+    /about) → digit-run path templates → per-(host, template) distinct
+    counts; templates with ≥50 distinct URLs are flagged. ONE hash-agg
+    shuffle; the oracle groups the same derivation under DuckDB's
+    independent regex engine."""
+    from crawlspark.frontier.traps import trap_report
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    urls = ev.select(
+        F.concat(F.lit("h"), (eid % 10).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.when(eid % 4 == 0,
+               F.concat(F.lit("/cal/"), eid.cast("string"), F.lit("/"),
+                        (eid % 12).cast("string")))
+        .when(eid % 4 == 1,
+              F.concat(F.lit("/tag/t"), (eid % 5).cast("string")))
+        .otherwise(F.lit("/about")).alias("path"))
+    return trap_report(urls, min_urls=50)
+
+
+SQL_URL_TRAPS = """
+WITH u AS (
+  SELECT 'h' || (event_id % 10)::VARCHAR || '.example' AS host,
+         CASE WHEN event_id % 4 = 0
+              THEN '/cal/' || event_id::VARCHAR || '/'
+                   || (event_id % 12)::VARCHAR
+              WHEN event_id % 4 = 1
+              THEN '/tag/t' || (event_id % 5)::VARCHAR
+              ELSE '/about' END AS path
+  FROM events)
+SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+       count(DISTINCT path) AS n_urls, min(path) AS sample_path
+FROM u GROUP BY 1, 2
+HAVING count(DISTINCT path) >= 50
+"""
+
+
+def q_cdx_surt(spark, sf_dir):
+    """SURT CDX keys (urltools.surt_key): canonical URLs with scheme /
+    host-depth / explicit-port / unsorted-query variety are built from
+    events, keyed with the pure-Column SURT transform. The oracle
+    composes the EXPECTED key directly from event_id arithmetic — label
+    reversal and query sorting are spelled out literally, independent of
+    any string-transform machinery."""
+    from crawlspark.urltools import surt_key
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    host = F.when(eid % 3 == 0,
+                  F.concat(F.lit("img"), (eid % 5).cast("string"),
+                           F.lit(".cdn.example"))) \
+            .otherwise(F.concat(F.lit("www.site"), (eid % 5).cast("string"),
+                                F.lit(".example")))
+    url = F.concat(
+        F.when(eid % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        host,
+        F.when(eid % 9 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), eid.cast("string"),
+        F.when(eid % 4 == 0,
+               F.concat(F.lit("?b=2&a="), (eid % 7).cast("string")))
+        .otherwise(F.lit("")))
+    df = ev.select(url.alias("url"))
+    return df.select("url", surt_key("url").alias("surt"))
+
+
+SQL_CDX_SURT = """
+SELECT CASE WHEN event_id % 2 = 0 THEN 'https://' ELSE 'http://' END
+           || CASE WHEN event_id % 3 = 0
+                   THEN 'img' || (event_id % 5)::VARCHAR || '.cdn.example'
+                   ELSE 'www.site' || (event_id % 5)::VARCHAR || '.example'
+              END
+           || CASE WHEN event_id % 9 = 0 THEN ':8080' ELSE '' END
+           || '/p/' || event_id::VARCHAR
+           || CASE WHEN event_id % 4 = 0
+                   THEN '?b=2&a=' || (event_id % 7)::VARCHAR ELSE '' END
+           AS url,
+       CASE WHEN event_id % 3 = 0
+            THEN 'example,cdn,img' || (event_id % 5)::VARCHAR
+            ELSE 'example,site' || (event_id % 5)::VARCHAR || ',www'
+       END
+           || CASE WHEN event_id % 9 = 0 THEN ':8080' ELSE '' END
+           || ')/p/' || event_id::VARCHAR
+           || CASE WHEN event_id % 4 = 0
+                   THEN '?a=' || (event_id % 7)::VARCHAR || '&b=2' ELSE ''
+              END
+           AS surt
+FROM events
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (functions/packing.py): docs laid
     end-to-end in doc_id order, chopped every 256 tokens; each doc gets
@@ -3203,6 +3342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "sitemap_parse": q_sitemap_parse,
         "warc_source": q_warc_source,
+        "recrawl_priority": q_recrawl_priority,
+        "url_traps": q_url_traps,
+        "cdx_surt": q_cdx_surt,
         "pack_sequences": q_pack_sequences,
         "pack_blocks": q_pack_blocks,
         "bm25_topk": q_bm25_topk,
@@ -3301,6 +3443,9 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": SQL_SEGMENT_DEDUP,
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "warc_source": SQL_WARC_SOURCE,
+        "recrawl_priority": SQL_RECRAWL_PRIORITY,
+        "url_traps": SQL_URL_TRAPS,
+        "cdx_surt": SQL_CDX_SURT,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_blocks": SQL_PACK_BLOCKS,
         "bm25_topk": SQL_BM25_TOPK,

@@ -149,3 +149,34 @@ def with_canonical(df, url_col: str, base_col: str | None = None,
         .withColumn("path", F.col("_u.path"))
         .drop("_u")
     )
+
+
+def surt_key(canon) -> "F.Column":
+    """SURT (Sort-friendly URI Reordering Transform) key of a CANONICAL
+    url — the CDX-index sort key of the web-archive toolchain (Heritrix /
+    OpenWayback / CommonCrawl cdxj, public convention):
+
+        http://www.example.com/p?b=2&a=1  →  com,example,www)/p?a=1&b=2
+
+    scheme dropped, host labels reversed and comma-joined (so one host's —
+    and one registrable domain's — captures sort adjacent), explicit
+    non-default port kept after the reversed host, query params sorted
+    bytewise. Input must already be in the canonical normal form above
+    (lowercased host, default ports dropped, path non-empty) — this is a
+    pure Column expression layered on it, zero Python, scan speed."""
+    c = canon if not isinstance(canon, str) else F.col(canon)
+    rest = F.regexp_replace(c, r"^[a-z][a-z0-9+.-]*://", "")
+    hostport = F.substring_index(rest, "/", 1)
+    pathq = F.substr(rest, F.length(hostport) + F.lit(1))
+    host = F.substring_index(hostport, ":", 1)
+    port = F.nullif(F.substr(hostport, F.length(host) + F.lit(2)),
+                    F.lit(""))
+    rhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.substring_index(pathq, "?", 1)
+    query = F.nullif(F.substr(pathq, F.length(path) + F.lit(2)), F.lit(""))
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rhost,
+        F.coalesce(F.concat(F.lit(":"), port), F.lit("")),
+        F.lit(")"), path,
+        F.coalesce(F.concat(F.lit("?"), sorted_q), F.lit("")))
