@@ -1672,6 +1672,46 @@ WINDOW w AS (PARTITION BY event_id % 7 ORDER BY event_id)
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup spans (functions/dedup.py dup_span_removal,
+    Lee et al. 2022 shape): length-16 token windows, keep the globally
+    first occurrence, merge later occurrences into maximal per-doc
+    removal spans. Spark ranks window occurrences by xxhash64 key; the
+    DuckDB oracle ranks the literal window STRINGS and merges islands
+    with its own lag/running-sum — same semantics, independent machinery."""
+    from crawlspark.functions.dedup import dup_span_removal
+    return dup_span_removal(_t(spark, sf_dir, "documents"), span_tokens=16)
+
+
+SQL_DUP_SPANS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+w AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(toks[u.i+1:u.i+16], ' ') AS win
+  FROM t, unnest(range(0, len(toks) - 16 + 1)) AS u(i)),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM w),
+f AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+g AS (SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM f),
+i AS (SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 16
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM g)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + 16 AS INT) AS span_end,
+       CAST(MAX(pos) + 16 - MIN(pos) AS INT) AS span_tokens
+FROM i GROUP BY doc_id, isl
+"""
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Freshness-driven recrawl scheduling (frontier/recrawl.py): events
     become a per-URL fetch history (one URL per user, ts = event_id
@@ -3343,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "warc_source": q_warc_source,
         "recrawl_priority": q_recrawl_priority,
+        "dup_spans": q_dup_spans,
         "url_traps": q_url_traps,
         "cdx_surt": q_cdx_surt,
         "pack_sequences": q_pack_sequences,
@@ -3444,6 +3485,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "warc_source": SQL_WARC_SOURCE,
         "recrawl_priority": SQL_RECRAWL_PRIORITY,
+        "dup_spans": SQL_DUP_SPANS,
         "url_traps": SQL_URL_TRAPS,
         "cdx_surt": SQL_CDX_SURT,
         "pack_sequences": SQL_PACK_SEQUENCES,

@@ -524,3 +524,68 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
                                    F.col(id_col).cast("long")))
             .withColumn("is_canonical",
                         F.col(id_col).cast("long") == F.col("component")))
+
+
+def dup_span_removal(docs: DataFrame, span_tokens: int = 16,
+                     text_col: str = "text", id_col: str = "doc_id"
+                     ) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): every length-L
+    token window that occurs more than once in the corpus keeps only its
+    globally-first occurrence (min (doc_id, pos)); each LATER occurrence
+    marks its L tokens for removal, and overlapping/adjacent marked
+    windows merge into maximal removal spans per document. Output: one
+    row per span (doc_id, span_start, span_end, span_tokens) with
+    token-index half-open bounds [span_start, span_end).
+
+    This is the suffix-array pass of the paper re-expressed as windows:
+    a duplicated substring of length >= L is exactly a run of duplicated
+    L-windows, so the merged spans equal the paper's maximal duplicated
+    regions (up to the L-1 tail tokens of a run, the standard windowed
+    approximation).
+
+    Scale shape: the window table is O(total tokens) rows of
+    (doc_id, pos, hash) -- ~20 B/row, strings never leave the scan
+    (xxhash64 of the window rides the exchange; a 64-bit collision merges
+    two window groups, the same trade as segment_dedup, negligible below
+    ~10^9 distinct windows). ONE corpus-scale shuffle keyed by the window
+    hash ranks occurrences; only the FLAGGED rows (the duplicated tail,
+    tiny on a clean corpus) reach the per-doc island merge, whose window
+    is partitioned by doc id -- never unpartitioned.
+    """
+    from pyspark.sql import Window
+    from .text import ws_tokens
+
+    L = int(span_tokens)
+    toks = ws_tokens(F.col(text_col))
+    nwin = (F.size(toks) - F.lit(L) + F.lit(1)).cast("int")
+    wins = F.when(
+        nwin > 0,
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.xxhash64(F.array_join(F.slice(toks, i + 1, L), " "))
+                .alias("h")))
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+
+    ex = (docs.select(F.col(id_col), F.explode(wins).alias("w"))
+          .select(id_col, F.col("w.pos").alias("pos"),
+                  F.col("w.h").alias("h")))
+    occ = Window.partitionBy("h").orderBy(id_col, "pos")
+    flagged = (ex.withColumn("_rn", F.row_number().over(occ))
+               .filter(F.col("_rn") > 1).drop("_rn", "h"))
+
+    perdoc = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(perdoc)
+    new_island = F.when(prev.isNull() | (F.col("pos") > prev + F.lit(L)),
+                        F.lit(1)).otherwise(F.lit(0))
+    islands = (flagged
+               .withColumn("_isl", F.sum(new_island).over(
+                   perdoc.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy(id_col, "_isl")
+            .agg(F.min("pos").cast("int").alias("span_start"),
+                 (F.max("pos") + F.lit(L)).cast("int").alias("span_end"))
+            .select(id_col, "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_tokens")))

@@ -108,3 +108,23 @@ def test_surt_key_examples(spark):
     got = {r["u"]: r["s"] for r in
            df.select("u", surt_key("u").alias("s")).collect()}
     assert got == cases
+
+
+def test_dup_span_removal_exact_shapes(spark):
+    from crawlspark.functions.dedup import dup_span_removal
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h"),
+         Row(doc_id=2, text="x x a b c d e y"),
+         Row(doc_id=3, text="a b c d q q q q a b c d"),
+         Row(doc_id=4, text="a b c d e f g h"),
+         Row(doc_id=5, text="short"),
+         Row(doc_id=6, text="  ")])
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dup_span_removal(docs, span_tokens=4).collect())
+    assert spans == [
+        (2, 2, 7, 5),    # shares "a b c d e" with doc 1 (not first)
+        (3, 0, 4, 4),    # two separate repeats of "a b c d"
+        (3, 8, 12, 4),
+        (4, 0, 8, 8),    # full duplicate of doc 1: one merged span
+    ]
