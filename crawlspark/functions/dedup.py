@@ -557,17 +557,28 @@ def dup_span_removal(docs: DataFrame, span_tokens: int = 16,
     from .text import ws_tokens
 
     L = int(span_tokens)
-    toks = ws_tokens(F.col(text_col))
-    nwin = (F.size(toks) - F.lit(L) + F.lit(1)).cast("int")
-    wins = F.when(
-        nwin > 0,
-        F.transform(
-            F.sequence(F.lit(0), nwin - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.xxhash64(F.array_join(F.slice(toks, i + 1, L), " "))
-                .alias("h")))
-    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    empty = F.array().cast("array<struct<pos:int,h:bigint>>")
+
+    # Single-element-transform "let": bind the token array ONCE per row.
+    # Referencing ws_tokens() directly inside the windows lambda inlines
+    # the split into the lambda body, where interpreted HOF eval
+    # recomputes it PER WINDOW — O(tokens × windows) per doc, a 1000×
+    # blowup on 1k-token documents. The outer transform's argument is
+    # evaluated once per row; the inner lambda slices the bound array.
+    def _windows(t):
+        nwin = (F.size(t) - F.lit(L) + F.lit(1)).cast("int")
+        return F.when(
+            nwin > 0,
+            F.transform(
+                F.sequence(F.lit(0), nwin - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.xxhash64(F.array_join(F.slice(t, i + 1, L), " "))
+                    .alias("h")))
+        ).otherwise(empty)
+
+    wins = F.element_at(
+        F.transform(F.array(ws_tokens(F.col(text_col))), _windows), 1)
 
     ex = (docs.select(F.col(id_col), F.explode(wins).alias("w"))
           .select(id_col, F.col("w.pos").alias("pos"),

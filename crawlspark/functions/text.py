@@ -203,15 +203,22 @@ def segment_dedup(docs, seg_tokens: int = 8, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    toks = ws_tokens(F.col(text_col))
-    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
-    seg_arr = F.when(
-        n_seg > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    # single-element-transform "let": bind the token array once per row —
+    # inlining ws_tokens into the segments lambda would recompute the
+    # split PER SEGMENT under interpreted HOF eval (same fix as
+    # dedup.dup_span_removal; O(tokens × segments) otherwise)
+    def _segments(t):
+        n_seg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
+        return F.when(
+            n_seg > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(t, i * seg_tokens + 1, seg_tokens), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    seg_arr = F.element_at(
+        F.transform(F.array(ws_tokens(F.col(text_col))), _segments), 1)
 
     ex = docs.select(F.col(id_col),
                      F.posexplode(seg_arr).alias("seg_idx", "seg"))
