@@ -68,12 +68,18 @@ def exact_dup_pairs(docs: DataFrame, text_col: str = "text",
 
 def word_ngrams(c, n: int = 3):
     """Distinct, sorted word n-grams of a text column (array<string>).
-    A doc shorter than n yields its whole token string as the single gram."""
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
-    n_grams = F.greatest(F.size(toks) - n + 1, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    A doc shorter than n yields its whole token string as the single gram.
+    The token array is let-bound via a single-element transform so the
+    split runs once per row, not once per gram (interpreted HOF eval
+    re-executes lambda-body subexpressions per element)."""
+    def _grams(toks):
+        n_grams = F.greatest(F.size(toks) - n + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    grams = F.element_at(
+        F.transform(F.array(F.split(F.lower(F.trim(c)), r"\s+")), _grams), 1)
     return F.array_sort(F.array_distinct(grams))
 
 

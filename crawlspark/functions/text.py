@@ -117,13 +117,19 @@ def top_token_ratio(c: Column) -> Column:
     """Frequency of the single most common token / total tokens. Per-row
     O(unique·n) array expression — bounded by doc length, stays inside
     WholeStageCodegen (no shuffle, no Python)."""
-    toks = F.transform(ws_tokens(c), lambda t: F.lower(t))
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda d: F.size(F.filter(toks, lambda t: t == d)))
-    return F.when(F.size(toks) > 0,
-                  F.array_max(counts) / F.size(toks)) \
-            .otherwise(F.lit(0.0))
+    # let-bind the lowered token array: referencing it inside the counts
+    # lambda would re-run the split+lower chain once per DISTINCT token
+    def _ratio(toks):
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)))
+        return F.when(F.size(toks) > 0,
+                      F.array_max(counts) / F.size(toks)) \
+                .otherwise(F.lit(0.0))
+
+    return F.element_at(
+        F.transform(F.array(F.transform(ws_tokens(c),
+                                        lambda t: F.lower(t))), _ratio), 1)
 
 
 def dup_2gram_ratio(c: Column) -> Column:
