@@ -181,6 +181,18 @@ class CrawlConfig:
     # downstream store can skip the duplicate payload. Off by default:
     # dropping duplicate payloads is a crawl policy, not a fetch semantic.
     phash_dedup: bool = False
+    # crawler-trap suppression (frontier/traps.py applied to the round
+    # loop): once a (host, digit-collapsed path template) has accumulated
+    # this many FETCHED urls, further children matching it are dropped at
+    # insert — the standard template-explosion mitigation (calendar pages,
+    # session-id permutations). Counts ride an APPEND state table
+    # (trap_counts: this round's per-template fetch counts, O(k) rows);
+    # the flagged set is the aggregate ≥ threshold, broadcast into ONE
+    # anti-join on the O(k·fanout) children — the frontier itself is never
+    # touched. Round r's insert uses counts through round r-1 (the
+    # committed state), which the oracle mirrors exactly. None ⇒ off
+    # (trap policy, like auto_submit_forms).
+    trap_max_urls: int | None = None
     # merge-on-read frontier commits: a normal round writes only the O(k)
     # deltas (frontier_add: children kept; frontier_rm: removal hashes) and
     # the read reconstructs frontier = base ∖ removals ∪ (adds ∖ any
@@ -429,6 +441,17 @@ class CrawlEngine:
         host_state = store.read("host_state")
         jar = store.read("cookies")        # round-start cookie state (S7)
         jar_map = self._jar_map(jar)
+        # trap suppression: flagged templates as of ROUND START (counts
+        # through round r-1 — append table, aggregated at read)
+        trap_flagged = None
+        if cfg.trap_max_urls is not None:
+            tc = store.read("trap_counts")
+            if tc is not None:
+                trap_flagged = (tc.groupBy("host", "template")
+                                .agg(F.sum("n").alias("n"))
+                                .filter(F.col("n")
+                                        >= F.lit(int(cfg.trap_max_urls)))
+                                .select("host", "template"))
         base_seq = store.counters().get("fetched_total", 0)
 
         if frontier is None:
@@ -761,6 +784,16 @@ class CrawlEngine:
                     .join(F.broadcast(self.robots), "host", "left")
                     .filter(self._robots_allowed)
                     .select(*FRONTIER_COLS))
+        if trap_flagged is not None:
+            # flagged templates are O(templates) — broadcast anti-join on
+            # the O(k·fanout) children; the wide frontier is never touched
+            children = (children
+                        .withColumn("_tpl", F.regexp_replace(
+                            F.col("path"), "[0-9]+", "N"))
+                        .join(F.broadcast(trap_flagged.withColumnRenamed(
+                            "template", "_tpl")),
+                            ["host", "_tpl"], "left_anti")
+                        .drop("_tpl"))
 
         # 11. next state. `remaining` was already seen-filtered this round
         # (it is a subset of `allowed`), so only the round's own fetches
@@ -1008,6 +1041,21 @@ class CrawlEngine:
         }
         if cookies_next is not None:
             tables["cookies"] = cookies_next
+        if cfg.trap_max_urls is not None:
+            # this round's per-template FETCH counts (append table, O(k)
+            # rows/round; host+path derived from canon with pure Column
+            # ops — refreshes carry no path column)
+            _rest = F.regexp_replace(F.col("canon"),
+                                     "^[a-z][a-z0-9+.-]*://", "")
+            _hp = F.substring_index(_rest, "/", 1)
+            _path = F.substring_index(
+                F.substr(_rest, F.length(_hp) + F.lit(1)), "?", 1)
+            tables["trap_counts"] = (
+                all_fetched
+                .select("host", F.regexp_replace(
+                    _path, "[0-9]+", "N").alias("template"))
+                .groupBy("host", "template")
+                .agg(F.count(F.lit(1)).alias("n")))
         if payload_dups is not None:
             tables["payload_dups"] = payload_dups
             tables["phash_seen"] = phash_winners

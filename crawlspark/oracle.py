@@ -21,6 +21,7 @@ reference does not have (SURVEY.md §3.4).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from .hashing import xxh64_str
@@ -45,7 +46,8 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
              form_encoding: str | None = None,
              initial_cookies: dict | None = None,
              image_phash: dict | None = None,
-             phash_dedup: bool = False) -> OracleResult:
+             phash_dedup: bool = False,
+             trap_max_urls: int | None = None) -> OracleResult:
     """pages_by_url: canonical url -> page dict (FIXTURES.md §2 row shape);
     robots: host -> (disallow_prefixes, crawl_delay_ms);
     seeds: [url, ...] in seed_pos order.
@@ -69,6 +71,12 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
       * {"rules": [(allow, pattern), ...], "crawl_delay_ms": int} — full
         RFC 9309 longest-match, decided by frontier.robots.rule_allows
         (e.g. the output of parse_robots over fetched /robots.txt bodies).
+
+    ``trap_max_urls`` (engine cfg.trap_max_urls): once a (host,
+    digit-collapsed path template) has accumulated that many FETCHED urls,
+    children matching it stop being inserted. Round r's insert uses counts
+    through round r-1, exactly like the engine's committed trap_counts
+    state.
     """
     from .frontier.robots import rule_allows
 
@@ -137,6 +145,10 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
         })
     base_seq = 0
     credit: dict[str, int] = {}  # host -> credit_ms (§2.7 carryover)
+    trap_n: dict[tuple, int] = {}  # (host, template) -> fetched-url count
+
+    def _tmpl(path: str) -> str:
+        return re.sub(r"[0-9]+", "N", path)
 
     for r in range(max_rounds):
         # 1. dedup by url_hash — keep best by (priority desc, discovered_seq)
@@ -264,6 +276,17 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                     delay,
                     max(0, round_ms + c - used.get(host, 0) * delay))
 
+        # 11b. trap suppression: this round's inserts use counts through
+        # round r-1 (the engine's committed trap_counts state); the
+        # round's own fetches roll in AFTER the flagged snapshot
+        flagged0: set = set()
+        if trap_max_urls is not None:
+            flagged0 = {ht for ht, n in trap_n.items()
+                        if n >= trap_max_urls}
+            for e in res.fetch_log[len(res.fetch_log) - n_fetched:]:
+                ht = (host_of(e["canon"]), _tmpl(path_of(e["canon"])))
+                trap_n[ht] = trap_n.get(ht, 0) + 1
+
         # 11. next frontier: deferred survivors-of-1-3 + children
         # (children hit the insert-time robots filter here)
         remaining = [row for row in allowed
@@ -271,7 +294,8 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
         frontier = remaining + [
             c for c in children
             if c["url_hash"] not in res.seen
-            and not robots_blocked(c["host"], c["path"])]
+            and not robots_blocked(c["host"], c["path"])
+            and (c["host"], _tmpl(c["path"])) not in flagged0]
         res.rounds = r + 1
     return res
 
