@@ -293,6 +293,74 @@ def _sql_link_pagerank() -> str:
         PAGERANK_NODES, iters=PAGERANK_ITERS)
 
 
+def q_link_hits(spark, sf_dir):
+    """Hubs & authorities (Kleinberg HITS) over the same lineitem-derived
+    link graph as link_pagerank: 4 exact integer fixed-point iterations
+    with L1 normalization (raw·scale div total), bit-identical to the
+    DuckDB unrolled-CTE twin — no float-order hazard."""
+    from crawlspark.functions.graph import hits_fixed_point
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % PAGERANK_NODES).alias("src"),
+        (F.col("l_partkey") % PAGERANK_NODES).alias("dst"))
+    return hits_fixed_point(edges, PAGERANK_NODES, iters=4)
+
+
+def _sql_link_hits() -> str:
+    from crawlspark.functions.graph import hits_sql
+    return hits_sql(
+        f"SELECT DISTINCT l_orderkey % {PAGERANK_NODES} AS src, "
+        f"l_partkey % {PAGERANK_NODES} AS dst FROM lineitem",
+        PAGERANK_NODES, iters=4)
+
+
+def q_anchor_text(spark, sf_dir):
+    """Per-target anchor-text rollup (functions/graph.py
+    anchor_text_summary): links synthesized from events (dst spread over
+    211 urls; anchors repeat a word to create tf variance), top-3 terms
+    per dst by (tf desc, term asc) + in-link counts. One (dst,term)
+    hash-agg + one (dst) count + a per-dst window over distinct terms."""
+    from crawlspark.functions.graph import anchor_text_summary
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    links = ev.select(
+        F.concat(F.lit("http://h"), (eid % 20).cast("string"),
+                 F.lit(".example/p/"), eid.cast("string")).alias("src"),
+        F.concat(F.lit("http://t"), (eid % 7).cast("string"),
+                 F.lit(".example/d/"), (eid % 211).cast("string"))
+        .alias("dst"),
+        F.concat(F.lit("w"), (eid % 5).cast("string"),
+                 F.lit(" w"), (eid % 11).cast("string"),
+                 F.lit(" w"), (eid % 5).cast("string")).alias("anchor"))
+    return anchor_text_summary(links, k=3)
+
+
+SQL_ANCHOR_TEXT = """
+WITH links AS (
+  SELECT 'http://t' || (event_id % 7)::VARCHAR || '.example/d/'
+             || (event_id % 211)::VARCHAR AS dst,
+         'w' || (event_id % 5)::VARCHAR || ' w'
+             || (event_id % 11)::VARCHAR || ' w'
+             || (event_id % 5)::VARCHAR AS anchor
+  FROM events),
+terms AS (
+  SELECT dst, u.term, CAST(count(*) AS BIGINT) AS tf
+  FROM links, unnest(string_split(lower(anchor), ' ')) AS u(term)
+  GROUP BY dst, u.term),
+ranked AS (
+  SELECT dst, term, tf,
+         CAST(row_number() OVER (PARTITION BY dst
+                                 ORDER BY tf DESC, term ASC) AS INT)
+             AS term_rank
+  FROM terms),
+inl AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks
+        FROM links GROUP BY dst)
+SELECT r.dst, r.term, r.tf, r.term_rank, i.n_inlinks
+FROM ranked r JOIN inl i ON r.dst = i.dst
+WHERE r.term_rank <= 3
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time enrichment: every non-purchase event picks up the
     user's most recent purchase at-or-before it (value + timestamp).
@@ -3331,6 +3399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_rollup": q_event_window_rollup,
         "event_sessions": q_event_sessions,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
+        "anchor_text": q_anchor_text,
         "asof_join": q_asof_join,
         "stratified_sample": q_stratified_sample,
         "sample_topn": q_sample_topn,
@@ -3428,6 +3498,8 @@ def oracle_sql() -> dict[str, str]:
         "event_window_rollup": SQL_EVENT_WINDOW_ROLLUP,
         "event_sessions": SQL_EVENT_SESSIONS,
         "link_pagerank": _sql_link_pagerank(),
+        "link_hits": _sql_link_hits(),
+        "anchor_text": SQL_ANCHOR_TEXT,
         "asof_join": SQL_ASOF_JOIN,
         "stratified_sample": _sql_stratified_sample(),
         "sample_topn": _sql_sample_topn(),

@@ -98,3 +98,59 @@ def test_empty_and_invalid(spark):
         pagerank_fixed_point(df, 0)
     with pytest.raises(ValueError):
         pagerank_fixed_point(df, 3, d_num=100)
+
+
+def test_hits_matches_duckdb_twin_bit_exact(spark):
+    """Spark integer HITS vs the DuckDB unrolled-CTE twin on a small
+    asymmetric graph — every (node, hub, authority) triple bit-equal."""
+    import duckdb
+
+    from crawlspark.functions.graph import hits_fixed_point, hits_sql
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4), (4, 2), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits_fixed_point(df, 8, iters=4).collect())
+    sql = hits_sql(
+        "SELECT * FROM (VALUES " +
+        ", ".join(f"({s}, {d})" for s, d in edges) + ") AS t(src, dst)", 8,
+        iters=4)
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+    by_node = {n: (h, a) for n, h, a in got}
+    assert by_node[2][1] > by_node[1][1]      # 2 is the authority hub-magnet
+    assert by_node[0][0] > by_node[3][0]      # 0 points at more mass than 3
+    assert by_node[6] == (0, 0) and by_node[7] == (0, 0)  # isolated
+    # L1 normalization: each side sums to ~scale (floor drift only)
+    assert sum(h for h, _ in by_node.values()) <= 10 ** 9
+    assert sum(h for h, _ in by_node.values()) > 10 ** 9 - 8
+
+
+def test_hits_guards(spark):
+    import pytest as _pt
+
+    from crawlspark.functions.graph import hits_fixed_point
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pt.raises(ValueError, match="iteration"):
+        hits_fixed_point(df, 2, iters=0)
+    with _pt.raises(ValueError, match="overflow"):
+        hits_fixed_point(df, 2, scale=4 * 10 ** 9)
+    with _pt.raises(ValueError, match="positive"):
+        hits_fixed_point(df, 0)
+
+
+def test_anchor_text_summary_topk(spark):
+    from crawlspark.functions.graph import anchor_text_summary
+    rows = [("s1", "d1", "Best Cat pictures"),
+            ("s2", "d1", "cat PICTURES here"),
+            ("s3", "d1", "dog pictures"),
+            ("s4", "d2", "one two")]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    out = {(r["dst"], r["term_rank"]): (r["term"], r["tf"], r["n_inlinks"])
+           for r in anchor_text_summary(df, k=2).collect()}
+    assert out[("d1", 1)] == ("pictures", 3, 3)
+    assert out[("d1", 2)] == ("cat", 2, 3)
+    assert out[("d2", 1)] == ("one", 1, 1)   # tie of 1s: term asc
+    assert out[("d2", 2)] == ("two", 1, 1)
+    assert len(out) == 4
