@@ -1780,6 +1780,51 @@ FROM i GROUP BY doc_id, isl
 """
 
 
+def q_main_content(spark, sf_dir):
+    """Boilerplate removal (operators/content.py, simplified jusText):
+    each document is wrapped in deterministic HTML chrome (header nav, a
+    100%-link-density div, footer) around its two text halves, then the
+    block extractor segments + classifies. The oracle composes the
+    expected blocks DIRECTLY from the document tokens (halves via array
+    slicing, the link block as a literal) — parse(build(x)) == x, with
+    integer link density so no float contract."""
+    from crawlspark.functions.text import ws_tokens
+    from crawlspark.operators.content import main_content_blocks
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    ceil_h = ((n + 1) / 2).cast("int")
+    h1 = F.array_join(F.slice(toks, 1, ceil_h), " ")
+    h2 = F.array_join(F.slice(toks, ceil_h + 1, (n / 2).cast("int")), " ")
+    body = F.concat(
+        F.lit("<html><header>site nav "),
+        F.col("doc_id").cast("string"),
+        F.lit("</header><p>"), h1,
+        F.lit('</p><div><a href="/x">more links here</a></div><p>'), h2,
+        F.lit("</p><footer>(c) "), F.col("doc_id").cast("string"),
+        F.lit("</footer></html>"))
+    return main_content_blocks(docs.select("doc_id", body.alias("body")))
+
+
+SQL_MAIN_CONTENT = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents)
+SELECT doc_id, 0 AS block_idx,
+       array_to_string(toks[1:(n+1)//2], ' ') AS text,
+       CAST((n+1)//2 AS INT) AS n_words, 0 AS link_pct,
+       TRUE AS is_content
+FROM t
+UNION ALL
+SELECT doc_id, 1, 'more links here', 3, 100, FALSE FROM t
+UNION ALL
+SELECT doc_id, 2, array_to_string(toks[(n+1)//2+1:n], ' '),
+       CAST(n - (n+1)//2 AS INT), 0, TRUE
+FROM t
+"""
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Freshness-driven recrawl scheduling (frontier/recrawl.py): events
     become a per-URL fetch history (one URL per user, ts = event_id
@@ -3454,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_source": q_warc_source,
         "recrawl_priority": q_recrawl_priority,
         "dup_spans": q_dup_spans,
+        "main_content": q_main_content,
         "url_traps": q_url_traps,
         "cdx_surt": q_cdx_surt,
         "pack_sequences": q_pack_sequences,
@@ -3558,6 +3604,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_source": SQL_WARC_SOURCE,
         "recrawl_priority": SQL_RECRAWL_PRIORITY,
         "dup_spans": SQL_DUP_SPANS,
+        "main_content": SQL_MAIN_CONTENT,
         "url_traps": SQL_URL_TRAPS,
         "cdx_surt": SQL_CDX_SURT,
         "pack_sequences": SQL_PACK_SEQUENCES,

@@ -1,0 +1,79 @@
+"""Main-content extraction (operators/content.py): block segmentation,
+chrome-subtree dropping, integer link density, classification bounds,
+and the Spark block/main-text paths."""
+
+from pyspark.sql import Row
+
+from crawlspark.operators.content import (extract_blocks,
+                                          main_content_blocks, main_text)
+
+
+def test_segmentation_and_chrome_dropped():
+    html = ("<html><header>Site <nav>Home About</nav> chrome</header>"
+            "<p>one two three four five six</p>"
+            "<div><a href='/x'>all link text</a></div>"
+            "<p>tail block with plenty of words here</p>"
+            "<footer>(c) 2024 corp</footer></html>")
+    blocks = extract_blocks(html)
+    assert [b["block_idx"] for b in blocks] == [0, 1, 2]
+    assert blocks[0]["text"] == "one two three four five six"
+    assert blocks[0]["is_content"] and blocks[0]["link_pct"] == 0
+    assert blocks[1]["text"] == "all link text"
+    assert blocks[1]["link_pct"] == 100 and not blocks[1]["is_content"]
+    assert blocks[2]["is_content"]
+
+
+def test_entities_br_and_unclosed_tags():
+    html = "<p>salt &amp; pepper<br>third and fourth words now</p><div>tail"
+    blocks = extract_blocks(html)
+    assert blocks[0]["text"] == "salt & pepper third and fourth words now"
+    assert blocks[0]["n_words"] == 8
+    # unclosed <div> still flushes at close()
+    assert blocks[1]["text"] == "tail"
+
+
+def test_link_density_boundary_exact_50_rejected():
+    # 5 link chars vs 10 total => 50% == max_link_pct -> NOT content
+    html = "<p>aa bbb <a href='/'>ccccc</a> word word word</p>"
+    b = extract_blocks(html)[0]
+    assert b["n_words"] == 6
+    assert b["link_pct"] == (5 * 100) // 22  # 22 non-space chars total
+    assert b["is_content"]
+    html2 = "<p>abcde <a href='/'>fghij</a> x y z w</p>"
+    b2 = extract_blocks(html2, max_link_pct=35)[0]
+    assert b2["link_pct"] == (5 * 100) // 14  # 35
+    assert not b2["is_content"]
+
+
+def test_min_words_boundary():
+    assert not extract_blocks("<p>one two three four</p>")[0]["is_content"]
+    assert extract_blocks("<p>one two three four five</p>")[0]["is_content"]
+    assert extract_blocks("<p>a b c</p>", min_words=3)[0]["is_content"]
+
+
+def test_nested_drop_subtrees_and_empty_body():
+    html = ("<nav>top <footer>deep</footer> still-chrome</nav>"
+            "<p>real words appear here today</p>")
+    blocks = extract_blocks(html)
+    assert len(blocks) == 1 and blocks[0]["text"].startswith("real")
+    assert extract_blocks("") == []
+    assert extract_blocks(None) == []
+
+
+def test_spark_blocks_and_main_text(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, body="<header>x</header><p>alpha beta gamma delta "
+                           "epsilon</p><div><a href='/'>spam spam spam"
+                           "</a></div><p>zeta eta theta iota kappa</p>"),
+        Row(doc_id=2, body="<p>too short</p>"),
+    ])
+    rows = {(r["doc_id"], r["block_idx"]): r
+            for r in main_content_blocks(docs).collect()}
+    assert rows[(1, 0)]["is_content"] and rows[(1, 2)]["is_content"]
+    assert not rows[(1, 1)]["is_content"]
+    assert not rows[(2, 0)]["is_content"]
+    mt = {r["doc_id"]: r for r in main_text(docs).collect()}
+    assert mt[1]["main_text"] == ("alpha beta gamma delta epsilon\n"
+                                  "zeta eta theta iota kappa")
+    assert (mt[1]["n_blocks"], mt[1]["n_content_blocks"]) == (3, 2)
+    assert mt[2]["main_text"] == "" and mt[2]["n_content_blocks"] == 0
