@@ -1780,6 +1780,56 @@ FROM i GROUP BY doc_id, isl
 """
 
 
+def q_vocab_topv(spark, sf_dir):
+    """Corpus vocabulary (functions/text.py vocab_topv): top-20 terms by
+    total tf, ties term asc. One term hash-agg; the rank window's input
+    is the aggregated vocabulary-sized table."""
+    from crawlspark.functions.text import vocab_topv
+    return vocab_topv(_t(spark, sf_dir, "documents"), v=20)
+
+
+SQL_VOCAB_TOPV = """
+WITH terms AS (
+  SELECT u.term, CAST(count(*) AS BIGINT) AS tf
+  FROM documents,
+       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(term)
+  GROUP BY u.term)
+SELECT term, tf,
+       CAST(row_number() OVER (ORDER BY tf DESC, term ASC) AS INT)
+           AS vocab_rank
+FROM terms
+QUALIFY vocab_rank <= 20
+"""
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate vs the top-20 corpus vocabulary,
+    in exact integer ppm (div — bit-equal to DuckDB //). The vocab is
+    broadcast into the token join; the corpus shuffles once (doc regroup)."""
+    from crawlspark.functions.text import oov_rate_ppm, vocab_topv
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate_ppm(docs, vocab_topv(docs, v=20))
+
+
+SQL_OOV_RATE = """
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(term)),
+terms AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY term),
+vocab AS (SELECT term FROM terms
+          QUALIFY row_number() OVER (ORDER BY tf DESC, term ASC) <= 20)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS oov_ppm
+FROM tok t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.doc_id
+"""
+
+
 def q_main_content(spark, sf_dir):
     """Boilerplate removal (operators/content.py, simplified jusText):
     each document is wrapped in deterministic HTML chrome (header nav, a
@@ -3500,6 +3550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": q_recrawl_priority,
         "dup_spans": q_dup_spans,
         "main_content": q_main_content,
+        "vocab_topv": q_vocab_topv,
+        "oov_rate": q_oov_rate,
         "url_traps": q_url_traps,
         "cdx_surt": q_cdx_surt,
         "pack_sequences": q_pack_sequences,
@@ -3605,6 +3657,8 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_priority": SQL_RECRAWL_PRIORITY,
         "dup_spans": SQL_DUP_SPANS,
         "main_content": SQL_MAIN_CONTENT,
+        "vocab_topv": SQL_VOCAB_TOPV,
+        "oov_rate": SQL_OOV_RATE,
         "url_traps": SQL_URL_TRAPS,
         "cdx_surt": SQL_CDX_SURT,
         "pack_sequences": SQL_PACK_SEQUENCES,

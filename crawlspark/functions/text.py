@@ -279,3 +279,43 @@ def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
                  .alias("sum_lp_micro"))
             .withColumn("mean_lp_micro",
                         F.expr("sum_lp_micro div n_tokens")))
+
+
+def vocab_topv(docs, v: int = 1000, text_col: str = "text"):
+    """Corpus vocabulary: the top-``v`` terms by total term frequency
+    (ties: term asc) with (term, tf, vocab_rank). ONE (term) hash-agg —
+    partial aggregation combines map-side, so the exchange carries one
+    row per term per map partition — then a single bounded top-v rank.
+    The rank window is unpartitioned but its input is the AGGREGATED term
+    table (vocabulary-sized, not corpus-sized); at web scale cap it
+    further with an approximate tf cutoff before the window."""
+    from pyspark.sql import Window
+
+    terms = (docs.select(F.explode(ws_tokens(F.lower(F.col(text_col))))
+                         .alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("tf")))
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (terms.withColumn("vocab_rank",
+                             F.row_number().over(w).cast("int"))
+            .filter(F.col("vocab_rank") <= v))
+
+
+def oov_rate_ppm(docs, vocab, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """(id, n_tokens, n_oov, oov_ppm): per-document out-of-vocabulary
+    rate in exact integer parts-per-million (n_oov·1e6 div n_tokens —
+    bit-equal to the SQL oracle's ``//``). The vocabulary is v rows —
+    broadcast into the token left-join, so the corpus token table
+    shuffles once (the id regroup) and the vocab never does."""
+    toks = (docs.select(F.col(id_col),
+                        F.explode(ws_tokens(F.lower(F.col(text_col))))
+                        .alias("term")))
+    joined = toks.join(F.broadcast(vocab.select("term",
+                                                F.lit(1).alias("_inv"))),
+                       "term", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("_inv").isNull(), 1))
+                 .alias("n_oov"))
+            .withColumn("oov_ppm",
+                        F.expr("(n_oov * 1000000) div n_tokens")))

@@ -77,3 +77,19 @@ def test_spark_blocks_and_main_text(spark):
                                   "zeta eta theta iota kappa")
     assert (mt[1]["n_blocks"], mt[1]["n_content_blocks"]) == (3, 2)
     assert mt[2]["main_text"] == "" and mt[2]["n_content_blocks"] == 0
+
+
+def test_vocab_and_oov(spark):
+    from crawlspark.functions.text import oov_rate_ppm, vocab_topv
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b x y"), (3, "z z")],
+        "doc_id long, text string")
+    vocab = {(r["term"], r["tf"], r["vocab_rank"])
+             for r in vocab_topv(docs, v=3).collect()}
+    # tf: a=4 b=3 z=2 c=1 x=1 y=1 -> top3 = a,b,z
+    assert vocab == {("a", 4, 1), ("b", 3, 2), ("z", 2, 3)}
+    oov = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"])
+           for r in oov_rate_ppm(docs, vocab_topv(docs, v=3)).collect()}
+    assert oov[1] == (6, 1, 1_000_000 // 6)
+    assert oov[2] == (4, 2, 500_000)
+    assert oov[3] == (2, 0, 0)
