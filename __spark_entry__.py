@@ -1780,6 +1780,30 @@ FROM i GROUP BY doc_id, isl
 """
 
 
+def q_postings(spark, sf_dir):
+    """Inverted-index postings (functions/retrieval.py postings): one
+    (term, doc) hash-agg over the posexploded token stream; positions as
+    a sorted comma-joined string. The oracle indexes tokens by
+    unnest(range()) subscripting and aggregates with an ORDER BY
+    string_agg — independent machinery, same contract."""
+    from crawlspark.functions.retrieval import postings
+    return postings(_t(spark, sf_dir, "documents"))
+
+
+SQL_POSTINGS = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, u.i AS pos, toks[u.i + 1] AS term
+  FROM t, unnest(range(0, len(toks))) AS u(i))
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM tok GROUP BY term, doc_id
+"""
+
+
 def q_vocab_topv(spark, sf_dir):
     """Corpus vocabulary (functions/text.py vocab_topv): top-20 terms by
     total tf, ties term asc. One term hash-agg; the rank window's input
@@ -3551,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "main_content": q_main_content,
         "vocab_topv": q_vocab_topv,
+        "postings": q_postings,
         "oov_rate": q_oov_rate,
         "url_traps": q_url_traps,
         "cdx_surt": q_cdx_surt,
@@ -3658,6 +3683,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": SQL_DUP_SPANS,
         "main_content": SQL_MAIN_CONTENT,
         "vocab_topv": SQL_VOCAB_TOPV,
+        "postings": SQL_POSTINGS,
         "oov_rate": SQL_OOV_RATE,
         "url_traps": SQL_URL_TRAPS,
         "cdx_surt": SQL_CDX_SURT,

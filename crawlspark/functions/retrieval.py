@@ -74,3 +74,25 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank"))
+
+
+def postings(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Inverted-index postings: (term, doc_id, tf, positions) with
+    0-based token positions as a comma-joined string (deterministically
+    sorted; a string rather than array<int> keeps the driver's value-hash
+    canonicalizer trivial). ONE corpus shuffle — the (term, doc) hash-agg
+    with map-side combine; position lists are per-(term,doc) bounded by
+    doc length. This is the indexing complement of bm25_topk: the same
+    shuffle shape the full-text index build pays at any scale."""
+    from .text import ws_tokens
+
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.lower(F.col(text_col))))
+        .alias("pos", "term"))
+    return (tok.groupBy("term", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list("pos")),
+                                 lambda x: x.cast("string")), ",")
+                 .alias("positions")))

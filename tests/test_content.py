@@ -93,3 +93,16 @@ def test_vocab_and_oov(spark):
     assert oov[1] == (6, 1, 1_000_000 // 6)
     assert oov[2] == (4, 2, 500_000)
     assert oov[3] == (2, 0, 0)
+
+
+def test_postings(spark):
+    from crawlspark.functions.retrieval import postings
+    docs = spark.createDataFrame(
+        [(1, "a b a c a"), (2, "c c")], "doc_id long, text string")
+    out = {(r["term"], r["doc_id"]): (r["tf"], r["positions"])
+           for r in postings(docs).collect()}
+    assert out[("a", 1)] == (3, "0,2,4")
+    assert out[("b", 1)] == (1, "1")
+    assert out[("c", 1)] == (1, "3")
+    assert out[("c", 2)] == (2, "0,1")
+    assert len(out) == 4
