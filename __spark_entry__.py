@@ -1780,6 +1780,31 @@ FROM i GROUP BY doc_id, isl
 """
 
 
+def q_event_dedup(spark, sf_dir):
+    """Batch twin of the streaming exactly-once dedup
+    (streaming/dedup_stream.py): events are re-delivered (every third
+    event arrives twice with a perturbed value), then deduped keep-min
+    per key with a delivery count — ONE hash-agg, min over raw doubles
+    (order-independent, no float contract needed). The streaming side
+    (dropDuplicatesWithinWatermark incl. state expiry) is pinned by
+    tests/test_streaming.py."""
+    from crawlspark.streaming.dedup_stream import dedup_batch
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    dup = (ev.filter(F.col("event_id") % 3 == 0)
+           .withColumn("value", F.col("value") + 1))
+    return dedup_batch(ev.unionByName(dup))
+
+
+SQL_EVENT_DEDUP = """
+WITH un AS (
+  SELECT event_id, value FROM events
+  UNION ALL
+  SELECT event_id, value + 1 AS value FROM events WHERE event_id % 3 = 0)
+SELECT event_id, min(value) AS value, CAST(count(*) AS BIGINT) AS n_seen
+FROM un GROUP BY event_id
+"""
+
+
 def q_postings(spark, sf_dir):
     """Inverted-index postings (functions/retrieval.py postings): one
     (term, doc) hash-agg over the posexploded token stream; positions as
@@ -3576,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "vocab_topv": q_vocab_topv,
         "postings": q_postings,
+        "event_dedup": q_event_dedup,
         "oov_rate": q_oov_rate,
         "url_traps": q_url_traps,
         "cdx_surt": q_cdx_surt,
@@ -3684,6 +3710,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": SQL_MAIN_CONTENT,
         "vocab_topv": SQL_VOCAB_TOPV,
         "postings": SQL_POSTINGS,
+        "event_dedup": SQL_EVENT_DEDUP,
         "oov_rate": SQL_OOV_RATE,
         "url_traps": SQL_URL_TRAPS,
         "cdx_surt": SQL_CDX_SURT,

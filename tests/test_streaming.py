@@ -277,3 +277,62 @@ def test_metrics_stream_watermark_late_data(spark):
     assert float(a["avg_value"]) == round(7.0 / 3, 6)
     b = keyed[("2024-01-01T10:02:00", "click")]
     assert b["n_events"] == 1
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: a re-delivery inside the watermark
+    horizon is dropped; after the key's state expires (watermark passed),
+    the same key is emitted again — the horizon IS the contract."""
+    import json
+    import os
+    import tempfile
+
+    from crawlspark.streaming.dedup_stream import dedup_stream
+
+    root = tempfile.mkdtemp(prefix="dedup_stream_")
+    indir = os.path.join(root, "in")
+    os.makedirs(indir)
+    src = (spark.readStream
+           .schema("ts timestamp, event_id long, value double")
+           .json(indir))
+    out = dedup_stream(src, key_cols=("event_id",), watermark="60 seconds")
+    q = (out.writeStream.format("memory").queryName("sdedup")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .start())
+
+    def drop(name, rows):
+        tmp = os.path.join(root, name)
+        with open(tmp, "w") as f:
+            for ts, eid, v in rows:
+                f.write(json.dumps(
+                    {"ts": ts, "event_id": eid, "value": v}) + "\n")
+        os.replace(tmp, os.path.join(indir, name))
+        q.processAllAvailable()
+
+    drop("f1.json", [("2024-01-01T10:00:00.000Z", 1, 1.0),
+                     ("2024-01-01T10:00:05.000Z", 2, 2.0)])
+    # re-delivery of key 1 INSIDE the horizon -> dropped
+    drop("f2.json", [("2024-01-01T10:00:30.000Z", 1, 9.0),
+                     ("2024-01-01T10:00:31.000Z", 3, 3.0)])
+    # advance the watermark far past key 1's state, then re-deliver it:
+    # state expired -> emitted AGAIN
+    drop("f3.json", [("2024-01-01T10:10:00.000Z", 4, 4.0)])
+    drop("f4.json", [("2024-01-01T10:09:30.000Z", 1, 7.0)])
+    q.stop()
+
+    rows = spark.sql("select event_id, value from sdedup").collect()
+    got = sorted((r["event_id"], r["value"]) for r in rows)
+    assert got == [(1, 1.0), (1, 7.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+
+
+def test_dedup_batch_twin(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.streaming.dedup_stream import dedup_batch
+    df = spark.createDataFrame(
+        [Row(event_id=1, value=5.0), Row(event_id=1, value=2.0),
+         Row(event_id=2, value=7.0)])
+    got = {r["event_id"]: (r["value"], r["n_seen"])
+           for r in dedup_batch(df).collect()}
+    assert got == {1: (2.0, 2), 2: (7.0, 1)}
