@@ -1780,6 +1780,43 @@ FROM i GROUP BY doc_id, isl
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (functions/text.py scrub_pii): deterministic PII is
+    injected into each document (email always; an IPv4 for every second
+    doc; a 16-digit number for every fifth), then masked with typed
+    tokens and counted. The oracle composes the expected scrubbed text
+    DIRECTLY from doc_id arithmetic — the regex machinery is never
+    consulted on the oracle side (scrub(build(x)) == expected)."""
+    from crawlspark.functions.text import scrub_pii
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"), F.lit(".com"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                        F.lit("."), (did % 200).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" card 4111222233334444"))
+        .otherwise(F.lit("")))
+    scrubbed, counts = scrub_pii(injected)
+    return docs.select("doc_id", scrubbed.alias("scrubbed"), *counts)
+
+
+SQL_PII_SCRUB = """
+SELECT doc_id,
+       text || ' contact <EMAIL>'
+            || CASE WHEN doc_id % 2 = 0 THEN ' from <IP>' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' card <NUM>' ELSE '' END
+           AS scrubbed,
+       1 AS n_email,
+       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_ipv4,
+       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_longnum
+FROM documents
+"""
+
+
 def q_event_dedup(spark, sf_dir):
     """Batch twin of the streaming exactly-once dedup
     (streaming/dedup_stream.py): events are re-delivered (every third
@@ -3602,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topv": q_vocab_topv,
         "postings": q_postings,
         "event_dedup": q_event_dedup,
+        "pii_scrub": q_pii_scrub,
         "oov_rate": q_oov_rate,
         "url_traps": q_url_traps,
         "cdx_surt": q_cdx_surt,
@@ -3711,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topv": SQL_VOCAB_TOPV,
         "postings": SQL_POSTINGS,
         "event_dedup": SQL_EVENT_DEDUP,
+        "pii_scrub": SQL_PII_SCRUB,
         "oov_rate": SQL_OOV_RATE,
         "url_traps": SQL_URL_TRAPS,
         "cdx_surt": SQL_CDX_SURT,

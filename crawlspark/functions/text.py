@@ -319,3 +319,32 @@ def oov_rate_ppm(docs, vocab, text_col: str = "text",
                  .alias("n_oov"))
             .withColumn("oov_ppm",
                         F.expr("(n_oov * 1000000) div n_tokens")))
+
+
+# -- PII scrubbing (the C4/CCNet-style pre-training scrub pass) ----------------
+
+# Cross-engine regex discipline: Spark compiles java.util.regex, DuckDB
+# compiles RE2 — the common subset used here is plain character classes
+# and counted repetition ONLY (no \b — RE2's differs from Java's around
+# punctuation; no lookarounds — RE2 lacks them entirely), so both engines
+# find the identical leftmost non-overlapping match set.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+     "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("longnum", r"[0-9]{10,}", "<NUM>"),
+)
+
+
+def scrub_pii(c: Column):
+    """(scrubbed text, n_email, n_ipv4, n_longnum) columns: mask emails,
+    IPv4 literals, and 10+-digit runs with typed placeholder tokens,
+    counting matches BEFORE masking. Replacement order is fixed
+    (email → ipv4 → longnum) so an IP's octets are never re-matched as a
+    digit run. Pure Column regexps — scan speed, zero Python."""
+    counts = [F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    out = c
+    for _name, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out, counts

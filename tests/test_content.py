@@ -106,3 +106,26 @@ def test_postings(spark):
     assert out[("c", 1)] == (1, "3")
     assert out[("c", 2)] == (2, "0,1")
     assert len(out) == 4
+
+
+def test_scrub_pii(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.functions.text import scrub_pii
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame([
+        Row(i=1, t="mail me at a.b+c@ex.co or 10.0.0.1 card 4111111111111111"),
+        Row(i=2, t="no pii here 123 1.2 short"),
+        Row(i=3, t="two ips 192.168.0.1 8.8.8.8 and x@y.io"),
+    ])
+    scrubbed, counts = scrub_pii(F.col("t"))
+    rows = {r["i"]: r for r in docs.select(
+        "i", scrubbed.alias("s"), *counts).collect()}
+    assert rows[1]["s"] == "mail me at <EMAIL> or <IP> card <NUM>"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"],
+            rows[1]["n_longnum"]) == (1, 1, 1)
+    assert rows[2]["s"] == "no pii here 123 1.2 short"
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"],
+            rows[2]["n_longnum"]) == (0, 0, 0)
+    assert rows[3]["s"] == "two ips <IP> <IP> and <EMAIL>"
+    assert rows[3]["n_ipv4"] == 2 and rows[3]["n_email"] == 1
