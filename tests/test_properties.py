@@ -175,3 +175,60 @@ def test_pack_bits_unpacks_exactly(pairs):
         assert got == c, (pairs,)
         pos += ln
     assert np.all(bits[pos:] == 1)  # 1-padding to the byte boundary
+
+
+# -- WARC round-trip (pure python, no spark) -----------------------------------
+
+_payloads = st.binary(min_size=0, max_size=200)
+_uris = st.from_regex(r"http://[a-z]{1,8}\.example/[a-z0-9/]{0,20}",
+                      fullmatch=True)
+_statuses = st.sampled_from([200, 204, 301, 404, 500])
+
+
+@SET
+@given(st.lists(st.tuples(_uris, _statuses, _payloads),
+                min_size=1, max_size=8),
+       st.booleans())
+def test_warc_roundtrip_property(recs, gz):
+    from crawlspark.warc import (build_record, build_warc,
+                                 http_response_block, parse_warc_bytes)
+    raw = [build_record(
+        "response",
+        {"WARC-Target-URI": uri, "WARC-Date": "2024-03-01T00:00:00Z",
+         "WARC-Record-ID": f"<urn:uuid:r-{i}>",
+         "Content-Type": "application/http;msgtype=response"},
+        http_response_block(status, payload))
+        for i, (uri, status, payload) in enumerate(recs)]
+    parsed = parse_warc_bytes(build_warc(raw, gzip_records=gz))
+    assert len(parsed) == len(recs)
+    for got, (uri, status, payload) in zip(parsed, recs):
+        assert got["target_uri"] == uri
+        assert got["http_status"] == status
+        assert got["payload"] == payload
+        assert got["payload_len"] == len(payload)
+
+
+# -- PII scrub: masking is idempotent and never leaves a raw match -------------
+
+_pii_text = st.text(
+    alphabet=st.sampled_from(list("abc .@0123456789")), max_size=60)
+
+
+@SET
+@given(_pii_text)
+def test_scrub_pii_idempotent_pure(s):
+    """The python mirror of the scrub chain (same patterns, same order)
+    leaves no residual matches, and re-scrubbing is a fixpoint."""
+    import re
+
+    from crawlspark.functions.text import PII_PATTERNS
+
+    def scrub(x):
+        for _n, pat, tok in PII_PATTERNS:
+            x = re.sub(pat, tok, x)
+        return x
+
+    once = scrub(s)
+    for _n, pat, _t in PII_PATTERNS:
+        assert not re.search(pat, once), (s, once, pat)
+    assert scrub(once) == once
