@@ -256,3 +256,78 @@ def read_warc(spark: SparkSession, path: str,
              .option("pathGlobFilter", glob).load(path)
              .select(F.col("path").alias("src"), "content"))
     return parse_warc_records(files)
+
+
+# ------------------------------------------------------------------ writer
+
+def response_records_df(df: DataFrame, uri_col: str = "target_uri",
+                        date_col: str = "warc_date",
+                        status_col: str = "http_status",
+                        payload_col: str = "payload",
+                        ctype_col=None, seq_col: str = "rec_seq"
+                        ) -> DataFrame:
+    """(seq, serialized record bytes) rows from a fetched-page table —
+    the WARC *sink* side. Serialization is a narrow Arrow-batched map;
+    WARC-Record-ID derives from the sequence (deterministic output, the
+    repo-wide contract — no uuid4/clock)."""
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for seq, uri, date, status, payload in zip(
+                    pdf["_seq"], pdf["_uri"], pdf["_date"],
+                    pdf["_status"], pdf["_payload"]):
+                recs.append({
+                    "_seq": int(seq),
+                    "record": build_record(
+                        "response",
+                        {"WARC-Target-URI": str(uri),
+                         "WARC-Date": str(date),
+                         "WARC-Record-ID": f"<urn:rec:{int(seq)}>",
+                         "Content-Type":
+                             "application/http;msgtype=response"},
+                        http_response_block(int(status), bytes(payload))),
+                })
+            yield pd.DataFrame(recs, columns=["_seq", "record"])
+
+    sel = df.select(F.col(seq_col).cast("long").alias("_seq"),
+                    F.col(uri_col).alias("_uri"),
+                    F.col(date_col).alias("_date"),
+                    F.col(status_col).alias("_status"),
+                    F.col(payload_col).alias("_payload"))
+    return sel.mapInPandas(gen, "_seq long, record binary")
+
+
+def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 1000,
+               gzip_records: bool = True, **cols) -> int:
+    """Fetched-page rows → ``<out_dir>/part-<fileid>.warc[.gz]`` archives,
+    ``records_per_file`` records each in sequence order. Returns the file
+    count. Each output file is ONE applyInPandas group keyed by
+    seq div records_per_file — the shuffle carries serialized records
+    once, each task streams its own archive to disk (payloads never visit
+    the driver). At crawl scale, records_per_file sizes archives to the
+    standard ~1 GB convention; a killed write leaves only files the
+    caller never committed (write to a temp dir + rename for atomicity,
+    as SnapshotStore does)."""
+    import os
+
+    recs = response_records_df(df, **cols)
+    per = int(records_per_file)
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_records else ".warc"
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(key[0])
+        ordered = pdf.sort_values("_seq")
+        blob = build_warc([bytes(r) for r in ordered["record"]],
+                          gzip_records=gzip_records)
+        path = os.path.join(out_dir, f"part-{fid:06d}{ext}")
+        with open(path, "wb") as f:
+            f.write(blob)
+        return pd.DataFrame([{"fileid": fid,
+                              "n_records": len(ordered)}])
+
+    out = (recs.withColumn("_fid", F.expr(f"_seq div {per}"))
+           .groupBy("_fid")
+           .applyInPandas(write_group, "fileid long, n_records int"))
+    return out.count()
