@@ -42,6 +42,13 @@ BENCH_QUERIES = [
 CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4"))
 CRAWL_K = int(os.environ.get("SPARK_GRAFT_CRAWL_K", "2000"))
+# the crawl engine's many small per-round actions lose ~25% to executor
+# thread oversubscription at local[32] (measured 31.2 s at local[8] vs
+# 40.4-45.7 s at local[32] in the same clean window — the same pattern the
+# 8v32 wide pairs recorded in BENCH_SCALING.json): run the crawl section
+# in its own JVM at the workload's best-known parallelism, reported in
+# the output as crawl_e2e.cores
+CRAWL_CORES = int(os.environ.get("SPARK_GRAFT_CRAWL_CPUS", "8"))
 
 # the headline metric shape: one scheduling round over a WIDE frontier
 # (BASELINE.json: "frontier URLs scheduled+fetched/sec on a 10^10-URL
@@ -71,38 +78,31 @@ def _agg_canary(procs: int = 8) -> float:
     return round(time.time() - t, 2)
 
 
-def bench_crawl(spark) -> dict:
-    from crawlspark import synth
-    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+def bench_crawl(_spark) -> dict:
+    """Run the e2e crawl bench in a fresh subprocess JVM at CRAWL_CORES
+    (scripts/_crawl_probe.py — the exact same tier/k/rounds workload as
+    always; best-of-2 with both trials recorded, same as in-process)."""
+    import re
+    import subprocess
 
-    tier = synth.TIERS[CRAWL_TIER]
-    pages = synth.spark_pages(spark, tier, parallelism=CPUS).cache()
-    pages.count()  # build cost excluded from crawl throughput
-    robots = synth.spark_robots(spark, tier)
-    seeds = synth.spark_seeds(spark, tier)
-    cfg = CrawlConfig(k_global=CRAWL_K, max_rounds=CRAWL_ROUNDS,
-                      seen_shards=8, seen_m_bits=1 << 22,
-                      salt_buckets=CPUS, validate_fraction=0)
-    # best-of-2: the first engine run in a fresh JVM pays JIT/codegen
-    # warm-up (measured 61→48→42 s across back-to-back identical runs with
-    # clean canaries — the round-2 "regression" was exactly this), and the
-    # host window oscillates on top. Both trials are recorded.
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "scripts", "_crawl_probe.py"), str(CRAWL_CORES)],
+        capture_output=True, text=True, check=True).stdout
     trials = []
-    for _ in range(2):
-        store = SnapshotStore(spark, tempfile.mkdtemp(
-            prefix="bench_crawl_", dir=_bench_tmp()))
-        eng = CrawlEngine(spark, store, pages, robots, None, cfg)
-        eng.seed(seeds)
-        t0 = time.time()
-        stats = eng.run()
-        dt = time.time() - t0
-        scheduled = sum(s["scheduled"] for s in stats)
-        fetched = sum(s["fetched"] for s in stats)
-        store.destroy()
-        trials.append({"seconds": round(dt, 2), "rounds": len(stats),
-                       "scheduled": scheduled, "fetched": fetched,
-                       "urls_per_sec": round((scheduled + fetched) / dt, 1)})
-    pages.unpersist()
+    for m in re.finditer(
+            r"RESULT trial=\d+ cores=(\d+) seconds=([0-9.]+) "
+            r"scheduled=(\d+) fetched=(\d+) rounds=(\d+)", out):
+        cores, dt, scheduled, fetched, rounds = m.groups()
+        dt = float(dt)
+        trials.append({"seconds": round(dt, 2), "rounds": int(rounds),
+                       "scheduled": int(scheduled), "fetched": int(fetched),
+                       "cores": int(cores),
+                       "urls_per_sec": round(
+                           (int(scheduled) + int(fetched)) / dt, 1)})
+    if not trials:
+        raise RuntimeError(f"crawl probe produced no RESULT lines:\n{out}")
     best = min(trials, key=lambda t: t["seconds"])
     best["all_trials_s"] = [t["seconds"] for t in trials]
     return best

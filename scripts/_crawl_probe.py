@@ -1,5 +1,6 @@
 """Dev probe: the bench.py crawl-engine section alone (t2, 4 rounds,
 k=2000). Usage: _crawl_probe.py [CORES]"""
+import os
 import sys
 import tempfile
 
@@ -15,12 +16,14 @@ import time
 
 spark = get_spark("crawlprobe", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
-tier = synth.TIERS["t2"]
+tier = synth.TIERS[os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")]
 pages = synth.spark_pages(spark, tier, parallelism=cores).cache()
 pages.count()
 robots = synth.spark_robots(spark, tier)
 seeds = synth.spark_seeds(spark, tier)
-cfg = CrawlConfig(k_global=2000, max_rounds=4, seen_shards=8,
+cfg = CrawlConfig(k_global=int(os.environ.get("SPARK_GRAFT_CRAWL_K", "2000")),
+                  max_rounds=int(os.environ.get("SPARK_GRAFT_CRAWL_ROUNDS", "4")),
+                  seen_shards=8,
                   seen_m_bits=1 << 22, salt_buckets=cores,
                   validate_fraction=0)
 for trial in range(2):
@@ -33,5 +36,7 @@ for trial in range(2):
     dt = time.time() - t0
     store.destroy()
     print(f"RESULT trial={trial} cores={cores} seconds={dt:.2f} "
-          f"fetched={sum(s['fetched'] for s in stats)}", flush=True)
+          f"scheduled={sum(s['scheduled'] for s in stats)} "
+          f"fetched={sum(s['fetched'] for s in stats)} "
+          f"rounds={len(stats)}", flush=True)
 spark.stop()
