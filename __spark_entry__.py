@@ -1780,6 +1780,30 @@ FROM i GROUP BY doc_id, isl
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (functions/sampling.py
+    dataset_split): hash bucket in [0,100) → 10% val / 10% test / 80%
+    train, zero shuffle. The driver entry uses the portable mixer so
+    DuckDB computes the identical bucket arithmetic (production default
+    stays xxhash64, same policy as stratified_sample)."""
+    from crawlspark.functions.sampling import dataset_split, portable_mix
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return dataset_split(docs, "doc_id",
+                         hash_bucket=F.pmod(portable_mix("doc_id"),
+                                            F.lit(100)))
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id, lang,
+       CASE WHEN ((doc_id % 1000003) * 2654435761) % 2147483647 % 100 < 10
+            THEN 'val'
+            WHEN ((doc_id % 1000003) * 2654435761) % 2147483647 % 100 < 20
+            THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing (functions/text.py scrub_pii): deterministic PII is
     injected into each document (email always; an IPv4 for every second
@@ -3640,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "event_dedup": q_event_dedup,
         "pii_scrub": q_pii_scrub,
+        "dataset_split": q_dataset_split,
         "oov_rate": q_oov_rate,
         "url_traps": q_url_traps,
         "cdx_surt": q_cdx_surt,
@@ -3750,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "postings": SQL_POSTINGS,
         "event_dedup": SQL_EVENT_DEDUP,
         "pii_scrub": SQL_PII_SCRUB,
+        "dataset_split": SQL_DATASET_SPLIT,
         "oov_rate": SQL_OOV_RATE,
         "url_traps": SQL_URL_TRAPS,
         "cdx_surt": SQL_CDX_SURT,

@@ -118,3 +118,22 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= F.col("_keep"))
             .drop("_rn", "_keep"))
+
+
+def dataset_split(df: DataFrame, key_col: str,
+                  val_pct: int = 10, test_pct: int = 10,
+                  hash_bucket: Column | None = None) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's hash bucket in
+    [0, 100) maps to val (< val_pct), test (< val_pct + test_pct), else
+    train. A pure row-local Column predicate — ZERO shuffle, stable
+    across runs/engines, and a row's split never changes when the corpus
+    grows (the property random() splits lack). ``hash_bucket`` defaults
+    to xxhash64 (production); pass
+    ``pmod(portable_mix(key), lit(100))`` when a cross-engine oracle
+    must reproduce the arithmetic."""
+    if hash_bucket is None:
+        hash_bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(100))
+    split = (F.when(hash_bucket < val_pct, "val")
+             .when(hash_bucket < val_pct + test_pct, "test")
+             .otherwise("train"))
+    return df.withColumn("split", split)

@@ -129,3 +129,30 @@ def test_scrub_pii(spark):
             rows[2]["n_longnum"]) == (0, 0, 0)
     assert rows[3]["s"] == "two ips <IP> <IP> and <EMAIL>"
     assert rows[3]["n_ipv4"] == 2 and rows[3]["n_email"] == 1
+
+
+def test_dataset_split(spark):
+    from pyspark.sql import functions as F
+
+    from crawlspark.functions.sampling import dataset_split, portable_mix
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = dataset_split(df, "doc_id",
+                        hash_bucket=F.pmod(portable_mix("doc_id"),
+                                           F.lit(100)))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 1000
+    # deterministic: identical assignment on re-run
+    again = dataset_split(df, "doc_id",
+                          hash_bucket=F.pmod(portable_mix("doc_id"),
+                                             F.lit(100)))
+    assert out.exceptAll(again).count() == 0
+    # stability: a row's split is invariant under corpus growth
+    bigger = dataset_split(
+        spark.range(2000).select(F.col("id").alias("doc_id")), "doc_id",
+        hash_bucket=F.pmod(portable_mix("doc_id"), F.lit(100)))
+    joined = (out.alias("a").join(bigger.alias("b"), "doc_id")
+              .filter(F.col("a.split") != F.col("b.split")))
+    assert joined.count() == 0
