@@ -2033,6 +2033,101 @@ QUALIFY recrawl_rank <= 5
 """
 
 
+def q_content_drift(spark, sf_dir):
+    """Recrawl change detection (frontier/recrawl.change_drift): two
+    snapshot tables of (doc_id, sig) → ONE equi-join + popcount(xor) +
+    threshold. Signatures are portable-mixer BIGINTs and the injected
+    change masks are (1 << doc_id%7) - 1 on every doc_id%3==0 row, so the
+    oracle reproduces hamming distances 0..6 in exact integer arithmetic
+    (DuckDB bit_count/xor vs Spark bit_count/bitwiseXOR)."""
+    from crawlspark.frontier.recrawl import change_drift
+    from crawlspark.functions.sampling import portable_mix
+    docs = _t(spark, sf_dir, "documents")
+    sig_a = portable_mix(F.col("doc_id")).cast("long")
+    prev = docs.select("doc_id", sig_a.alias("sig"))
+    mask = (F.when(F.col("doc_id") % 3 == 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(doc_id % 7 AS INT))") - 1)
+            .otherwise(F.lit(0)).cast("long"))
+    curr = docs.select("doc_id", sig_a.bitwiseXOR(mask).alias("sig"))
+    return change_drift(prev, curr, id_col="doc_id", threshold=3)
+
+
+SQL_CONTENT_DRIFT = """
+WITH snap AS (
+  SELECT doc_id,
+         ((doc_id % 1000003) * 2654435761) % 2147483647 AS sig_prev,
+         CASE WHEN doc_id % 3 = 0
+              THEN (CAST(1 AS BIGINT) << (doc_id % 7)) - 1
+              ELSE 0 END AS mask
+  FROM documents)
+SELECT doc_id, sig_prev,
+       xor(sig_prev, mask) AS sig_curr,
+       CAST(bit_count(xor(sig_prev, CAST(xor(sig_prev, mask) AS BIGINT)))
+            AS INT) AS hamming,
+       bit_count(xor(sig_prev, CAST(xor(sig_prev, mask) AS BIGINT))) > 3
+           AS changed
+FROM snap
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join (functions/asof.interval_join): events'
+    ids against 25 overlapping nation-derived windows [137k, 137k+400]
+    via interval bucketing (bucket 256) + exact BETWEEN post-filter —
+    a BroadcastHashJoin, never a nested-loop theta join. The oracle is
+    the plain BETWEEN join DuckDB can afford at sf0.01."""
+    from crawlspark.functions.asof import interval_join
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 137).alias("w_start"),
+        (F.col("n_nationkey") * 137 + 400).alias("w_end"))
+    return (interval_join(ev, nat, "event_id", "w_start", "w_end",
+                          bucket=256, broadcast_intervals=True)
+            .select("event_id", "n_nationkey", "w_start", "w_end"))
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, n.n_nationkey,
+       n.n_nationkey * 137 AS w_start,
+       n.n_nationkey * 137 + 400 AS w_end
+FROM events e
+JOIN nation n
+  ON e.event_id BETWEEN n.n_nationkey * 137 AND n.n_nationkey * 137 + 400
+"""
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (frontier/catalog.compaction_plan):
+    orders as a synthetic file listing (partition = o_orderpriority,
+    size = floor(o_totalprice) bytes) packed into 1 MB rewrite groups by
+    size-desc virtual concatenation — one shuffle by partition + a
+    window; the bin id is exact integer division on both engines."""
+    from crawlspark.frontier.catalog import compaction_plan
+    orders = _t(spark, sf_dir, "orders")
+    files = orders.select(
+        F.col("o_orderpriority").alias("part"),
+        F.format_string("f%09d", F.col("o_orderkey")).alias("path"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("size_bytes"))
+    return compaction_plan(files, target_bytes=1_000_000)
+
+
+SQL_COMPACTION_PLAN = """
+WITH files AS (
+  SELECT o_orderpriority AS part,
+         printf('f%09d', o_orderkey) AS path,
+         CAST(floor(o_totalprice) AS BIGINT) AS size_bytes
+  FROM orders)
+SELECT part, path, size_bytes,
+       CAST(COALESCE(SUM(size_bytes) OVER (
+                PARTITION BY part ORDER BY size_bytes DESC, path ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) // 1000000 AS bin
+FROM files
+"""
+
+
 def q_url_traps(spark, sf_dir):
     """Crawler-trap detection (frontier/traps.py): synthesized URL mix
     (an exploding /cal/N/N family, a bounded /tag/tN family, a static
@@ -3668,6 +3763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "url_traps": q_url_traps,
         "cdx_surt": q_cdx_surt,
+        "content_drift": q_content_drift,
+        "range_join": q_range_join,
+        "compaction_plan": q_compaction_plan,
         "pack_sequences": q_pack_sequences,
         "pack_blocks": q_pack_blocks,
         "bm25_topk": q_bm25_topk,
@@ -3779,6 +3877,9 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": SQL_OOV_RATE,
         "url_traps": SQL_URL_TRAPS,
         "cdx_surt": SQL_CDX_SURT,
+        "content_drift": SQL_CONTENT_DRIFT,
+        "range_join": SQL_RANGE_JOIN,
+        "compaction_plan": SQL_COMPACTION_PLAN,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_blocks": SQL_PACK_BLOCKS,
         "bm25_topk": SQL_BM25_TOPK,

@@ -208,3 +208,45 @@ class CatalogStore:
         for t in sorted(APPEND_TABLES | REPLACE_TABLES | {"manifest"}):
             self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(t)}")
         shutil.rmtree(self.root, ignore_errors=True)
+
+
+def compaction_plan(files, part_col: str = "part", path_col: str = "path",
+                    size_col: str = "size_bytes",
+                    target_bytes: int = 512 * 1024 * 1024):
+    """Small-file compaction planner over a table's file listing.
+
+    A crawl that commits a snapshot per round writes many small files per
+    partition (this store and Iceberg both do); read amplification at
+    100 TB is governed by file count, so maintenance jobs periodically
+    rewrite each partition's small files into ~target-size groups
+    (Iceberg's rewrite_data_files binpack strategy is the public model).
+    This emits the PLAN: every file assigned to a rewrite group,
+
+        (part, path, size_bytes, bin)
+
+    with deterministic size-descending virtual-concatenation packing
+    within each partition: order files by (size DESC, path ASC), then
+    ``bin = running_sum_of_previous_sizes div target_bytes``. That is the
+    same packing rule Spark's own file-scan batching
+    (``files.maxPartitionBytes``) applies, chosen over first-fit-decreasing
+    because it is a pure window expression — the plan for a million-file
+    listing is ONE shuffle by partition key and a per-partition window,
+    no driver-side loop over files — and its worst case vs optimal
+    bin-packing is bounded (each bin except the last holds > target/2
+    once any file exceeds it is alone in its bin).
+
+    The input is a metadata listing (from the manifest, Iceberg's
+    ``.files`` table, or a filesystem scan) — never the data itself.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(part_col)
+         .orderBy(F.col(size_col).desc(), F.col(path_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    # exact integer division (Spark `div` == DuckDB `//` on non-negatives);
+    # float `/` + cast would wobble once partition byte totals pass 2^53
+    return (files
+            .select(part_col, path_col, size_col, before.alias("_before"))
+            .withColumn("bin", F.expr(f"_before div {int(target_bytes)}")
+                        .cast("long"))
+            .drop("_before"))

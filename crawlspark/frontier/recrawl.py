@@ -96,3 +96,38 @@ def recrawl_candidates(stats: DataFrame, now_s: int, per_host_k: int,
             .withColumn("recrawl_rank",
                         F.row_number().over(w).cast("int"))
             .filter(F.col("recrawl_rank") <= per_host_k))
+
+
+def change_drift(prev: DataFrame, curr: DataFrame,
+                 id_col: str = "url_hash", sig_col: str = "sig",
+                 threshold: int = 3) -> DataFrame:
+    """Per-URL content-change detection between two crawl snapshots.
+
+    Complements the Cho scheduling above: ``change_history_stats`` needs a
+    per-fetch "did the content change" bit, and at crawl scale that bit
+    comes from comparing compact content signatures (simhash/phash-style
+    64-bit sketches stored per fetch — ``functions.dedup.simhash_signature``
+    or the engine's phash column), never the payloads themselves. Given
+    the previous and current snapshot tables of ``(id, sig)``, emit
+
+        (id, sig_prev, sig_curr, hamming, changed)
+
+    with ``hamming = popcount(sig_prev XOR sig_curr)`` and ``changed``
+    iff hamming > threshold (near-duplicate edits — timestamps, counters,
+    ad rotation — land within a few flipped bits; real rewrites are far
+    beyond any sane threshold, per the simhash literature).
+
+    Scale shape: ONE equi-join on the id column and pure Column bit math —
+    no Python, no window. In a deployment both snapshots are stored
+    bucketed by ``id_col`` (SnapshotStore writes seen/fetch tables that
+    way), so the join is storage-partitioned and shuffle-free; URLs absent
+    from either snapshot are inherently new/dead rather than changed,
+    hence the inner join.
+    """
+    p = prev.select(F.col(id_col), F.col(sig_col).alias("sig_prev"))
+    c = curr.select(F.col(id_col), F.col(sig_col).alias("sig_curr"))
+    ham = F.bit_count(F.col("sig_prev").bitwiseXOR(F.col("sig_curr")))
+    return (p.join(c, id_col)
+            .select(id_col, "sig_prev", "sig_curr",
+                    ham.cast("int").alias("hamming"),
+                    (ham > F.lit(int(threshold))).alias("changed")))

@@ -68,3 +68,55 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return (filled.filter(F.col("_side") == 1)
             .select(*left_cols,
                     *[F.col(f"_f_{c}").alias(c) for c in value_cols]))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_col: str, start_col: str, end_col: str,
+                  bucket: int, broadcast_intervals: bool = False
+                  ) -> DataFrame:
+    """Point-in-interval join (``start <= point <= end``, both inclusive)
+    without the cross-product a naive theta-join degenerates to.
+
+    The other temporal join Spark lacks: sessions x maintenance windows,
+    fetches x outage ranges, reads x IP/key ranges. Catalyst plans a
+    BETWEEN predicate with no equi-key as BroadcastNestedLoopJoin —
+    |P|x|I| comparisons — which dies long before 100 TB.
+
+    Implementation is interval bucketing: pick a ``bucket`` width in the
+    point column's units, explode every interval to the bucket ids it
+    overlaps (``sequence(start div b, end div b)``), stamp every point
+    with its single bucket id, hash-join on the bucket id, then apply the
+    exact BETWEEN as a post-filter. Each qualifying (point, interval)
+    pair meets in EXACTLY one bucket (the point's), so no dedup pass is
+    needed. Cost: ONE equi-join shuffle; the interval side inflates by
+    ceil(len/bucket)+1 per row — choose ``bucket`` near the median
+    interval length so the inflation is ~2x. Long-tail intervals inflate
+    more; at the extreme (an interval spanning the whole domain) pull
+    those few rows into a broadcast side instead.
+
+    ``broadcast_intervals=True`` broadcasts the EXPLODED interval side —
+    the right call when the interval table is a dim (thousands of rows):
+    the plan becomes a map-side BroadcastHashJoin and points never
+    shuffle at all.
+
+    All arithmetic is exact integer division (Spark ``div`` == DuckDB
+    ``//`` on the non-negative domain; float ``/`` + floor would wobble at
+    epoch-microsecond magnitudes, where doubles have <1us of mantissa
+    left) — cast timestamps to epoch micros first (see sessions.py).
+    Columns must be non-negative integers.
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket must be positive, got {bucket}")
+    b = int(bucket)
+    pcol, s, e = F.col(point_col), F.col(start_col), F.col(end_col)
+    iv = intervals.withColumn(
+        "_bkt", F.explode(F.sequence(
+            F.expr(f"`{start_col}` div {b}").cast("long"),
+            F.expr(f"`{end_col}` div {b}").cast("long"))))
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    pt = points.withColumn(
+        "_bkt", F.expr(f"`{point_col}` div {b}").cast("long"))
+    return (pt.join(iv, "_bkt")
+            .filter((pcol >= s) & (pcol <= e))
+            .drop("_bkt"))
