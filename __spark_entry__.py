@@ -2830,7 +2830,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v10"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v11"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -3008,6 +3008,15 @@ def _ensure_oracle_files() -> None:
         h = h - (1 << 64) if h >= (1 << 63) else h  # back to signed int64
         nrows.append({"image_id": f"img{i:010d}_v", "phash": h})
     write("images_phash", pd.DataFrame(nrows).astype({"phash": "int64"}))
+
+    # curation metadata (t2 range, 20k rows): the generator's ground-truth
+    # (w, h, fmt, caption, phash) per image_id. The Spark side re-derives
+    # the SAME rows through the distributed mapInPandas generator, so this
+    # is an input-table twin; the curation/bucketing LOGIC is computed
+    # independently in SQL (window dedup / cross-join argmin).
+    meta = synth.gen_images_pdf(0, synth.TIERS["t2"].n_images,
+                                materialize_bytes=False)
+    write("images_meta", meta.drop(columns=["bytes"]))
 
     # image features from ground-truth PIXELS (no codec in the loop): the
     # Spark side decodes png_encode'd bytes, so matching these rows proves
@@ -3674,6 +3683,121 @@ FROM read_parquet('{_ORACLE_DIR}/crawl_phash_dedup.parquet')
 
 # ---------------------------------------------------------------------------
 
+def _spark_images_meta(spark):
+    """The t2 image corpus metadata (20k rows), Spark-distributed through
+    the same pure generator the oracle file materializes (byte-identical
+    regardless of partitioning); bytes never materialized."""
+    from crawlspark import synth
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = synth.gen_images_pdf(int(ids.min()), int(ids.max()) + 1,
+                                       materialize_bytes=False)
+            yield out.drop(columns=["bytes"])
+
+    n = synth.TIERS["t2"].n_images
+    return spark.range(0, n, 1, 8).mapInPandas(
+        gen, "image_id string, w int, h int, fmt string, caption string, "
+             "phash long")
+
+
+def q_images_clean(spark, sf_dir):
+    """LAION-style image+caption curation over the north-rule images
+    table: min-side 48, aspect within 3:1 (integer cross-multiplied),
+    caption >= 4 space tokens, then exact-phash dedup keep-min-id with
+    absorbed counts. Oracle computes the same curation INDEPENDENTLY in
+    SQL (window dedup) over the generator ground-truth metadata."""
+    _ensure_oracle_files()
+    from crawlspark.functions.curation import images_clean
+    return images_clean(_spark_images_meta(spark), min_side=48,
+                        aspect_num=3, aspect_den=1, min_caption_tokens=4)
+
+
+def q_aspect_buckets(spark, sf_dir):
+    """SDXL-style aspect-ratio training-bucket assignment in exact
+    integer arithmetic. Oracle re-derives the argmin with a different
+    algorithm (bucket cross join + row_number window) in DuckDB."""
+    _ensure_oracle_files()
+    from crawlspark.functions.curation import aspect_buckets
+    return aspect_buckets(_spark_images_meta(spark))
+
+
+def q_jpeg_quality(spark, sf_dir):
+    """IJG quality estimation from the DQT luma table: Spark encodes 120
+    images at q = 55 + (i % 9)*5 (distributed, real codec), then inverts
+    the table back to q by exact match. The oracle computes the expected
+    q from image-id ARITHMETIC alone — codec-free — so a match proves the
+    encoder's DQT emission, the header parse, and the IJG inversion."""
+    _ensure_oracle_files()
+    import pandas as pd
+
+    from crawlspark.functions.curation import jpeg_quality
+
+    def enc(batches):
+        from crawlspark.imaging import make_pixels
+        from crawlspark.jpegcodec import jpeg_encode
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                q = 55 + (i % 9) * 5
+                rows.append({"image_id": f"img{i:010d}",
+                             "bytes": jpeg_encode(
+                                 make_pixels(i, 48, 32), quality=q)})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    images = spark.range(0, 120, 1, 8).mapInPandas(
+        enc, "image_id string, bytes binary")
+    return jpeg_quality(images)
+
+
+_CURATION_BUCKETS_SQL = "(0,64,64),(1,64,96),(2,96,64),(3,48,128),(4,128,48)"
+
+SQL_IMAGES_CLEAN = f"""
+WITH kept AS (
+  SELECT * FROM read_parquet('{_ORACLE_DIR}/images_meta.parquet')
+  WHERE least(w, h) >= 48
+    AND w * 1 <= h * 3 AND h * 1 <= w * 3
+    AND len(list_filter(string_split(caption, ' '), t -> t <> '')) >= 4
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY phash ORDER BY image_id) AS rn,
+         COUNT(*) OVER (PARTITION BY phash) AS cnt
+  FROM kept
+)
+SELECT image_id, w, h, fmt, caption, phash,
+       CAST(cnt AS INTEGER) AS n_dups
+FROM ranked WHERE rn = 1
+"""
+
+# lcm of bucket heights (64, 96, 64, 128, 48) = 384; scores are
+# |w*bh - h*bw| * (384 / bh) — the same exact-integer common-denominator
+# comparison the Spark operator uses, derived via a different algorithm
+SQL_ASPECT_BUCKETS = f"""
+WITH b(idx, bw, bh) AS (VALUES {_CURATION_BUCKETS_SQL}),
+scored AS (
+  SELECT i.image_id, i.w, i.h, b.bw, b.bh,
+         row_number() OVER (
+           PARTITION BY i.image_id
+           ORDER BY abs(i.w * b.bh - i.h * b.bw) * (384 // b.bh), b.idx
+         ) AS rn
+  FROM read_parquet('{_ORACLE_DIR}/images_meta.parquet') i CROSS JOIN b
+)
+SELECT image_id, w, h, CAST(bw AS INTEGER) AS bucket_w,
+       CAST(bh AS INTEGER) AS bucket_h
+FROM scored WHERE rn = 1
+"""
+
+SQL_JPEG_QUALITY = f"""
+SELECT image_id,
+       CAST(55 + (CAST(substr(image_id, 4) AS INTEGER) % 9) * 5
+            AS INTEGER) AS q_est
+FROM read_parquet('{_ORACLE_DIR}/images_meta.parquet')
+WHERE CAST(substr(image_id, 4) AS INTEGER) < 120
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's time budget: round 2 recorded only the
     # first 50 entries, silently dropping the tail 6. The flagship crawl
@@ -3692,6 +3816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "phash_dup_pairs": q_phash_dup_pairs,
         "phash_near_dup": q_phash_near_dup,
+        "images_clean": q_images_clean,
+        "aspect_buckets": q_aspect_buckets,
+        "jpeg_quality": q_jpeg_quality,
         # relational core
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
@@ -3903,6 +4030,9 @@ def oracle_sql() -> dict[str, str]:
         "unmarshal_spec": SQL_UNMARSHAL_SPEC,
         "phash_dup_pairs": SQL_PHASH_DUP_PAIRS,
         "phash_near_dup": SQL_PHASH_NEAR_DUP,
+        "images_clean": SQL_IMAGES_CLEAN,
+        "aspect_buckets": SQL_ASPECT_BUCKETS,
+        "jpeg_quality": SQL_JPEG_QUALITY,
         # differential over ground-truth pixels (codec-free oracle):
         "image_features": SQL_IMAGE_FEATURES,
         "image_resize": SQL_IMAGE_RESIZE,

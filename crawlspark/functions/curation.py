@@ -1,0 +1,150 @@
+"""Image+caption corpus curation — the graft cell's image-payload axis.
+
+LAION/DataComp-style curation over the north-rule images table
+``(image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash long)``:
+
+  images_clean   — metadata filters (min side, aspect-ratio envelope,
+                   caption token floor) + exact perceptual-hash dedup
+                   with keep-min-id and absorbed-duplicate counts.
+  aspect_buckets — SDXL-style training-bucket assignment: nearest
+                   aspect-ratio bucket in EXACT integer arithmetic
+                   (cross-multiplied, common-denominator scores — no
+                   float ratios, so Spark and any SQL oracle agree
+                   bit-for-bit).
+  jpeg_quality   — IJG quality estimation from the parsed DQT luma
+                   table (exact table-match inversion of the libjpeg
+                   quality→table scaling).
+
+Reference tie-in: koizuka/scraper validates and saves fetched payloads
+per page (scraper.go download/save paths, session.go invoke); these are
+the corpus-side curation passes a training pipeline runs over the
+archived payload table afterwards.
+
+100 TB shape: images_clean's filters are pure Column exprs evaluated in
+whole-stage codegen at scan speed (pushable when the metadata columns
+are authoritative, as input_hint declares); the only corpus shuffle is
+the phash groupBy (64-bit uniform keys — no skew). aspect_buckets is
+zero-shuffle row-local arithmetic. jpeg_quality is an Arrow-batched
+header walk: only the leading marker segments of each payload are
+touched, payload bytes never cross py4j.
+"""
+
+from __future__ import annotations
+
+from math import lcm
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: (bucket_w, bucket_h) training buckets spanning the synth corpus's
+#: 32..128 px envelope — square, 2:3, 3:2, and the extreme aspect pair.
+DEFAULT_BUCKETS: list[tuple[int, int]] = [
+    (64, 64), (64, 96), (96, 64), (48, 128), (128, 48)]
+
+
+def caption_token_count(caption: str | F.Column = "caption") -> F.Column:
+    """Space-separated token count, robust to repeated spaces.
+
+    Splits on a single ASCII space only: NBSP/U+3000 inside captions are
+    NOT boundaries in java.util.regex or RE2, so Spark and DuckDB agree.
+    """
+    col = F.col(caption) if isinstance(caption, str) else caption
+    return F.size(F.filter(F.split(col, " "), lambda t: t != ""))
+
+
+def images_clean(images: DataFrame, min_side: int = 48,
+                 aspect_num: int = 3, aspect_den: int = 1,
+                 min_caption_tokens: int = 4) -> DataFrame:
+    """Filter + dedup an image+caption corpus for training.
+
+    Keeps rows whose min(w, h) >= ``min_side``, whose aspect ratio lies
+    within [den/num, num/den] (checked by integer cross-multiplication),
+    and whose caption has at least ``min_caption_tokens`` space tokens;
+    then collapses exact perceptual-hash duplicates keeping the minimum
+    image_id, with ``n_dups`` counting the collapsed group size.
+
+    Output: (image_id, w, h, fmt, caption, phash, n_dups).
+    """
+    w, h = F.col("w"), F.col("h")
+    kept = (images
+            .filter(F.least(w, h) >= min_side)
+            .filter((w * aspect_den <= h * aspect_num)
+                    & (h * aspect_den <= w * aspect_num))
+            .filter(caption_token_count("caption") >= min_caption_tokens))
+    keep = F.min_by(F.struct("image_id", "w", "h", "fmt", "caption"),
+                    F.col("image_id")).alias("keep")
+    return (kept.groupBy("phash")
+            .agg(keep, F.count(F.lit(1)).cast("int").alias("n_dups"))
+            .select(F.col("keep.image_id").alias("image_id"),
+                    F.col("keep.w").alias("w"),
+                    F.col("keep.h").alias("h"),
+                    F.col("keep.fmt").alias("fmt"),
+                    F.col("keep.caption").alias("caption"),
+                    "phash", "n_dups"))
+
+
+def aspect_buckets(images: DataFrame,
+                   buckets: list[tuple[int, int]] | None = None
+                   ) -> DataFrame:
+    """Assign each image to its nearest aspect-ratio training bucket.
+
+    Nearest = argmin over buckets of |w/h - bw/bh|, computed EXACTLY:
+    |w*bh - h*bw| / (h*bh) compared across buckets by scaling each
+    numerator with D/bh (D = lcm of all bucket heights; h > 0 cancels).
+    Ties break to the lowest bucket index. All integer — a SQL oracle
+    reproduces the argmin bit-for-bit with a different algorithm
+    (cross join + window).
+
+    Output: (image_id, w, h, bucket_w, bucket_h).
+    """
+    buckets = DEFAULT_BUCKETS if buckets is None else buckets
+    d = lcm(*[bh for _, bh in buckets])
+    w, h = F.col("w"), F.col("h")
+    scored = [F.struct(
+        (F.abs(w * bh - h * bw) * (d // bh)).cast("long").alias("score"),
+        F.lit(i).alias("idx"))
+        for i, (bw, bh) in enumerate(buckets)]
+    best = F.array_min(F.array(*scored))
+    bw_arr = F.array(*[F.lit(bw) for bw, _ in buckets])
+    bh_arr = F.array(*[F.lit(bh) for _, bh in buckets])
+    return images.select(
+        "image_id", "w", "h",
+        F.element_at(bw_arr, best["idx"] + 1).alias("bucket_w"),
+        F.element_at(bh_arr, best["idx"] + 1).alias("bucket_h"))
+
+
+def jpeg_quality(images: DataFrame, id_col: str = "image_id",
+                 bytes_col: str = "bytes") -> DataFrame:
+    """Estimate the IJG encode quality of baseline/progressive JPEGs.
+
+    Parses the DQT segment (header walk only — entropy data untouched)
+    and inverts the libjpeg quality→table scaling by exact match against
+    the 100 candidate scaled Annex K luma tables; the highest matching
+    quality wins ties. Non-matching (non-Annex-K) tables yield -1.
+
+    Output: (image_id, q_est int). Arrow-batched; the candidate table is
+    built once per python worker.
+    """
+
+    def est(batches):
+        from ..jpegcodec import _Q_LUMA, _parse_jpeg, quality_scale
+        cand: dict[bytes, int] = {}
+        for q in range(1, 101):  # ascending: max quality wins tie keys
+            cand[quality_scale(_Q_LUMA, q).tobytes()] = q
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                hdr = _parse_jpeg(bytes(data))
+                tbl = hdr["qtabs"][hdr["comp_q"][0]]
+                key = np.ascontiguousarray(
+                    tbl, dtype=np.int32).tobytes()
+                rows.append({"image_id": mid,
+                             "q_est": cand.get(key, -1)})
+            yield pd.DataFrame(rows, columns=["image_id", "q_est"])
+
+    return (images.select(id_col, bytes_col)
+            .mapInPandas(est, "image_id string, q_est int"))

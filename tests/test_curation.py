@@ -1,0 +1,130 @@
+"""Image+caption curation operators (functions/curation.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import synth
+from crawlspark.functions.curation import (
+    DEFAULT_BUCKETS, aspect_buckets, caption_token_count, images_clean,
+    jpeg_quality)
+from crawlspark.jpegcodec import _Q_LUMA, quality_scale
+
+
+def _images_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt",
+                                    "caption", "phash"]),
+        "image_id string, w int, h int, fmt string, caption string, "
+        "phash long")
+
+
+def test_images_clean_filters_and_dedup(spark):
+    rows = [
+        ("img0", 64, 64, "png", "a b c d", 10),       # keeper
+        ("img1", 64, 64, "png", "e f g h", 10),       # dup of img0's phash
+        ("img2", 32, 64, "png", "a b c d", 11),       # min side fails
+        ("img3", 64, 256, "png", "a b c d", 12),      # aspect 1:4 fails
+        ("img4", 64, 64, "png", "a  b", 13),          # 2 tokens fail
+        ("img5", 128, 48, "jpeg", "a b c d e", 14),   # aspect 8:3 ok at 3:1
+    ]
+    out = (images_clean(_images_df(spark, rows), min_side=48,
+                        aspect_num=3, aspect_den=1, min_caption_tokens=4)
+           .orderBy("image_id").collect())
+    assert [(r.image_id, r.phash, r.n_dups) for r in out] == [
+        ("img0", 10, 2), ("img5", 14, 1)]
+    assert out[0].caption == "a b c d"  # min-id row's attrs kept
+
+
+def test_caption_token_count_multispace(spark):
+    df = spark.createDataFrame(
+        [("x", "a  b   c",), ("y", " lead trail ",), ("z", " ",)],
+        "image_id string, caption string")
+    got = {r.image_id: r.n for r in df.select(
+        "image_id", caption_token_count().alias("n")).collect()}
+    # NBSP is NOT a split boundary: the z row is one non-empty token
+    assert got == {"x": 3, "y": 2, "z": 1}
+
+
+def test_aspect_buckets_hand_vectors(spark):
+    # buckets: (64,64) (64,96) (96,64) (48,128) (128,48)
+    rows = [
+        ("sq", 50, 50, "png", "c", 0),     # exact 1:1 -> (64,64)
+        ("tall", 40, 60, "png", "c", 0),   # 2:3 exact -> (64,96)
+        ("wide", 90, 60, "png", "c", 0),   # 3:2 exact -> (96,64)
+        ("xtall", 32, 128, "png", "c", 0),  # 1:4 nearest 48:128
+        ("xwide", 128, 32, "png", "c", 0),  # 4:1 nearest 128:48
+    ]
+    out = {r.image_id: (r.bucket_w, r.bucket_h) for r in
+           aspect_buckets(_images_df(spark, rows)).collect()}
+    assert out == {"sq": (64, 64), "tall": (64, 96), "wide": (96, 64),
+                   "xtall": (48, 128), "xwide": (128, 48)}
+
+
+def test_aspect_buckets_tie_breaks_to_lowest_index(spark):
+    # w=h and buckets [(64,64),(128,128)] both score 0 -> index 0 wins
+    rows = [("t", 80, 80, "png", "c", 0)]
+    out = aspect_buckets(_images_df(spark, rows),
+                         buckets=[(64, 64), (128, 128)]).collect()
+    assert (out[0].bucket_w, out[0].bucket_h) == (64, 64)
+
+
+def test_aspect_buckets_matches_brute_force_mirror(spark):
+    from math import lcm
+    d = lcm(*[bh for _, bh in DEFAULT_BUCKETS])
+    meta = synth.gen_images_pdf(0, 400, materialize_bytes=False)
+    df = spark.createDataFrame(
+        meta.drop(columns=["bytes"]),
+        "image_id string, w int, h int, fmt string, caption string, "
+        "phash long")
+    got = {r.image_id: (r.bucket_w, r.bucket_h)
+           for r in aspect_buckets(df).collect()}
+    for _, row in meta.iterrows():
+        scores = [(abs(int(row.w) * bh - int(row.h) * bw) * (d // bh), i)
+                  for i, (bw, bh) in enumerate(DEFAULT_BUCKETS)]
+        bw, bh = DEFAULT_BUCKETS[min(scores)[1]]
+        assert got[row.image_id] == (bw, bh), row.image_id
+
+
+def test_quality_scale_unique_in_entry_envelope():
+    # the driver entry inverts tables for q in 55..95 — they must be
+    # pairwise distinct for exact-match inversion to be well-defined
+    tables = {quality_scale(_Q_LUMA, q).tobytes() for q in range(50, 101)}
+    assert len(tables) == 51
+
+
+def test_jpeg_quality_inverts_encode(spark):
+    from crawlspark.imaging import make_pixels
+    from crawlspark.jpegcodec import jpeg_encode, jpeg_encode_progressive
+    rows, expected = [], {}
+    for i, q in enumerate([55, 70, 95]):
+        px = make_pixels(i, 48, 32)
+        rows.append((f"b{i}", jpeg_encode(px, quality=q)))
+        rows.append((f"p{i}", jpeg_encode_progressive(px, quality=q)))
+        expected[f"b{i}"] = expected[f"p{i}"] = q
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: r.q_est for r in jpeg_quality(df).collect()}
+    assert got == expected
+
+
+def test_jpeg_quality_nonstandard_table_is_minus_one(spark):
+    # splice a non-Annex-K luma table into an otherwise valid file
+    from crawlspark.imaging import make_pixels
+    from crawlspark.jpegcodec import jpeg_encode, quality_scale
+    data = bytearray(jpeg_encode(make_pixels(0, 32, 32), quality=80))
+    from crawlspark.jpegcodec import ZIGZAG, _parse_jpeg
+    import struct
+    pos = data.find(b"\xff\xdb")
+    assert pos > 0
+    (seglen,) = struct.unpack(">H", bytes(data[pos + 2:pos + 4]))
+    # first table payload: precision/id byte then 64 zigzag entries
+    tbl = np.asarray(quality_scale(_Q_LUMA, 80))[ZIGZAG].astype(np.uint8)
+    tbl = tbl.copy()
+    tbl[0] = 255  # not any IJG scaling of the Annex K table
+    data[pos + 5:pos + 69] = tbl.tobytes()
+    hdr = _parse_jpeg(bytes(data))  # still structurally valid
+    assert hdr["qtabs"][0][0] == 255
+    df = spark.createDataFrame([("x", bytes(data))],
+                               "image_id string, bytes binary")
+    assert jpeg_quality(df).collect()[0].q_est == -1
