@@ -54,10 +54,23 @@ class CatalogStore:
 
     # -- manifest -------------------------------------------------------------
 
-    def _read_manifest(self) -> dict:
+    def _manifest_rows(self) -> list:
         if not self._exists("manifest"):
-            return {"rounds": [], "counters": {}}
-        all_rows = self.spark.table(self._tbl("manifest")).collect()
+            return []
+        return self.spark.table(self._tbl("manifest")).collect()
+
+    @staticmethod
+    def _generation(all_rows: list, seq: int) -> dict:
+        rows = sorted((r for r in all_rows if r["commit_seq"] == seq),
+                      key=lambda r: r["round"])
+        return {
+            "rounds": [{"round": int(r["round"]),
+                        "tables": json.loads(r["tables"])} for r in rows],
+            "counters": (json.loads(rows[-1]["counters"]) if rows else {}),
+        }
+
+    def _read_manifest(self) -> dict:
+        all_rows = self._manifest_rows()
         if not all_rows:
             return {"rounds": [], "counters": {}}
         # readers trust only the newest complete manifest snapshot: each
@@ -67,13 +80,7 @@ class CatalogStore:
         # a crash mid-commit leaves the previous snapshot intact instead of
         # a truncated table.
         top = max(r["commit_seq"] for r in all_rows)
-        rows = sorted((r for r in all_rows if r["commit_seq"] == top),
-                      key=lambda r: r["round"])
-        return {
-            "rounds": [{"round": int(r["round"]),
-                        "tables": json.loads(r["tables"])} for r in rows],
-            "counters": (json.loads(rows[-1]["counters"]) if rows else {}),
-        }
+        return self._generation(all_rows, top)
 
     def last_round(self) -> int:
         rounds = self._read_manifest()["rounds"]
@@ -177,7 +184,102 @@ class CatalogStore:
         return 0 if row["m"] is None else int(row["m"]) + 1
 
     def read(self, table: str, upto_round: int | None = None):
-        manifest = self._read_manifest()
+        return self._read_in(self._read_manifest(), table, upto_round)
+
+    # -- snapshot maintenance (Iceberg's snapshots/expire/orphans model) -------
+
+    def snapshots(self) -> list[dict]:
+        """Metadata listing of every retained manifest generation (the
+        analog of Iceberg's ``.snapshots`` table): one dict per commit_seq
+        with the rounds it makes visible, oldest first."""
+        all_rows = self._manifest_rows()
+        out = []
+        for seq in sorted({int(r["commit_seq"]) for r in all_rows}):
+            gen = self._generation(all_rows, seq)
+            out.append({"commit_seq": seq,
+                        "rounds": [r["round"] for r in gen["rounds"]],
+                        "counters": gen["counters"]})
+        return out
+
+    def read_as_of(self, table: str, commit_seq: int,
+                   upto_round: int | None = None):
+        """Time travel: read ``table`` exactly as the manifest generation
+        ``commit_seq`` published it (Iceberg's ``VERSION AS OF``). Raises
+        KeyError for an unknown/expired generation — an expired snapshot
+        is gone, not silently empty."""
+        all_rows = self._manifest_rows()
+        if not any(int(r["commit_seq"]) == commit_seq for r in all_rows):
+            raise KeyError(f"snapshot commit_seq={commit_seq} not found "
+                           "(never committed, or expired)")
+        gen = self._generation(all_rows, commit_seq)
+        return self._read_in(gen, table, upto_round)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` manifest generations and
+        return the expired commit_seqs. Readers of retained generations
+        are unaffected (each generation row set is self-contained).
+
+        On Iceberg this is the atomic ``expire_snapshots`` procedure; on
+        the parquet session catalog the manifest rewrite is published via
+        the write-job commit protocol (staging dir + rename), so a crash
+        can at worst leave the OLD manifest — never a truncated one.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        all_rows = self._manifest_rows()
+        seqs = sorted({int(r["commit_seq"]) for r in all_rows})
+        expired = seqs[:-keep_last]
+        if not expired:
+            return []
+        keep = ckpt(self.spark.table(self._tbl("manifest"))
+                    .filter(F.col("commit_seq") > expired[-1]))
+        keep.coalesce(1).write.mode("overwrite").insertInto(
+            self._tbl("manifest"))
+        return expired
+
+    def orphan_rounds(self, table: str) -> list[int]:
+        """Round partitions physically present in ``table`` but referenced
+        by NO retained manifest generation — crashed-commit leftovers (the
+        analog of Iceberg's ``remove_orphan_files`` discovery pass)."""
+        if not self._exists(table):
+            return []
+        all_rows = self._manifest_rows()
+        referenced = set()
+        for seq in {int(r["commit_seq"]) for r in all_rows}:
+            for r in self._generation(all_rows, seq)["rounds"]:
+                if table in r["tables"]:
+                    referenced.add(r["round"])
+        parts = self.spark.sql(
+            f"SHOW PARTITIONS {self._tbl(table)}").collect()
+        present = set()
+        for p in parts:
+            for piece in p["partition"].split("/"):
+                k, _, v = piece.partition("=")
+                if k == "_round":
+                    present.add(int(v))
+        return sorted(present - referenced)
+
+    def remove_orphans(self, tables=None) -> dict[str, list[int]]:
+        """Drop unreferenced round partitions (crashed-commit leftovers)
+        from the given tables (default: every store table). Returns the
+        dropped rounds per table. Safe by construction: only partitions no
+        retained generation references are touched, so every ``read`` /
+        ``read_as_of`` result is unchanged."""
+        removed: dict[str, list[int]] = {}
+        names = sorted(APPEND_TABLES | REPLACE_TABLES) \
+            if tables is None else list(tables)
+        for name in names:
+            orphans = self.orphan_rounds(name)
+            for rnd in orphans:
+                self.spark.sql(
+                    f"ALTER TABLE {self._tbl(name)} DROP IF EXISTS "
+                    f"PARTITION (_round={rnd})")
+            if orphans:
+                removed[name] = orphans
+        return removed
+
+    def _read_in(self, manifest: dict, table: str,
+                 upto_round: int | None = None):
         rounds = [r["round"] for r in manifest["rounds"]
                   if table in r["tables"]
                   and (upto_round is None or r["round"] <= upto_round)]

@@ -116,3 +116,76 @@ def test_catalog_crash_mid_commit_recovers(spark):
     assert log == [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"])
                    for r in want.fetch_log]
     store2.destroy()
+
+
+def test_catalog_snapshot_maintenance(spark):
+    """snapshots() / read_as_of / expire_snapshots / remove_orphans: the
+    Iceberg maintenance surface over the manifest-generation model."""
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="catmaint_")
+    store = CatalogStore(spark, root, prefix="t_maint")
+
+    def frontier(vals):
+        return spark.createDataFrame([(v,) for v in vals], "url_hash long")
+
+    def log(vals):
+        return spark.createDataFrame(
+            [(v, f"u{v}") for v in vals], "fetch_seq long, canon string")
+
+    store.commit(0, {"frontier": frontier([1, 2]), "fetch_log": log([0])},
+                 {"n": 1})
+    store.commit(1, {"frontier": frontier([3]), "fetch_log": log([1, 2])},
+                 {"n": 2})
+    store.commit(2, {"frontier": frontier([4, 5]), "fetch_log": log([3])},
+                 {"n": 3})
+
+    snaps = store.snapshots()
+    assert [s["commit_seq"] for s in snaps] == [0, 1, 2]
+    assert snaps[0]["rounds"] == [0] and snaps[2]["rounds"] == [0, 1, 2]
+
+    # time travel: generation 0 sees round-0 state only
+    assert sorted(r.url_hash for r in
+                  store.read_as_of("frontier", 0).collect()) == [1, 2]
+    assert sorted(r.fetch_seq for r in
+                  store.read_as_of("fetch_log", 0).collect()) == [0]
+    # latest generation == plain read
+    assert sorted(r.url_hash for r in
+                  store.read_as_of("frontier", 2).collect()) == [4, 5]
+    assert sorted(r.fetch_seq for r in
+                  store.read("fetch_log").collect()) == [0, 1, 2, 3]
+
+    # orphan: a crashed commit wrote round-3 partitions but no manifest
+    # (commit() always writes under dynamic partition overwrite)
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, "STATIC")
+    spark.conf.set(conf, "dynamic")
+    try:
+        store._write_round("fetch_log", log([9]), 3)
+    finally:
+        spark.conf.set(conf, prev)
+    assert sorted(r.fetch_seq for r in
+                  store.read("fetch_log").collect()) == [0, 1, 2, 3]
+    assert store.orphan_rounds("fetch_log") == [3]
+    removed = store.remove_orphans(["fetch_log", "frontier"])
+    assert removed == {"fetch_log": [3]}
+    assert store.orphan_rounds("fetch_log") == []
+    # reads unchanged after orphan removal
+    assert sorted(r.fetch_seq for r in
+                  store.read("fetch_log").collect()) == [0, 1, 2, 3]
+
+    # expire all but the newest generation: old time travel is refused,
+    # current reads unchanged
+    assert store.expire_snapshots(keep_last=1) == [0, 1]
+    assert [s["commit_seq"] for s in store.snapshots()] == [2]
+    try:
+        store.read_as_of("frontier", 0)
+        raise AssertionError("expired snapshot should raise")
+    except KeyError:
+        pass
+    assert sorted(r.url_hash for r in
+                  store.read("frontier").collect()) == [4, 5]
+    assert sorted(r.fetch_seq for r in
+                  store.read("fetch_log").collect()) == [0, 1, 2, 3]
+    assert store.counters() == {"n": 3}
+    store.destroy()
