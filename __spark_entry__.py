@@ -1449,6 +1449,29 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(docs, "text", k=256)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count over document texts: rows reduce to
+    (register, rho) pairs with map-side combine — the only exchange
+    carries <= partitions * 2^p tiny rows — and the driver folds <= 2^p
+    registers through an exact-integer indicator sum (single rounding
+    point), so the pure-Python mirror (pyref.py_hll, independent bit
+    twiddling) reproduces the estimate EXACTLY."""
+    _ensure_oracle_files()
+    from crawlspark.functions.sketch import hll_distinct
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct(docs, "text", p=12)
+
+
+def q_hll_by_type(spark, sf_dir):
+    """Per-group HLL: distinct user_ids per event_type. One (key, register)
+    hash-agg, then a grouped Arrow fold per key — the exchange carries at
+    most keys * 2^p register rows, never the input."""
+    _ensure_oracle_files()
+    from crawlspark.functions.sketch import hll_distinct_by
+    events = _t(spark, sf_dir, "events")
+    return hll_distinct_by(events, "event_type", "user_id", p=10)
+
+
 def q_kmv_by_type(spark, sf_dir):
     """Per-group KMV: distinct user_ids per event_type. One shuffle of
     distinct (key, hash) pairs + a sort-based window keeping k smallest per
@@ -2830,7 +2853,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v11"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v12"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -2890,6 +2913,13 @@ def _ensure_oracle_files() -> None:
                          columns=["event_type", "user_id"])
     write("kmv_by_type", pd.DataFrame(pyref.py_kmv_by(
         list(zip(ev["event_type"], ev["user_id"].astype(int))), k=64)))
+
+    # HLL sketches: exact mirrors (bit-equal xxh64, independent register
+    # bit-twiddling, shared exact-integer indicator-sum estimator)
+    write("hll_distinct", pd.DataFrame(
+        [pyref.py_hll([t for _, t in doc_rows], p=12)]))
+    write("hll_by_type", pd.DataFrame(pyref.py_hll_by(
+        list(zip(ev["event_type"], ev["user_id"].astype(int))), p=10)))
 
     # the sequential crawl oracle's fetch_log (t1 graph, k=100, 2 rounds —
     # exactly the flagship entry() run)
@@ -3609,6 +3639,17 @@ SELECT key, CAST(n_mins AS INTEGER) AS n_mins, kth_hash, est_distinct
 FROM read_parquet('{_ORACLE_DIR}/kmv_by_type.parquet')
 """
 
+SQL_HLL_DISTINCT = f"""
+SELECT CAST(p AS INTEGER) AS p, CAST(m AS INTEGER) AS m,
+       CAST(n_nonzero AS INTEGER) AS n_nonzero, est_distinct
+FROM read_parquet('{_ORACLE_DIR}/hll_distinct.parquet')
+"""
+
+SQL_HLL_BY_TYPE = f"""
+SELECT key, CAST(n_nonzero AS INTEGER) AS n_nonzero, est_distinct
+FROM read_parquet('{_ORACLE_DIR}/hll_by_type.parquet')
+"""
+
 SQL_CRAWL_FETCH_LOG = f"""
 SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
 FROM read_parquet('{_ORACLE_DIR}/crawl_fetch_log.parquet')
@@ -3873,6 +3914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "kmv_distinct": q_kmv_distinct,
         "kmv_by_type": q_kmv_by_type,
+        "hll_distinct": q_hll_distinct,
+        "hll_by_type": q_hll_by_type,
         "fingerprint": q_fingerprint,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3987,6 +4030,8 @@ def oracle_sql() -> dict[str, str]:
             oracle_dir=_ORACLE_DIR),
         "kmv_distinct": SQL_KMV_DISTINCT,
         "kmv_by_type": SQL_KMV_BY_TYPE,
+        "hll_distinct": SQL_HLL_DISTINCT,
+        "hll_by_type": SQL_HLL_BY_TYPE,
         "fingerprint": SQL_FINGERPRINT,
         "doc_repetition": SQL_DOC_REPETITION,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -411,3 +411,44 @@ def py_wav_features(x: np.ndarray, rate: int, bits: int,
         "duration_s": n / rate,
         "centroid_hz": float((freqs * mag).sum() / tot) if tot > 0 else 0.0,
     }
+
+
+def _py_hll_registers(hashes, p: int) -> dict[int, int]:
+    """Registers from unsigned-64 hashes: idx = top p bits, rho = 1 +
+    leading zeros of the remaining 64-p bits (independent bit twiddling —
+    no shift/bin-string derivation shared with the Spark side)."""
+    reg: dict[int, int] = {}
+    width = 64 - p
+    for h in hashes:
+        idx = h >> width
+        w = h & ((1 << width) - 1)
+        rho = width - w.bit_length() + 1
+        if rho > reg.get(idx, 0):
+            reg[idx] = rho
+    return reg
+
+
+def py_hll(values: list[str], p: int = 12) -> dict:
+    """Mirror sketch.hll_distinct over string values."""
+    from ..hashing import xxh64_str
+    from .sketch import _hll_point
+    mask = (1 << 64) - 1
+    reg = _py_hll_registers((xxh64_str(v) & mask for v in values), p)
+    est, nz = _hll_point(reg, 1 << p)
+    return {"p": p, "m": 1 << p, "n_nonzero": nz, "est_distinct": est}
+
+
+def py_hll_by(pairs: list[tuple[str, int]], p: int = 10) -> list[dict]:
+    """Mirror sketch.hll_distinct_by over (key, int64 value) pairs."""
+    from ..hashing import xxh64
+    from .sketch import _hll_point
+    mask = (1 << 64) - 1
+    by_key: dict[str, list] = {}
+    for key, v in pairs:
+        h = xxh64(int(v).to_bytes(8, "little", signed=True)) & mask
+        by_key.setdefault(key, []).append(h)
+    out = []
+    for key in sorted(by_key):
+        est, nz = _hll_point(_py_hll_registers(by_key[key], p), 1 << p)
+        out.append({"key": key, "n_nonzero": nz, "est_distinct": est})
+    return out

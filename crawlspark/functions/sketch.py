@@ -93,3 +93,89 @@ def kmv_distinct_by(df: DataFrame, key_col: str, col: str, k: int = 64
         F.when(n_mins < k, n_mins.cast("long"))
          .otherwise(F.floor((k - 1) / (u_kd / F.lit(_U64))))
          .alias("est_distinct"))
+
+
+# --- HyperLogLog ---------------------------------------------------------------
+
+def _hll_point(reg: dict[int, int], m: int) -> tuple[int, int]:
+    """HLL point estimate from a sparse register map (Flajolet et al. 2007).
+
+    The indicator sum Z^-1 = sum_j 2^-M_j is computed as the EXACT integer
+    sum of 2^(64-M_j) (python bigint), converted to float once — so the
+    estimate is a pure function of the register multiset with a single,
+    reproducible rounding point, and the pure-Python oracle mirror lands on
+    the identical bits (no tolerance band). Linear counting below 2.5m with
+    empty registers, per the paper; the 64-bit-hash variant needs no
+    large-range correction.
+    """
+    import math
+    s_int, nz = 0, 0
+    for j in range(m):
+        mj = reg.get(j, 0)
+        if mj:
+            nz += 1
+        s_int += 1 << (64 - mj)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m * float(1 << 64) / float(s_int)
+    v = m - nz
+    if e <= 2.5 * m and v > 0:
+        e = m * math.log(m / v)
+    return int(e), nz
+
+
+def _hll_cols(h, p: int):
+    """(register index, rho) Columns from a 64-bit hash Column: idx = top
+    p bits, rho = 1 + leading zeros of the remaining 64-p bits (so rho in
+    [1, 64-p+1]); all JVM-side (shift + bin-string length), no Python."""
+    idx = F.shiftrightunsigned(h, 64 - p).cast("int")
+    suf = F.shiftleft(h, p)
+    rho = (F.when(suf == 0, F.lit(64 - p + 1))
+           .when(suf < 0, F.lit(1))
+           .otherwise(F.lit(65) - F.length(F.bin(suf)))).cast("int")
+    return idx, rho
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """One-row DataFrame: (p, m, n_nonzero, est_distinct) — the classic
+    HLL cardinality sketch, complementing KMV (HLL: fixed 2^p-register
+    footprint, ~1.04/sqrt(m) error; KMV: k hashes, exact below k).
+
+    Scale shape: rows reduce to (idx, rho) pairs with map-side combine
+    (partial max per register per partition), so the only exchange carries
+    at most partitions * 2^p tiny rows; the driver folds <= 2^p registers.
+    Mergeable by construction (max per register) across tables or days.
+    """
+    m = 1 << p
+    idx, rho = _hll_cols(F.xxhash64(F.col(col)), p)
+    rows = (df.select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx").agg(F.max("rho").alias("r"))
+            .collect())  # <= 2^p rows — bounded by design
+    est, nz = _hll_point({int(r["idx"]): int(r["r"]) for r in rows}, m)
+    return df.sparkSession.createDataFrame(
+        [(p, m, nz, est)],
+        "p int, m int, n_nonzero int, est_distinct long")
+
+
+def hll_distinct_by(df: DataFrame, key_col: str, col: str, p: int = 10
+                    ) -> DataFrame:
+    """Per-group HLL: (key, n_nonzero, est_distinct).
+
+    One (key, idx) hash-agg with map-side combine — the exchange carries
+    at most keys * 2^p register rows, never the input — then a grouped
+    Arrow stage folds each key's registers through the same exact-integer
+    estimator the global sketch and the oracle mirror use.
+    """
+    m = 1 << p
+    idx, rho = _hll_cols(F.xxhash64(F.col(col)), p)
+    regs = (df.select(F.col(key_col).alias("key"), idx.alias("idx"),
+                      rho.alias("rho"))
+            .groupBy("key", "idx").agg(F.max("rho").alias("r")))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        reg = dict(zip(pdf["idx"].astype(int), pdf["r"].astype(int)))
+        est, nz = _hll_point(reg, m)
+        return pd.DataFrame([{"key": pdf["key"].iloc[0],
+                              "n_nonzero": nz, "est_distinct": est}])
+
+    return regs.groupBy("key").applyInPandas(
+        fold, "key string, n_nonzero int, est_distinct long")

@@ -340,3 +340,47 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[(1, 1)]["duration_us"] == 1800 * 1_000_000
     assert stats[(1, 2)]["n_events"] == 1
     assert stats[(2, 1)]["duration_us"] == 0
+
+
+def test_hll_matches_pure_python_mirror_exactly(spark):
+    from crawlspark.functions import pyref, sketch
+    vals = [f"v{i % 1337}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    row = sketch.hll_distinct(df, "val", p=12).collect()[0]
+    want = pyref.py_hll(vals, p=12)
+    assert row.asDict() == want
+    # estimate inside the ~3*1.04/sqrt(m) envelope around true 1337
+    assert abs(row["est_distinct"] - 1337) / 1337 < 0.05, row
+
+
+def test_hll_rho_column_matches_bit_twiddling(spark):
+    import pyspark.sql.functions as F
+
+    from crawlspark.functions.pyref import _py_hll_registers
+    from crawlspark.functions.sketch import _hll_cols
+    p = 12
+    # adversarial hash values: all-zero suffix, top-suffix-bit set,
+    # single low bits, and a spread of pseudo-random longs
+    hs = [0, 1, (1 << (64 - p)) - 1, 1 << 52, (1 << 63) | 5, -1 & ((1 << 64) - 1)]
+    hs += [(0x9E3779B97F4A7C15 * i) & ((1 << 64) - 1) for i in range(1, 64)]
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hs]
+    df = spark.createDataFrame([(h,) for h in signed], "h long")
+    idx, rho = _hll_cols(F.col("h"), p)
+    got = {(r["i"], r["r"]) for r in
+           df.select(idx.alias("i"), rho.alias("r")).collect()}
+    want = set()
+    width = 64 - p
+    for h in hs:
+        w = h & ((1 << width) - 1)
+        want.add((h >> width, width - w.bit_length() + 1))
+    assert got == want
+
+
+def test_hll_by_key_matches_mirror(spark):
+    from crawlspark.functions import pyref, sketch
+    pairs = [(f"k{i % 3}", (i * 7) % 500) for i in range(4000)]
+    df = spark.createDataFrame(pairs, "key string, val long")
+    rows = sorted((r.asDict() for r in
+                   sketch.hll_distinct_by(df, "key", "val", p=10).collect()),
+                  key=lambda r: r["key"])
+    assert rows == pyref.py_hll_by(pairs, p=10)
