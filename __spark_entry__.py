@@ -3793,6 +3793,40 @@ def q_jpeg_quality(spark, sf_dir):
     return jpeg_quality(images)
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order file-layout plan over the image corpus: Morton-interleave
+    (w, h) at 8 bits, rank with the distributed gap-free sequencer, pack
+    512 rows/file, emit per-file (n_rows, min_key, max_key) pruning stats.
+    The oracle recomputes the key with SQL div/mod bit arithmetic and the
+    rank with a window — a different algorithm end to end."""
+    _ensure_oracle_files()
+    from crawlspark.functions.layout import zorder_layout
+    return zorder_layout(_spark_images_meta(spark), ["w", "h"],
+                         rows_per_file=512, tiebreak="image_id", bits=8)
+
+
+# z-key mirror in SQL: bit j of w at position 2j+1, of h at 2j (8 levels)
+_ZKEY_SQL = " + ".join(
+    f"((w // {1 << j}) % 2) * {1 << (2 * j + 1)} + "
+    f"((h // {1 << j}) % 2) * {1 << (2 * j)}"
+    for j in range(8))
+
+SQL_ZORDER_LAYOUT = f"""
+WITH keyed AS (
+  SELECT image_id, CAST({_ZKEY_SQL} AS BIGINT) AS zkey
+  FROM read_parquet('{_ORACLE_DIR}/images_meta.parquet')
+), ranked AS (
+  SELECT zkey,
+         row_number() OVER (ORDER BY zkey, image_id) - 1 AS rank
+  FROM keyed
+)
+SELECT CAST(rank // 512 AS BIGINT) AS file_id,
+       COUNT(*) AS n_rows, MIN(zkey) AS min_key, MAX(zkey) AS max_key
+FROM ranked
+GROUP BY 1
+"""
+
+
 _CURATION_BUCKETS_SQL = "(0,64,64),(1,64,96),(2,96,64),(3,48,128),(4,128,48)"
 
 SQL_IMAGES_CLEAN = f"""
@@ -3860,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_clean": q_images_clean,
         "aspect_buckets": q_aspect_buckets,
         "jpeg_quality": q_jpeg_quality,
+        "zorder_layout": q_zorder_layout,
         # relational core
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
@@ -4078,6 +4113,7 @@ def oracle_sql() -> dict[str, str]:
         "images_clean": SQL_IMAGES_CLEAN,
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "jpeg_quality": SQL_JPEG_QUALITY,
+        "zorder_layout": SQL_ZORDER_LAYOUT,
         # differential over ground-truth pixels (codec-free oracle):
         "image_features": SQL_IMAGE_FEATURES,
         "image_resize": SQL_IMAGE_RESIZE,

@@ -384,3 +384,43 @@ def test_hll_by_key_matches_mirror(spark):
                    sketch.hll_distinct_by(df, "key", "val", p=10).collect()),
                   key=lambda r: r["key"])
     assert rows == pyref.py_hll_by(pairs, p=10)
+
+
+def _py_zkey(vals, bits):
+    key = 0
+    k = len(vals)
+    for j in range(bits):
+        for i, v in enumerate(vals):
+            key += ((v >> j) & 1) << (j * k + (k - 1 - i))
+    return key
+
+
+def test_zorder_key_hand_and_mirror(spark):
+    from crawlspark.functions.layout import zorder_key
+    # k=2, bits=2: w=2 (bit1 -> pos 3), h=1 (bit0 -> pos 0) => 9
+    assert _py_zkey([2, 1], 2) == 9
+    rows = [(w, h) for w in range(0, 16, 3) for h in range(0, 16, 5)]
+    df = spark.createDataFrame(rows, "w int, h int")
+    got = {(r.w, r.h): r.k for r in
+           df.select("w", "h", zorder_key(["w", "h"], bits=4).alias("k"))
+           .collect()}
+    for w, h in rows:
+        assert got[(w, h)] == _py_zkey([w, h], 4), (w, h)
+
+
+def test_zorder_layout_matches_brute_force(spark):
+    from crawlspark.functions.layout import zorder_layout
+    rows = [(f"id{i:04d}", (i * 7) % 32, (i * 13) % 32)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "rid string, w int, h int")
+    got = sorted((r.file_id, r.n_rows, r.min_key, r.max_key) for r in
+                 zorder_layout(df, ["w", "h"], rows_per_file=16,
+                               tiebreak="rid", bits=5).collect())
+    order = sorted((_py_zkey([w, h], 5), rid) for rid, w, h in rows)
+    want = {}
+    for rank, (key, _) in enumerate(order):
+        fid = rank // 16
+        n, lo, hi = want.get(fid, (0, key, key))
+        want[fid] = (n + 1, min(lo, key), max(hi, key))
+    assert got == sorted((f, n, lo, hi)
+                         for f, (n, lo, hi) in want.items())
