@@ -54,6 +54,19 @@ def caption_token_count(caption: str | F.Column = "caption") -> F.Column:
     return F.size(F.filter(F.split(col, " "), lambda t: t != ""))
 
 
+def curation_predicate(min_side: int = 48, aspect_num: int = 3,
+                       aspect_den: int = 1, min_caption_tokens: int = 4
+                       ) -> F.Column:
+    """The keep-row predicate images_clean and the streaming ingest twin
+    share (one definition so batch and stream cannot drift): min side,
+    integer cross-multiplied aspect envelope, caption token floor."""
+    w, h = F.col("w"), F.col("h")
+    return ((F.least(w, h) >= min_side)
+            & (w * aspect_den <= h * aspect_num)
+            & (h * aspect_den <= w * aspect_num)
+            & (caption_token_count("caption") >= min_caption_tokens))
+
+
 def images_clean(images: DataFrame, min_side: int = 48,
                  aspect_num: int = 3, aspect_den: int = 1,
                  min_caption_tokens: int = 4) -> DataFrame:
@@ -67,12 +80,8 @@ def images_clean(images: DataFrame, min_side: int = 48,
 
     Output: (image_id, w, h, fmt, caption, phash, n_dups).
     """
-    w, h = F.col("w"), F.col("h")
-    kept = (images
-            .filter(F.least(w, h) >= min_side)
-            .filter((w * aspect_den <= h * aspect_num)
-                    & (h * aspect_den <= w * aspect_num))
-            .filter(caption_token_count("caption") >= min_caption_tokens))
+    kept = images.filter(curation_predicate(
+        min_side, aspect_num, aspect_den, min_caption_tokens))
     keep = F.min_by(F.struct("image_id", "w", "h", "fmt", "caption"),
                     F.col("image_id")).alias("keep")
     return (kept.groupBy("phash")

@@ -336,3 +336,61 @@ def test_dedup_batch_twin(spark):
     got = {r["event_id"]: (r["value"], r["n_seen"])
            for r in dedup_batch(df).collect()}
     assert got == {1: (2.0, 2), 2: (7.0, 1)}
+
+
+def test_images_ingest_stream_filters_and_phash_dedup(spark):
+    """Streaming curation+phash-dedup twin: rejected rows never reach the
+    state store; the FIRST arrival of a phash wins inside the watermark
+    horizon; re-delivery after state expiry is admitted again (the
+    horizon is the streaming contract — cross-horizon exactness belongs
+    to the batch path)."""
+    import json
+    import os
+    import tempfile
+
+    from crawlspark.streaming.images_stream import images_ingest_stream
+
+    root = tempfile.mkdtemp(prefix="img_stream_")
+    indir = os.path.join(root, "in")
+    os.makedirs(indir)
+    src = (spark.readStream
+           .schema("fetched_at timestamp, image_id string, w int, h int, "
+                   "fmt string, caption string, phash long")
+           .json(indir))
+    out = images_ingest_stream(src, watermark="60 seconds")
+    q = (out.writeStream.format("memory").queryName("simg")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .start())
+
+    def drop(name, rows):
+        tmp = os.path.join(root, name)
+        with open(tmp, "w") as f:
+            for ts, iid, w, h, cap, ph in rows:
+                f.write(json.dumps(
+                    {"fetched_at": ts, "image_id": iid, "w": w, "h": h,
+                     "fmt": "png", "caption": cap, "phash": ph}) + "\n")
+        os.replace(tmp, os.path.join(indir, name))
+        q.processAllAvailable()
+
+    drop("f1.json", [
+        ("2024-01-01T10:00:00.000Z", "a", 64, 64, "a b c d", 10),
+        ("2024-01-01T10:00:01.000Z", "tiny", 16, 64, "a b c d", 11),
+        ("2024-01-01T10:00:02.000Z", "shortcap", 64, 64, "a b", 12),
+        ("2024-01-01T10:00:03.000Z", "skinny", 64, 256, "a b c d", 13),
+    ])
+    # re-delivery of phash 10 INSIDE the horizon -> dropped; new phash kept
+    drop("f2.json", [
+        ("2024-01-01T10:00:30.000Z", "a_dup", 64, 64, "x y z w", 10),
+        ("2024-01-01T10:00:31.000Z", "b", 96, 64, "a b c d", 14),
+    ])
+    # advance the watermark past phash 10's state, then re-deliver it
+    drop("f3.json", [
+        ("2024-01-01T10:10:00.000Z", "c", 64, 96, "a b c d", 15)])
+    drop("f4.json", [
+        ("2024-01-01T10:09:30.000Z", "a_again", 64, 64, "p q r s", 10)])
+    q.stop()
+
+    got = sorted((r["image_id"], r["phash"]) for r in
+                 spark.sql("select image_id, phash from simg").collect())
+    assert got == [("a", 10), ("a_again", 10), ("b", 14), ("c", 15)]
