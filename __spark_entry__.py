@@ -1472,6 +1472,32 @@ def q_hll_by_type(spark, sf_dir):
     return hll_distinct_by(events, "event_type", "user_id", p=10)
 
 
+def q_cm_topk(spark, sf_dir):
+    """Count-Min frequency sketch composed with the exact heavy-hitter
+    pass: build the sketch over the corpus token stream (ONE hash-agg,
+    exchange bounded by d*w counters per partition), take the exact
+    top-20 tokens (count desc, token asc — the rank runs over the
+    AGGREGATED vocab only), and estimate each from the broadcast sketch.
+    est_count >= true_count by construction; the pure-Python mirror
+    (pyref.py_cm_topk) reproduces every number exactly."""
+    _ensure_oracle_files()
+    from crawlspark.functions.sketch import cm_estimate, cm_sketch
+    from crawlspark.functions.text import ws_tokens
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.transform(ws_tokens(F.col("text")),
+                    lambda t: F.lower(t))).alias("tok"))
+    sk = cm_sketch(toks, "tok", w=1024, d=4)
+    top = (toks.groupBy("tok")
+           .agg(F.count(F.lit(1)).alias("true_count"))
+           .orderBy(F.col("true_count").desc(), F.col("tok").asc())
+           .limit(20))
+    est = cm_estimate(sk, top.select("tok"), "tok", w=1024, d=4)
+    return (top.join(est, top["tok"] == est["value"])
+            .select(F.col("value"), F.col("true_count"),
+                    F.col("est_count")))
+
+
 def q_kmv_by_type(spark, sf_dir):
     """Per-group KMV: distinct user_ids per event_type. One shuffle of
     distinct (key, hash) pairs + a sort-based window keeping k smallest per
@@ -2853,7 +2879,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v12"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v13"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -2920,6 +2946,12 @@ def _ensure_oracle_files() -> None:
         [pyref.py_hll([t for _, t in doc_rows], p=12)]))
     write("hll_by_type", pd.DataFrame(pyref.py_hll_by(
         list(zip(ev["event_type"], ev["user_id"].astype(int))), p=10)))
+
+    # Count-Min: exact top-20 corpus tokens with their sketch estimates
+    # (independent counter arithmetic over bit-equal xxh64)
+    all_tokens = [t for _, text in doc_rows for t in pyref.py_tokens(text)]
+    write("cm_topk", pd.DataFrame(
+        pyref.py_cm_topk(all_tokens, w=1024, d=4, k=20)))
 
     # the sequential crawl oracle's fetch_log (t1 graph, k=100, 2 rounds —
     # exactly the flagship entry() run)
@@ -3650,6 +3682,11 @@ SELECT key, CAST(n_nonzero AS INTEGER) AS n_nonzero, est_distinct
 FROM read_parquet('{_ORACLE_DIR}/hll_by_type.parquet')
 """
 
+SQL_CM_TOPK = f"""
+SELECT value, true_count, est_count
+FROM read_parquet('{_ORACLE_DIR}/cm_topk.parquet')
+"""
+
 SQL_CRAWL_FETCH_LOG = f"""
 SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
 FROM read_parquet('{_ORACLE_DIR}/crawl_fetch_log.parquet')
@@ -3951,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_by_type": q_kmv_by_type,
         "hll_distinct": q_hll_distinct,
         "hll_by_type": q_hll_by_type,
+        "cm_topk": q_cm_topk,
         "fingerprint": q_fingerprint,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4067,6 +4105,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_by_type": SQL_KMV_BY_TYPE,
         "hll_distinct": SQL_HLL_DISTINCT,
         "hll_by_type": SQL_HLL_BY_TYPE,
+        "cm_topk": SQL_CM_TOPK,
         "fingerprint": SQL_FINGERPRINT,
         "doc_repetition": SQL_DOC_REPETITION,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -452,3 +452,29 @@ def py_hll_by(pairs: list[tuple[str, int]], p: int = 10) -> list[dict]:
         est, nz = _hll_point(_py_hll_registers(by_key[key], p), 1 << p)
         out.append({"key": key, "n_nonzero": nz, "est_distinct": est})
     return out
+
+
+def py_cm_topk(values: list[str], w: int = 1024, d: int = 4, k: int = 20
+               ) -> list[dict]:
+    """Mirror the cm_topk composition: exact top-k values (count desc,
+    value asc) with their Count-Min estimates — independent counter
+    arithmetic over bit-equal xxh64, Kirsch–Mitzenmacher positions."""
+    from collections import Counter
+
+    from ..hashing import xxh64_str
+    mask64, mask32 = (1 << 64) - 1, (1 << 32) - 1
+    counts = Counter(values)
+    counters = [[0] * w for _ in range(d)]
+    pos_of = {}
+    for v, c in counts.items():
+        h = xxh64_str(v) & mask64
+        h1, h2 = h & mask32, h >> 32
+        pos_of[v] = [(h1 + i * h2) % w for i in range(d)]
+        for i in range(d):
+            counters[i][pos_of[v][i]] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [{"value": v,
+             "true_count": c,
+             "est_count": min(counters[i][pos_of[v][i]]
+                              for i in range(d))}
+            for v, c in top]

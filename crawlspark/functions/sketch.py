@@ -179,3 +179,43 @@ def hll_distinct_by(df: DataFrame, key_col: str, col: str, p: int = 10
 
     return regs.groupBy("key").applyInPandas(
         fold, "key string, n_nonzero int, est_distinct long")
+
+
+# --- Count-Min sketch ----------------------------------------------------------
+
+def _cm_positions(h, w: int, d: int):
+    """d counter columns from one 64-bit hash via Kirsch–Mitzenmacher
+    double hashing (g_i = h1 + i*h2 mod w over the hash's two 32-bit
+    halves) — one xxhash64 per value, d derived positions, all JVM-side."""
+    h1 = h.bitwiseAND(F.lit((1 << 32) - 1))
+    h2 = F.shiftrightunsigned(h, 32)
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(w)).cast("int")
+                     for i in range(d)])
+
+
+def cm_sketch(df: DataFrame, col: str, w: int = 1024, d: int = 4
+              ) -> DataFrame:
+    """Count-Min frequency sketch: (row, cm_col, cnt), nonzero counters
+    only. ONE hash-agg whose exchange carries at most d*w counter rows
+    per partition (map-side combine) regardless of input size; mergeable
+    across tables/days by counter-wise addition."""
+    pos = _cm_positions(F.xxhash64(F.col(col)), w, d)
+    return (df.select(F.posexplode(pos).alias("row", "cm_col"))
+            .groupBy("row", "cm_col")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_estimate(sketch: DataFrame, queries: DataFrame, col: str,
+                w: int = 1024, d: int = 4) -> DataFrame:
+    """Point-estimate the frequency of each distinct query value:
+    (value, est_count) with est_count = min over the d counters — the
+    classic upward-biased CM estimate (never under the true count).
+    The sketch (<= d*w rows) broadcasts; the input never reshuffles."""
+    pos = (queries.select(
+        F.col(col).alias("value"),
+        F.posexplode(_cm_positions(F.xxhash64(F.col(col)), w, d))
+        .alias("row", "cm_col")))
+    joined = pos.join(F.broadcast(sketch), ["row", "cm_col"], "left")
+    return (joined.groupBy("value")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))

@@ -424,3 +424,39 @@ def test_zorder_layout_matches_brute_force(spark):
         want[fid] = (n + 1, min(lo, key), max(hi, key))
     assert got == sorted((f, n, lo, hi)
                          for f, (n, lo, hi) in want.items())
+
+
+def test_cm_sketch_estimate_matches_mirror_and_overestimates(spark):
+    from crawlspark.functions import pyref, sketch
+    vals = [f"t{i % 37}" for i in range(2000)] + ["hot"] * 500
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    sk = sketch.cm_sketch(df, "tok", w=256, d=4)
+    est = {r["value"]: r["est_count"] for r in
+           sketch.cm_estimate(sk, df.distinct(), "tok",
+                              w=256, d=4).collect()}
+    want = pyref.py_cm_topk(vals, w=256, d=4, k=38)
+    for row in want:
+        assert est[row["value"]] == row["est_count"], row
+        assert row["est_count"] >= row["true_count"], row
+    # wide sketch, few distinct values: no collisions, estimates exact
+    sk2 = sketch.cm_sketch(df, "tok", w=65536, d=4)
+    est2 = {r["value"]: r["est_count"] for r in
+            sketch.cm_estimate(sk2, df.distinct(), "tok",
+                               w=65536, d=4).collect()}
+    assert est2["hot"] == 500 and est2["t0"] == 55
+
+
+def test_cm_sketch_merges_by_counter_addition(spark):
+    import pyspark.sql.functions as F
+
+    from crawlspark.functions import sketch
+    a = spark.createDataFrame([(f"x{i % 9}",) for i in range(300)],
+                              "tok string")
+    b = spark.createDataFrame([(f"x{i % 13}",) for i in range(200)],
+                              "tok string")
+    merged = (sketch.cm_sketch(a, "tok", w=128, d=3)
+              .unionByName(sketch.cm_sketch(b, "tok", w=128, d=3))
+              .groupBy("row", "cm_col").agg(F.sum("cnt").alias("cnt")))
+    direct = sketch.cm_sketch(a.unionByName(b), "tok", w=128, d=3)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
