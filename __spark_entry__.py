@@ -1472,6 +1472,50 @@ def q_hll_by_type(spark, sf_dir):
     return hll_distinct_by(events, "event_type", "user_id", p=10)
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive extraction from robots.txt bodies (RFC 9309
+    "other records"): per-host bodies are synthesized from events — a mix
+    of Sitemap lines (case/whitespace variants), Disallow lines, and
+    comments — then the pure-Column extractor pulls the targets back in
+    line order. The oracle computes the expected (site, pos, url) rows
+    from event arithmetic alone, no robots text anywhere."""
+    from crawlspark.frontier.robots import robots_sitemap_urls
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    site = (eid % 7).alias("site")
+    line = (F.when(eid % 3 == 0, F.concat(
+                F.lit("Sitemap: http://h"), (eid % 7).cast("string"),
+                F.lit(".example/sm/"), eid.cast("string"),
+                F.lit(".xml")))
+            .when(eid % 3 == 1, F.concat(
+                F.lit("Disallow: /p/"), eid.cast("string")))
+            .otherwise(F.concat(
+                F.lit("  sItEmAp:\thttp://h"), (eid % 7).cast("string"),
+                F.lit(".example/alt/"), eid.cast("string"),
+                F.lit(".xml  # trailing comment"))))
+    bodies = (ev.groupBy(site)
+              .agg(F.concat(
+                  F.lit("User-agent: *\n"),
+                  F.array_join(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(eid.alias("e"), line.alias("l")))),
+                      lambda s: s.l), "\n")).alias("body")))
+    return bodies.select(
+        "site", F.posexplode(robots_sitemap_urls(F.col("body")))
+        .alias("pos", "url"))
+
+
+SQL_ROBOTS_SITEMAPS = """
+SELECT event_id % 7 AS site,
+       CAST(row_number() OVER (PARTITION BY event_id % 7
+                               ORDER BY event_id) - 1 AS INT) AS pos,
+       'http://h' || (event_id % 7)::VARCHAR || '.example/'
+           || CASE WHEN event_id % 3 = 0 THEN 'sm/' ELSE 'alt/' END
+           || event_id::VARCHAR || '.xml' AS url
+FROM events WHERE event_id % 3 <> 1
+"""
+
+
 def q_cm_topk(spark, sf_dir):
     """Count-Min frequency sketch composed with the exact heavy-hitter
     pass: build the sketch over the corpus token stream (ONE hash-agg,
@@ -3989,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "hll_by_type": q_hll_by_type,
         "cm_topk": q_cm_topk,
+        "robots_sitemaps": q_robots_sitemaps,
         "fingerprint": q_fingerprint,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4106,6 +4151,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": SQL_HLL_DISTINCT,
         "hll_by_type": SQL_HLL_BY_TYPE,
         "cm_topk": SQL_CM_TOPK,
+        "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
         "fingerprint": SQL_FINGERPRINT,
         "doc_repetition": SQL_DOC_REPETITION,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -193,3 +193,18 @@ def rep_allowed_col(path_col=None, rules_col=None):
             r.getField("allow").alias("a"))))
     return (rules_col.isNull() | (F.size(matched) == 0)
             | best.getField("a"))
+
+
+def robots_sitemap_urls(body=None):
+    """array<string>: the ``Sitemap:`` directive targets of a robots.txt
+    body, in line order. RFC 9309 §2.2.4 carries them as "other records"
+    outside any group: key case-insensitive, optional leading whitespace,
+    value to the first whitespace/# — pure Column regexp per line, no UDF.
+    Feed the result to frontier/sitemap.parse_sitemaps via the fetch loop
+    (reference analog: the crawl discovering /sitemap.xml from robots).
+    """
+    body = body if body is not None else F.col("body")
+    lines = F.split(body, "\r?\n")
+    ex = F.transform(lines, lambda ln: F.regexp_extract(
+        ln, r"(?i)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t#]+)", 1))
+    return F.filter(ex, lambda u: u != "")

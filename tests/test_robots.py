@@ -207,3 +207,22 @@ def test_engine_with_parsed_robots_bodies_matches_oracle(spark, tmp_path):
                    for r in want.fetch_log]
     assert len(log) > 0
     store.destroy()
+
+
+def test_robots_sitemap_urls_envelope(spark):
+    import pyspark.sql.functions as F
+
+    from crawlspark.frontier.robots import robots_sitemap_urls
+    body = ("User-agent: *\r\n"
+            "Sitemap: http://a.example/s1.xml\r\n"
+            "  sitemap:\thttp://a.example/s2.xml  # comment\n"
+            "SITEMAP:http://a.example/s3.xml\n"
+            "Sitemap:\n"              # no value -> skipped
+            "# Sitemap: http://a.example/nope.xml\n"
+            "Disallow: /x\n"
+            "NotSitemap: http://a.example/also-nope.xml")
+    df = spark.createDataFrame([(body,)], "body string")
+    got = df.select(robots_sitemap_urls(F.col("body"))
+                    .alias("u")).collect()[0]["u"]
+    assert got == ["http://a.example/s1.xml", "http://a.example/s2.xml",
+                   "http://a.example/s3.xml"]
