@@ -1516,6 +1516,73 @@ FROM events WHERE event_id % 3 <> 1
 """
 
 
+def q_url_class(spark, sf_dir):
+    """Static URL features for fetch routing and trap smell (urltools
+    .url_feature_cols): extension class, path depth, query arity, digit
+    counts — zero-Python codegen projections over URLs synthesized from
+    event arithmetic. The oracle recomputes every feature with DuckDB
+    string functions (different parsing route, same answers)."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    ext = (F.when(eid % 11 == 0, F.lit(".jpg"))
+           .when(eid % 11 == 1, F.lit(".mp4"))
+           .when(eid % 11 == 2, F.lit(".pdf"))
+           .when(eid % 11 == 3, F.lit(".json"))
+           .when(eid % 11 == 4, F.lit(".html"))
+           .otherwise(F.lit("")))
+    url = F.concat(
+        F.lit("http://h"), (eid % 5).cast("string"), F.lit(".test"),
+        F.repeat(F.lit("/dir"), (eid % 4).cast("int")),
+        F.lit("/page"), eid.cast("string"), ext,
+        F.when(eid % 6 == 0, F.lit("?a=1&b=2"))
+         .when(eid % 6 == 3, F.lit("?z=9")).otherwise(F.lit("")))
+    from crawlspark.urltools import url_feature_cols
+    feats = url_feature_cols(url)
+    return ev.select(
+        eid.alias("event_id"),
+        feats["ext"].alias("ext"), feats["depth"].alias("depth"),
+        feats["n_params"].alias("n_params"),
+        feats["n_digits"].alias("n_digits"),
+        feats["path_len"].alias("path_len"),
+        feats["url_class"].alias("url_class"))
+
+
+SQL_URL_CLASS = """
+WITH u AS (
+  SELECT event_id,
+         CASE event_id % 11 WHEN 0 THEN '.jpg' WHEN 1 THEN '.mp4'
+              WHEN 2 THEN '.pdf' WHEN 3 THEN '.json' WHEN 4 THEN '.html'
+              ELSE '' END AS e,
+         event_id % 4 AS reps,
+         CASE WHEN event_id % 6 = 0 THEN 2
+              WHEN event_id % 6 = 3 THEN 1 ELSE 0 END AS n_params
+  FROM events
+), p AS (
+  SELECT event_id, n_params,
+         repeat('/dir', CAST(reps AS INTEGER)) || '/page'
+             || event_id::VARCHAR || e AS path,
+         CASE WHEN e = '' THEN '' ELSE substr(e, 2) END AS ext,
+         CAST(reps + 1 AS INTEGER) AS depth
+  FROM u
+)
+SELECT event_id, ext, depth, CAST(n_params AS INTEGER) AS n_params,
+       CAST(length(event_id::VARCHAR)
+            + CASE WHEN ext = 'mp4' THEN 1 ELSE 0 END
+            AS INTEGER) AS n_digits,
+       CAST(length(path) AS INTEGER) AS path_len,
+       CASE WHEN ext IN ('jpg','jpeg','png','gif','webp','bmp','ico','svg')
+                THEN 'image'
+            WHEN ext IN ('mp4','webm','avi','mp3','ogg','wav','mov')
+                THEN 'media'
+            WHEN ext IN ('pdf','doc','docx','ppt','pptx','xls','xlsx')
+                THEN 'doc'
+            WHEN ext IN ('json','xml','csv','rss','atom','gz','zip','warc')
+                THEN 'data'
+            ELSE 'page' END AS url_class
+FROM p
+"""
+
+
 def q_cm_topk(spark, sf_dir):
     """Count-Min frequency sketch composed with the exact heavy-hitter
     pass: build the sketch over the corpus token stream (ONE hash-agg,
@@ -4034,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_type": q_hll_by_type,
         "cm_topk": q_cm_topk,
         "robots_sitemaps": q_robots_sitemaps,
+        "url_class": q_url_class,
         "fingerprint": q_fingerprint,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4152,6 +4220,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_by_type": SQL_HLL_BY_TYPE,
         "cm_topk": SQL_CM_TOPK,
         "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
+        "url_class": SQL_URL_CLASS,
         "fingerprint": SQL_FINGERPRINT,
         "doc_repetition": SQL_DOC_REPETITION,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -180,3 +180,53 @@ def surt_key(canon) -> "F.Column":
         F.coalesce(F.concat(F.lit(":"), port), F.lit("")),
         F.lit(")"), path,
         F.coalesce(F.concat(F.lit("?"), sorted_q), F.lit("")))
+
+
+
+#: static extension -> fetch-routing class (image pipeline vs HTML parse
+#: vs bulk download), the scheduler signal available BEFORE any fetch
+URL_CLASS_EXTS = {
+    "image": ("jpg", "jpeg", "png", "gif", "webp", "bmp", "ico", "svg"),
+    "media": ("mp4", "webm", "avi", "mp3", "ogg", "wav", "mov"),
+    "doc": ("pdf", "doc", "docx", "ppt", "pptx", "xls", "xlsx"),
+    "data": ("json", "xml", "csv", "rss", "atom", "gz", "zip", "warc"),
+}
+
+
+def url_feature_cols(url=None) -> dict:
+    """Pure-Column crawl-prioritization features of a canonical URL:
+
+      ext            lowercased final path extension (1-5 alnum), '' if none
+      depth          non-empty path segments
+      n_params       query parameters (0 for no query)
+      n_digits       decimal digits in the path (the trap detector's
+                     session-id/calendar smell, frontier/traps.py)
+      path_len       path length in chars (ratio against n_digits stays
+                     exact-integer on any engine)
+      url_class      ext bucket: image/media/doc/data/page — routes a
+                     fetch (image pipeline vs HTML parse) before any body
+                     arrives
+
+    All whole-stage-codegen string ops, zero Python — usable as an
+    insert-time frontier projection at any scale. Returns a name->Column
+    dict so callers select the subset they need.
+    """
+    from pyspark.sql import functions as F
+    u = F.col(url) if isinstance(url, str) else (
+        F.col("url") if url is None else url)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
+    depth = F.size(F.filter(F.split(path, "/"),
+                            lambda s: s != "")).cast("int")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))).cast("int")
+    n_digits = (F.length(path)
+                - F.length(F.regexp_replace(path, "[0-9]", ""))).cast("int")
+    klass = F.lit("page")
+    for name, exts in reversed(URL_CLASS_EXTS.items()):
+        klass = F.when(ext.isin(*exts), F.lit(name)).otherwise(klass)
+    return {"ext": ext, "depth": depth, "n_params": n_params,
+            "n_digits": n_digits,
+            "path_len": F.length(path).cast("int"),
+            "url_class": klass}

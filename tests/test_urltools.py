@@ -75,3 +75,31 @@ def test_fused_parts_match_chained(spark):
         assert r["canon"] == c
         assert r["host"] == (host_of(c) if c is not None else None)
         assert r["path"] == (path_of(c) if c is not None else None)
+
+
+def test_url_feature_cols_envelope(spark):
+    import pyspark.sql.functions as F
+
+    from crawlspark.urltools import url_feature_cols
+    rows = [
+        ("http://a.test/img/cat01.JPG?w=1&h=2",),
+        ("https://b.test/",),
+        ("http://c.test/a/b/c/report.pdf",),
+        ("http://d.test/no-ext",),
+        ("http://e.test/x.tar.gz?q=1",),
+        ("http://f.test",),                      # no path at all
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    f = url_feature_cols("url")
+    got = [tuple(r) for r in df.select(
+        f["ext"].alias("e"), f["depth"].alias("d"),
+        f["n_params"].alias("p"), f["n_digits"].alias("n"),
+        f["url_class"].alias("c")).collect()]
+    assert got == [
+        ("jpg", 2, 2, 2, "image"),
+        ("", 0, 0, 0, "page"),
+        ("pdf", 4, 0, 0, "doc"),
+        ("", 1, 0, 0, "page"),
+        ("gz", 1, 1, 0, "data"),
+        ("", 0, 0, 0, "page"),
+    ]
