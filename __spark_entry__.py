@@ -2990,7 +2990,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v13"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v14"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -3221,6 +3221,27 @@ def _ensure_oracle_files() -> None:
         irows, columns=["media_id", "w", "h", "mean_r", "mean_g",
                         "mean_b", "phash", "luma_hist"]))
 
+    # exposure stats from ground-truth pixels (codec-free, exact integer
+    # luma): matching proves decode identity + the exposure kernel
+    erows = []
+    for i in range(300):
+        if i % 3 == 0:          # lossy fmt — excluded (decode not identity)
+            continue
+        row = synth.gen_image_row(i, materialize_bytes=False)
+        src = i - 1 if (i % 101 == 100 and i > 0) else i
+        px = imaging.make_pixels(src, int(row["w"]),
+                                 int(row["h"])).astype(np.int64)
+        luma = (299 * px[..., 0] + 587 * px[..., 1]
+                + 114 * px[..., 2]) // 1000
+        erows.append({
+            "media_id": row["image_id"], "n_px": int(luma.size),
+            "n_dark": int((luma <= 15).sum()),
+            "n_bright": int((luma >= 240).sum()),
+            "luma_sum": int(luma.sum())})
+    write("image_exposure", pd.DataFrame(
+        erows, columns=["media_id", "n_px", "n_dark", "n_bright",
+                        "luma_sum"]))
+
     # resize kernel: same subset, features of the 16x12 nearest-neighbor
     # thumbnail computed from ground-truth pixels (the index formula below
     # IS the resize spec). Spark runs decode→resize→png re-encode→decode→
@@ -3373,6 +3394,29 @@ def q_image_features(spark, sf_dir):
     return (image_features(images)
             .withColumn("luma_hist",
                         F.array_join(F.col("luma_hist"), ",")))
+
+
+def q_image_exposure(spark, sf_dir):
+    """Exact-integer exposure stats over the lossless image subset: the
+    Spark side DECODES real png bytes; the oracle computes the same
+    integer luma arithmetic from generator ground-truth pixels (codec
+    free), so a match pins decode identity + the exposure kernel."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import image_exposure
+    tier = synth.TIERS["t1"]
+    images = (synth.spark_images(spark, tier, parallelism=8)
+              .filter((F.col("image_id") < "img0000000300")
+                      & (F.col("fmt") == "png")))
+    return image_exposure(images)
+
+
+SQL_IMAGE_EXPOSURE_TMPL = """
+SELECT media_id, CAST(n_px AS INTEGER) AS n_px,
+       CAST(n_dark AS INTEGER) AS n_dark,
+       CAST(n_bright AS INTEGER) AS n_bright, luma_sum
+FROM read_parquet('{oracle_dir}/image_exposure.parquet')
+"""
 
 
 def q_crawl_form_submit(spark, sf_dir):
@@ -4043,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": q_aspect_buckets,
         "jpeg_quality": q_jpeg_quality,
         "zorder_layout": q_zorder_layout,
+        "image_exposure": q_image_exposure,
         # relational core
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
@@ -4271,6 +4316,8 @@ def oracle_sql() -> dict[str, str]:
         # differential over ground-truth pixels (codec-free oracle):
         "image_features": SQL_IMAGE_FEATURES,
         "image_resize": SQL_IMAGE_RESIZE,
+        "image_exposure": SQL_IMAGE_EXPOSURE_TMPL.format(
+            oracle_dir=_ORACLE_DIR),
         # differential over ground-truth samples (quantization mirror):
         "audio_features": SQL_AUDIO_FEATURES,
         "video_features": SQL_VIDEO_FEATURES,

@@ -265,3 +265,38 @@ def audio_features(media: DataFrame) -> DataFrame:
     return (media.filter(F.col("kind") == "audio")
             .select("media_id", "bytes", "fmt")
             .mapInPandas(feats, AUDIO_FEATURES_SCHEMA))
+
+
+def image_exposure(images: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes", fmt_col: str = "fmt",
+                   dark_max: int = 15, bright_min: int = 240) -> DataFrame:
+    """Exposure statistics for curation filters, in EXACT integer
+    arithmetic: per image (n_px, n_dark, n_bright, luma_sum) where luma =
+    (299 R + 587 G + 114 B) div 1000 per pixel — no floats anywhere, so a
+    ground-truth-pixel oracle matches bit-for-bit and the over/under-
+    exposure decision (n_dark/n_px, n_bright/n_px thresholds) stays exact
+    on any engine. Arrow-batched decode, zero shuffle."""
+
+    def kern(batches):
+        for pdf in batches:
+            rows = []
+            for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col],
+                                      pdf[fmt_col]):
+                if data is None:
+                    continue
+                px = decode(bytes(data), fmt).astype(np.int64)
+                luma = (299 * px[..., 0] + 587 * px[..., 1]
+                        + 114 * px[..., 2]) // 1000
+                rows.append({
+                    "media_id": mid,
+                    "n_px": int(luma.size),
+                    "n_dark": int((luma <= dark_max).sum()),
+                    "n_bright": int((luma >= bright_min).sum()),
+                    "luma_sum": int(luma.sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_px", "n_dark", "n_bright", "luma_sum"])
+
+    return (images.select(id_col, bytes_col, fmt_col)
+            .mapInPandas(kern, "media_id string, n_px int, n_dark int, "
+                               "n_bright int, luma_sum long"))

@@ -128,3 +128,21 @@ def test_jpeg_quality_nonstandard_table_is_minus_one(spark):
     df = spark.createDataFrame([("x", bytes(data))],
                                "image_id string, bytes binary")
     assert jpeg_quality(df).collect()[0].q_est == -1
+
+
+def test_image_exposure_exact_counts(spark):
+    import numpy as np
+
+    from crawlspark.functions.multimodal import image_exposure
+    from crawlspark.imaging import png_encode
+    # 4x2 image: 3 black px (luma 0), 2 white (luma 255), 3 mid gray
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[0, 0] = px[0, 1] = px[1, 0] = 0
+    px[0, 2] = px[0, 3] = 255
+    px[1, 1] = px[1, 2] = px[1, 3] = 128
+    df = spark.createDataFrame([("x", png_encode(px), "png")],
+                               "image_id string, bytes binary, fmt string")
+    r = image_exposure(df).collect()[0]
+    # luma: 0 (dark), 255 (bright), (299+587+114)*128//1000 = 128
+    assert (r.n_px, r.n_dark, r.n_bright) == (8, 3, 2)
+    assert r.luma_sum == 255 * 2 + 128 * 3
