@@ -582,6 +582,39 @@ FROM r GROUP BY lang
 """
 
 
+def q_quality_gate(spark, sf_dir):
+    """Per-language dynamic-threshold curation (the CCNet LM-filter
+    shape): keep each language's top half by quality score, threshold =
+    the exact rank-based median (integer arithmetic, no float
+    interpolation). One corpus shuffle for the ranking; the one-row-per-
+    lang threshold table broadcasts back."""
+    from crawlspark.functions import text as T
+    from crawlspark.functions.stats import quantile_gate
+    docs = _t(spark, sf_dir, "documents")
+    q6 = F.round(T.quality_score(F.col("text")), 6)
+    out = quantile_gate(docs, "lang", q6, F.col("doc_id"), 50, 100,
+                        value_name="score")
+    return out.select("doc_id", "lang", "score", "threshold")
+
+
+SQL_QUALITY_GATE = f"""
+WITH s AS ({_SQL_QUALITY_EXPR}),
+r AS (
+  SELECT lang, q, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s),
+t AS (
+  SELECT lang,
+         max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN q END)
+             AS threshold
+  FROM r GROUP BY lang)
+SELECT s.doc_id, s.lang, s.q AS score, t.threshold
+FROM s JOIN t USING (lang)
+WHERE s.q >= t.threshold
+"""
+
+
 # -- ordering / politeness windows (SURVEY §2.6 A1/A5, §2.7) -----------------
 
 def q_fetch_seq(spark, sf_dir):
@@ -4103,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "decontaminate": q_decontaminate,
         "quality_quantiles": q_quality_quantiles,
+        "quality_gate": q_quality_gate,
         "metrics_rollup": q_metrics_rollup,
         # ordering / politeness windows
         "fetch_seq": q_fetch_seq,
@@ -4217,6 +4251,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": _sql_temperature_mixture(),
         "decontaminate": SQL_DECONTAMINATE,
         "quality_quantiles": SQL_QUALITY_QUANTILES,
+        "quality_gate": SQL_QUALITY_GATE,
         "metrics_rollup": SQL_METRICS_ROLLUP,
         "fetch_seq": SQL_FETCH_SEQ,
         "topk_per_host": SQL_TOPK_PER_HOST,

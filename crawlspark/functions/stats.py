@@ -49,3 +49,26 @@ def exact_group_quantiles(df: DataFrame, group_col: str, value: Column,
         aggs.append(F.max(F.when(F.col("_rn") == rank, F.col("_v")))
                     .alias(name))
     return ranked.groupBy(group_col).agg(*aggs)
+
+
+def quantile_gate(df: DataFrame, group_col: str, value: Column,
+                  tiebreak: Column, p_num: int, p_den: int,
+                  value_name: str = "score") -> DataFrame:
+    """Per-group dynamic-threshold filter (the CCNet LM-filter shape:
+    "keep each language's top (1-p) by quality"): compute each group's
+    exact p-quantile (rank-based, integer arithmetic — see
+    exact_group_quantiles) and keep rows with value >= that group's
+    threshold. The per-group threshold table is tiny (one row per group)
+    and broadcasts; the input shuffles ONCE for the quantile ranking and
+    the kept rows stream through a broadcast join — no second exchange
+    of the corpus.
+
+    Output: the input rows that pass, plus ``threshold`` (the group's
+    cut value) and ``value_name`` (the row's measure) for auditability.
+    """
+    th = exact_group_quantiles(df, group_col, value, tiebreak,
+                               {"threshold": (p_num, p_den)}) \
+        .select(group_col, "threshold")
+    measured = df.withColumn(value_name, value)
+    return (measured.join(F.broadcast(th), group_col)
+            .filter(F.col(value_name) >= F.col("threshold")))

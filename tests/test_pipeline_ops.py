@@ -206,3 +206,20 @@ def test_temperature_mixture_budget_cap(spark):
                                ["source"])
     plan = {s: (c, k) for s, c, k in mixture_plan(df, "source", 900_000)}
     assert plan["tiny"][1] <= 2
+
+
+def test_quantile_gate_median_keep(spark):
+    import pyspark.sql.functions as F
+
+    from crawlspark.functions.stats import quantile_gate
+    rows = [("a", i, float(i)) for i in range(1, 6)]       # 1..5
+    rows += [("b", i, float(10 - i)) for i in range(1, 4)]  # 9,8,7
+    df = spark.createDataFrame(rows, "g string, rid long, v double")
+    out = quantile_gate(df, "g", F.col("v"), F.col("rid"), 50, 100,
+                        value_name="score")
+    got = sorted((r.g, r.rid, r.score, r.threshold) for r in out.collect())
+    # group a: n=5, rank=(50*4)//100+1=3 -> threshold 3.0 -> keep 3,4,5
+    # group b: n=3, rank=(50*2)//100+1=2 -> values asc 7,8,9 threshold 8.0
+    assert got == [("a", 3, 3.0, 3.0), ("a", 4, 4.0, 3.0),
+                   ("a", 5, 5.0, 3.0), ("b", 1, 9.0, 8.0),
+                   ("b", 2, 8.0, 8.0)]
