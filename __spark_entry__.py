@@ -1616,6 +1616,81 @@ FROM p
 """
 
 
+def q_domain_rollup(spark, sf_dir):
+    """Per-SITE (PSL registrable-domain / eTLD+1) rollup of a host
+    population synthesized from event arithmetic across the suffix
+    tiers: multi-label subdomains under 2-label public suffixes
+    (co.uk), PSL private domains (github.io) at two depths, plain .com
+    at two depths, a naked public suffix (NULL site), IPv4 literals
+    (NULL site), and an unknown TLD (prevailing-* rule). Spark extracts
+    the site by longest-suffix-match string algebra
+    (urltools.registrable_domain); the oracle never parses a host — it
+    derives each row's expected site DIRECTLY from the same event
+    arithmetic, so a match proves the extraction."""
+    from crawlspark.urltools import registrable_domain
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    host = (
+        F.when(eid % 9 == 0, F.concat(
+            F.lit("cdn"), (eid % 3).cast("string"), F.lit(".shop"),
+            (eid % 13).cast("string"), F.lit(".co.uk")))
+        .when(eid % 9 == 1, F.concat(
+            F.lit("shop"), (eid % 13).cast("string"), F.lit(".co.uk")))
+        .when(eid % 9 == 2, F.concat(
+            F.lit("www.site"), (eid % 17).cast("string"), F.lit(".com")))
+        .when(eid % 9 == 3, F.concat(
+            F.lit("site"), (eid % 17).cast("string"), F.lit(".com")))
+        .when(eid % 9 == 4, F.concat(
+            F.lit("user"), (eid % 7).cast("string"), F.lit(".github.io")))
+        .when(eid % 9 == 5, F.concat(
+            F.lit("a.b.user"), (eid % 7).cast("string"),
+            F.lit(".github.io")))
+        .when(eid % 9 == 6, F.lit("co.uk"))
+        .when(eid % 9 == 7, F.concat(
+            F.lit("192.168.0."), (eid % 250).cast("string")))
+        .otherwise(F.concat(
+            F.lit("x"), (eid % 5).cast("string"), F.lit(".unknowntld"))))
+    return (ev.select(host.alias("host"))
+            .groupBy(registrable_domain("host").alias("site"))
+            .agg(F.countDistinct("host").cast("int").alias("n_hosts"),
+                 F.count(F.lit(1)).cast("int").alias("n_urls"))
+            .orderBy("site"))
+
+
+SQL_DOMAIN_ROLLUP = """
+WITH h AS (
+  SELECT CASE event_id % 9
+           WHEN 0 THEN 'cdn' || (event_id % 3)::VARCHAR || '.shop'
+                       || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 1 THEN 'shop' || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 2 THEN 'www.site' || (event_id % 17)::VARCHAR || '.com'
+           WHEN 3 THEN 'site' || (event_id % 17)::VARCHAR || '.com'
+           WHEN 4 THEN 'user' || (event_id % 7)::VARCHAR || '.github.io'
+           WHEN 5 THEN 'a.b.user' || (event_id % 7)::VARCHAR
+                       || '.github.io'
+           WHEN 6 THEN 'co.uk'
+           WHEN 7 THEN '192.168.0.' || (event_id % 250)::VARCHAR
+           ELSE 'x' || (event_id % 5)::VARCHAR || '.unknowntld'
+         END AS host,
+         CASE event_id % 9
+           WHEN 0 THEN 'shop' || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 1 THEN 'shop' || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 2 THEN 'site' || (event_id % 17)::VARCHAR || '.com'
+           WHEN 3 THEN 'site' || (event_id % 17)::VARCHAR || '.com'
+           WHEN 4 THEN 'user' || (event_id % 7)::VARCHAR || '.github.io'
+           WHEN 5 THEN 'user' || (event_id % 7)::VARCHAR || '.github.io'
+           WHEN 6 THEN NULL
+           WHEN 7 THEN NULL
+           ELSE 'x' || (event_id % 5)::VARCHAR || '.unknowntld'
+         END AS site
+  FROM events
+)
+SELECT site, CAST(COUNT(DISTINCT host) AS INTEGER) AS n_hosts,
+       CAST(COUNT(*) AS INTEGER) AS n_urls
+FROM h GROUP BY site ORDER BY site
+"""
+
+
 def q_cm_topk(spark, sf_dir):
     """Count-Min frequency sketch composed with the exact heavy-hitter
     pass: build the sketch over the corpus token stream (ONE hash-agg,
@@ -4018,6 +4093,76 @@ def q_jpeg_quality(spark, sf_dir):
     return jpeg_quality(images)
 
 
+def q_exif_meta(spark, sf_dir):
+    """EXIF extraction + orientation normalization: Spark builds 160
+    real JPEGs distributed (jpeg_encode) and injects an APP1/TIFF EXIF
+    block into i%7!=0 of them — orientation/make/resolution/pixel-dims/
+    timestamp all derived from image-id arithmetic, alternating II/MM
+    byte order, an unknown private tag in every IFD0 (parser must skip
+    it) — then parses the bytes back (crawlspark.exif) and derives the
+    rotate/flip normalization. The oracle recomputes every field from
+    the SAME id arithmetic in pure SQL, codec- and parser-free, so a
+    match proves the APP1 build→parse round trip and the TIFF 6.0
+    orientation mapping."""
+    import pandas as pd
+
+    from crawlspark.functions.curation import exif_meta
+
+    def enc(batches):
+        from crawlspark.exif import build_exif_app1, inject_app1
+        from crawlspark.imaging import make_pixels
+        from crawlspark.jpegcodec import jpeg_encode
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 32 + (i % 3) * 16
+                data = jpeg_encode(make_pixels(i, w, 32), quality=75)
+                if i % 7 != 0:
+                    seg = build_exif_app1(
+                        orientation=1 + (i % 8),
+                        make=f"CAMERA-MAKER-{i % 5}",  # >4B: out-of-line
+                        x_res=(72 + (i % 4) * 24, 1 + (i % 3)),
+                        dt_original=f"2026:01:{1 + (i % 28):02d} 12:00:00",
+                        pixel_xy=(w, 32),
+                        big_endian=(i % 2 == 1),
+                        unknown_tag=0x9999)
+                    data = inject_app1(data, seg)
+                rows.append({"image_id": f"img{i:010d}", "bytes": data})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    images = spark.range(0, 160, 1, 8).mapInPandas(
+        enc, "image_id string, bytes binary")
+    return exif_meta(images)
+
+
+SQL_EXIF_META = """
+WITH t AS (SELECT CAST(i AS INTEGER) AS i, (i % 7) <> 0 AS he
+           FROM range(0, 160) r(i))
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 10, '0') AS image_id,
+       he AS has_exif,
+       CASE WHEN he THEN (CASE WHEN i % 2 = 1 THEN 'MM' ELSE 'II' END)
+            END AS byte_order,
+       CASE WHEN he THEN CAST(1 + (i % 8) AS INTEGER) END AS orientation,
+       CASE WHEN he THEN 'CAMERA-MAKER-' || CAST(i % 5 AS VARCHAR)
+            END AS make,
+       CASE WHEN he THEN CAST(72 + (i % 4) * 24 AS INTEGER)
+            END AS x_res_num,
+       CASE WHEN he THEN CAST(1 + (i % 3) AS INTEGER) END AS x_res_den,
+       CASE WHEN he THEN CAST(32 + (i % 3) * 16 AS INTEGER) END AS pix_x,
+       CASE WHEN he THEN CAST(32 AS INTEGER) END AS pix_y,
+       CASE WHEN he THEN '2026:01:' || lpad(CAST(1 + (i % 28) AS VARCHAR),
+                                            2, '0') || ' 12:00:00'
+            END AS dt_original,
+       CASE WHEN he THEN CAST(CASE WHEN 1 + (i % 8) <= 2 THEN 0
+                                   WHEN 1 + (i % 8) <= 4 THEN 180
+                                   WHEN 1 + (i % 8) <= 6 THEN 90
+                                   ELSE 270 END AS INTEGER) END AS rot_deg,
+       CASE WHEN he THEN 1 + (i % 8) IN (2, 4, 5, 7) END AS flip_h
+FROM t
+"""
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order file-layout plan over the image corpus: Morton-interleave
     (w, h) at 8 bits, rank with the distributed gap-free sequencer, pack
@@ -4119,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_clean": q_images_clean,
         "aspect_buckets": q_aspect_buckets,
         "jpeg_quality": q_jpeg_quality,
+        "exif_meta": q_exif_meta,
         "zorder_layout": q_zorder_layout,
         "image_exposure": q_image_exposure,
         # relational core
@@ -4181,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_topk": q_cm_topk,
         "robots_sitemaps": q_robots_sitemaps,
         "url_class": q_url_class,
+        "domain_rollup": q_domain_rollup,
         "fingerprint": q_fingerprint,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4301,6 +4448,7 @@ def oracle_sql() -> dict[str, str]:
         "cm_topk": SQL_CM_TOPK,
         "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
         "url_class": SQL_URL_CLASS,
+        "domain_rollup": SQL_DOMAIN_ROLLUP,
         "fingerprint": SQL_FINGERPRINT,
         "doc_repetition": SQL_DOC_REPETITION,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
@@ -4347,6 +4495,7 @@ def oracle_sql() -> dict[str, str]:
         "images_clean": SQL_IMAGES_CLEAN,
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "jpeg_quality": SQL_JPEG_QUALITY,
+        "exif_meta": SQL_EXIF_META,
         "zorder_layout": SQL_ZORDER_LAYOUT,
         # differential over ground-truth pixels (codec-free oracle):
         "image_features": SQL_IMAGE_FEATURES,

@@ -15,6 +15,9 @@ caption string, phash long)``:
   jpeg_quality   — IJG quality estimation from the parsed DQT luma
                    table (exact table-match inversion of the libjpeg
                    quality→table scaling).
+  exif_meta      — EXIF (APP1/TIFF) metadata extraction + the
+                   orientation→(rotate, flip) normalization transform
+                   (crawlspark.exif parser; header walk only).
 
 Reference tie-in: koizuka/scraper validates and saves fetched payloads
 per page (scraper.go download/save paths, session.go invoke); these are
@@ -122,6 +125,69 @@ def aspect_buckets(images: DataFrame,
         "image_id", "w", "h",
         F.element_at(bw_arr, best["idx"] + 1).alias("bucket_w"),
         F.element_at(bh_arr, best["idx"] + 1).alias("bucket_h"))
+
+
+def exif_meta(images: DataFrame, id_col: str = "image_id",
+              bytes_col: str = "bytes") -> DataFrame:
+    """Extract EXIF metadata + the orientation-normalization transform.
+
+    Arrow-batched header walk (crawlspark.exif — marker scan to APP1,
+    TIFF IFD parse, entropy data untouched; payload bytes never cross
+    py4j). Missing APP1-Exif → has_exif=false with null fields;
+    structurally damaged EXIF raises loudly (same posture as the
+    codecs). The rotate/flip normalization columns are derived JVM-side
+    from the parsed orientation via the public TIFF 6.0 mapping
+    (ORIENT_ROT_DEG / ORIENT_FLIP_H).
+
+    Output: (image_id, has_exif, byte_order, orientation, make,
+    x_res_num, x_res_den, pix_x, pix_y, dt_original, rot_deg, flip_h).
+
+    100 TB shape: one mapInPandas pass, zero shuffles; per-row work is
+    bounded by the JPEG header (entropy segments are skipped by length
+    fields, never scanned).
+    """
+
+    def walk(batches):
+        from ..exif import parse_exif
+        cols = ["image_id", "has_exif", "byte_order", "orientation",
+                "make", "x_res_num", "x_res_den", "pix_x", "pix_y",
+                "dt_original"]
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                d = parse_exif(bytes(data))
+                xr = (d or {}).get("x_resolution")
+                rows.append({
+                    "image_id": mid, "has_exif": d is not None,
+                    "byte_order": (d or {}).get("byte_order"),
+                    "orientation": (d or {}).get("orientation"),
+                    "make": (d or {}).get("make"),
+                    "x_res_num": None if xr is None else xr[0],
+                    "x_res_den": None if xr is None else xr[1],
+                    "pix_x": (d or {}).get("pixel_x"),
+                    "pix_y": (d or {}).get("pixel_y"),
+                    "dt_original": (d or {}).get("dt_original")})
+            pdf_out = pd.DataFrame(rows, columns=cols)
+            for c in ("orientation", "x_res_num", "x_res_den",
+                      "pix_x", "pix_y"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            yield pdf_out
+
+    from ..exif import ORIENT_FLIP_H, ORIENT_ROT_DEG
+    parsed = (images.select(id_col, bytes_col).mapInPandas(
+        walk,
+        "image_id string, has_exif boolean, byte_order string, "
+        "orientation int, make string, x_res_num int, x_res_den int, "
+        "pix_x int, pix_y int, dt_original string"))
+    rot = F.array(*[F.lit(d) for d in ORIENT_ROT_DEG])
+    flip = F.array(*[F.lit(b) for b in ORIENT_FLIP_H])
+    o = F.col("orientation")
+    valid = o.isNotNull() & (o >= 1) & (o <= 8)
+    return parsed.withColumns({
+        "rot_deg": F.when(valid, F.element_at(rot, o)).cast("int"),
+        "flip_h": F.when(valid, F.element_at(flip, o))})
 
 
 def jpeg_quality(images: DataFrame, id_col: str = "image_id",

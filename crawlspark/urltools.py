@@ -230,3 +230,66 @@ def url_feature_cols(url=None) -> dict:
             "n_digits": n_digits,
             "path_len": F.length(path).cast("int"),
             "url_class": klass}
+
+
+#: Registrable-domain suffix subset (public knowledge: the Mozilla Public
+#: Suffix List's most common entries — publicsuffix.org, MPL-licensed
+#: data). A deployment broadcasts the FULL list as a table; the grouping
+#: algorithm below is list-size independent (longest-match over 1/2/3
+#: label suffixes, unknown TLDs fall back to the prevailing-* rule =
+#: last label). Kept small here so the driver oracle can carry the same
+#: literal list.
+PSL_SUBSET_2 = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "ltd.uk", "plc.uk",
+    "net.uk", "sch.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "co.za", "org.za", "net.za", "web.za", "gov.za",
+    "com.ar", "com.tr", "com.sg", "com.hk", "com.my", "co.id", "co.th",
+    # PSL private-domain section (same matching semantics)
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "cloudfront.net", "appspot.com", "netlify.app", "vercel.app",
+    "web.app", "pages.dev", "workers.dev", "wordpress.com",
+)
+PSL_SUBSET_3 = ("s3.amazonaws.com", "blogspot.co.uk")
+
+
+def registrable_domain(host=None) -> "F.Column":
+    """eTLD+1 (PSL registrable domain) of a lowercased host — the
+    per-SITE rollup key a crawler budgets and dedups by (host-level
+    politeness under-counts: img1.cdn.example.co.uk and
+    www.example.co.uk are one site).
+
+    Longest-match over the suffix tiers, PSL semantics:
+      * a host that IS a public suffix (or a bare TLD) → NULL;
+      * unknown TLD → prevailing-* rule (the last label is the suffix);
+      * IPv4 literals → NULL (no registrable domain).
+
+    Pure Column expression (split + negative-index slice + literal IN
+    lists), whole-stage codegen, zero Python — an insert-time frontier
+    projection at any scale. For the FULL PSL a deployment swaps the IN
+    lists for a broadcast join on the same candidate-suffix columns; the
+    longest-match cascade is unchanged.
+    """
+    from pyspark.sql import functions as F
+    h = F.col(host) if isinstance(host, str) else (
+        F.col("host") if host is None else host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last = lambda k: F.array_join(F.slice(labels, -k, k), ".")  # noqa: E731
+    s2, s3 = last(2), last(3)
+    is_ip = h.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    return F.when(is_ip, F.lit(None).cast("string")).otherwise(
+        F.when((n >= 3) & s3.isin(*PSL_SUBSET_3),
+               F.when(n > 3, last(4)))
+         .when((n >= 2) & s2.isin(*PSL_SUBSET_2),
+               F.when(n > 2, last(3)))
+         .otherwise(F.when(n > 1, last(2))))

@@ -103,3 +103,31 @@ def test_url_feature_cols_envelope(spark):
         ("gz", 1, 1, 0, "data"),
         ("", 0, 0, 0, "page"),
     ]
+
+
+def test_registrable_domain_psl_tiers(spark):
+    from crawlspark.urltools import registrable_domain
+    rows = [
+        ("www.example.co.uk", "example.co.uk"),     # 2-label suffix
+        ("a.b.example.co.uk", "example.co.uk"),     # deep subdomain
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", None),                            # host IS a suffix
+        ("uk", None),                               # bare TLD
+        ("example.com", "example.com"),             # plain TLD
+        ("www.example.com", "example.com"),
+        ("user.github.io", "user.github.io"),       # PSL private domain
+        ("cdn.user.github.io", "user.github.io"),
+        ("github.io", None),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),  # 3-label
+        ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("s3.amazonaws.com", None),
+        ("blog.blogspot.co.uk", "blog.blogspot.co.uk"),
+        ("site.unknowntld", "site.unknowntld"),     # prevailing-* rule
+        ("a.site.unknowntld", "site.unknowntld"),
+        ("localhost", None),                        # single label
+        ("192.168.0.7", None),                      # IPv4 literal
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = [r.site for r in df.select(
+        registrable_domain("host").alias("site")).collect()]
+    assert got == [want for _, want in rows]
