@@ -3098,7 +3098,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v14"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v15"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -3378,6 +3378,75 @@ def _ensure_oracle_files() -> None:
     write("image_resize", pd.DataFrame(
         rrows, columns=["media_id", "w", "h", "mean_r", "mean_g",
                         "mean_b", "phash", "luma_hist"]))
+
+    # dominant color from ground-truth pixels (codec-free, exact integer
+    # quantization): argmax computed by a DIFFERENT algorithm than the
+    # Spark kernel's bincount().argmax() — max count then min bin over
+    # the nonzero histogram — so the tie rule itself is cross-checked.
+    drows = []
+    for i in range(300):
+        if i % 3 == 0:          # lossy fmt — excluded (decode not identity)
+            continue
+        row = synth.gen_image_row(i, materialize_bytes=False)
+        src = i - 1 if (i % 101 == 100 and i > 0) else i
+        px = imaging.make_pixels(src, int(row["w"]),
+                                 int(row["h"])).astype(np.int64)
+        bins = ((px[..., 0] >> 4) << 8 | (px[..., 1] >> 4) << 4
+                | (px[..., 2] >> 4)).ravel()
+        uniq, counts = np.unique(bins, return_counts=True)
+        top = int(counts.max())
+        b = int(uniq[counts == top].min())
+        drows.append({
+            "media_id": row["image_id"], "dom_bin": b, "dom_r": b >> 8,
+            "dom_g": (b >> 4) & 0xF, "dom_b": b & 0xF, "n_dom": top,
+            "n_px": int(bins.size),
+            "dom_frac_ppm": top * 1_000_000 // int(bins.size)})
+    write("dominant_color", pd.DataFrame(
+        drows, columns=["media_id", "dom_bin", "dom_r", "dom_g", "dom_b",
+                        "n_dom", "n_px", "dom_frac_ppm"]))
+
+    # SDXL preprocess (bucket → center crop → NN resize → exposure) from
+    # ground-truth pixels: bucket argmin and crop offsets recomputed
+    # INLINE (tuple-min over integer scores — a different algorithm than
+    # the Spark side's array_min struct), NN indices by the (i*src)//dst
+    # spec. Matching pins decode + crop + resize + png round-trip + the
+    # exposure kernel end-to-end.
+    from math import lcm as _lcm
+
+    from crawlspark.functions.curation import DEFAULT_BUCKETS
+    _d = _lcm(*[bh for _, bh in DEFAULT_BUCKETS])
+    prows = []
+    for i in range(300):
+        if i % 3 == 0:          # lossy fmt — excluded (decode not identity)
+            continue
+        row = synth.gen_image_row(i, materialize_bytes=False)
+        src = i - 1 if (i % 101 == 100 and i > 0) else i
+        w, h = int(row["w"]), int(row["h"])
+        px = imaging.make_pixels(src, w, h)
+        _, bi = min((abs(w * bh - h * bw) * (_d // bh), idx)
+                    for idx, (bw, bh) in enumerate(DEFAULT_BUCKETS))
+        bw, bh = DEFAULT_BUCKETS[bi]
+        if w * bh >= h * bw:
+            ch, cw = h, (h * bw) // bh
+        else:
+            cw, ch = w, (w * bh) // bw
+        x0, y0 = (w - cw) // 2, (h - ch) // 2
+        crop = px[y0:y0 + ch, x0:x0 + cw]
+        ys = (np.arange(bh) * ch // bh).clip(0, ch - 1)
+        xs = (np.arange(bw) * cw // bw).clip(0, cw - 1)
+        out = crop[np.ix_(ys, xs)].astype(np.int64)
+        luma = (299 * out[..., 0] + 587 * out[..., 1]
+                + 114 * out[..., 2]) // 1000
+        prows.append({
+            "image_id": row["image_id"], "bucket_w": bw, "bucket_h": bh,
+            "crop_w": cw, "crop_h": ch, "x0": x0, "y0": y0,
+            "n_px": int(luma.size), "n_dark": int((luma <= 15).sum()),
+            "n_bright": int((luma >= 240).sum()),
+            "luma_sum": int(luma.sum())})
+    write("images_preprocess", pd.DataFrame(
+        prows, columns=["image_id", "bucket_w", "bucket_h", "crop_w",
+                        "crop_h", "x0", "y0", "n_px", "n_dark",
+                        "n_bright", "luma_sum"]))
 
     # audio features from GROUND-TRUTH samples through the quantization
     # mirror (pyref.py_wav_features — no codec in the loop): the Spark side
@@ -4163,6 +4232,86 @@ FROM t
 """
 
 
+def q_dominant_color(spark, sf_dir):
+    """Dominant color by exact 4-bit RGB quantization over the lossless
+    t1 image subset: Spark decodes real png bytes and takes the bincount
+    argmax; the oracle quantizes generator ground-truth pixels and picks
+    (max count, min bin) by a different algorithm — matching pins decode
+    identity, the quantization, and the tie rule."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import dominant_color
+    tier = synth.TIERS["t1"]
+    images = (synth.spark_images(spark, tier, parallelism=8)
+              .filter((F.col("image_id") < "img0000000300")
+                      & (F.col("fmt") == "png")))
+    return dominant_color(images)
+
+
+SQL_DOMINANT_COLOR = f"""
+SELECT media_id, dom_bin, dom_r, dom_g, dom_b, n_dom, n_px, dom_frac_ppm
+FROM read_parquet('{_ORACLE_DIR}/dominant_color.parquet')
+"""
+
+
+def q_images_preprocess(spark, sf_dir):
+    """SDXL-style preprocessing end to end (curation.preprocess_to_bucket):
+    nearest-aspect bucket (exact integer argmin) → decode → center crop →
+    NN resize to the bucket dims → png re-encode → re-decode → exact
+    integer exposure stats. The oracle recomputes everything from
+    generator ground-truth pixels with inline arithmetic (tuple-min
+    bucket choice, (i*src)//dst indices), codec-free."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.curation import preprocess_to_bucket
+    tier = synth.TIERS["t1"]
+    images = (synth.spark_images(spark, tier, parallelism=8)
+              .filter((F.col("image_id") < "img0000000300")
+                      & (F.col("fmt") == "png")))
+    return preprocess_to_bucket(images)
+
+
+SQL_IMAGES_PREPROCESS = f"""
+SELECT image_id, bucket_w, bucket_h, crop_w, crop_h, x0, y0,
+       n_px, n_dark, n_bright, luma_sum
+FROM read_parquet('{_ORACLE_DIR}/images_preprocess.parquet')
+"""
+
+
+def q_clip_gate(spark, sf_dir):
+    """CLIP-score alignment gate (curation.clip_score_gate): pair the
+    embeddings table with itself (even vec_id = image embedding, the
+    following odd vec_id = caption embedding), keep-decide at cosine ≥
+    0.05 rounded to 6 dp. Pure-Column zip_with/aggregate cosine; the
+    oracle is DuckDB's independent list_cosine_similarity."""
+    from crawlspark.functions.curation import clip_score_gate
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    img = (emb.filter(vid % 2 == 0)
+           .select((vid / 2).cast("long").alias("pair_id"),
+                   F.col("embedding").alias("img_emb")))
+    txt = (emb.filter(vid % 2 == 1)
+           .select(((vid - 1) / 2).cast("long").alias("pair_id"),
+                   F.col("embedding").alias("txt_emb")))
+    return (clip_score_gate(img.join(txt, "pair_id"), threshold=0.05)
+            .orderBy("pair_id"))
+
+
+SQL_CLIP_GATE = """
+WITH i AS (SELECT vec_id // 2 AS pair_id, embedding AS iv
+           FROM embeddings WHERE vec_id % 2 = 0),
+     t AS (SELECT (vec_id - 1) // 2 AS pair_id, embedding AS tv
+           FROM embeddings WHERE vec_id % 2 = 1),
+     s AS (SELECT i.pair_id,
+                  round(list_cosine_similarity(i.iv::DOUBLE[],
+                                               t.tv::DOUBLE[]), 6)
+                    AS clip_score
+           FROM i JOIN t USING (pair_id))
+SELECT pair_id, clip_score, clip_score >= 0.05 AS keep
+FROM s ORDER BY pair_id
+"""
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order file-layout plan over the image corpus: Morton-interleave
     (w, h) at 8 bits, rank with the distributed gap-free sequencer, pack
@@ -4265,6 +4414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": q_aspect_buckets,
         "jpeg_quality": q_jpeg_quality,
         "exif_meta": q_exif_meta,
+        "dominant_color": q_dominant_color,
+        "images_preprocess": q_images_preprocess,
+        "clip_gate": q_clip_gate,
         "zorder_layout": q_zorder_layout,
         "image_exposure": q_image_exposure,
         # relational core
@@ -4496,6 +4648,9 @@ def oracle_sql() -> dict[str, str]:
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "jpeg_quality": SQL_JPEG_QUALITY,
         "exif_meta": SQL_EXIF_META,
+        "dominant_color": SQL_DOMINANT_COLOR,
+        "images_preprocess": SQL_IMAGES_PREPROCESS,
+        "clip_gate": SQL_CLIP_GATE,
         "zorder_layout": SQL_ZORDER_LAYOUT,
         # differential over ground-truth pixels (codec-free oracle):
         "image_features": SQL_IMAGE_FEATURES,

@@ -18,6 +18,16 @@ caption string, phash long)``:
   exif_meta      — EXIF (APP1/TIFF) metadata extraction + the
                    orientation→(rotate, flip) normalization transform
                    (crawlspark.exif parser; header walk only).
+  clip_score_gate — CLIP-score-style image↔caption embedding alignment
+                   gate (LAION keeps pairs with cosine ≥ τ): pure-Column
+                   cosine over two array<float> columns, zero Python.
+  preprocess_to_bucket — SDXL-style training preprocessing: assign the
+                   nearest aspect bucket, center-crop to the bucket's
+                   aspect (exact integer offsets), nearest-neighbor
+                   resize to the bucket dims, png re-encode; emits
+                   exact-integer exposure stats of the RE-DECODED
+                   result so a ground-truth-pixel oracle pins the whole
+                   decode→crop→resize→encode→decode chain.
 
 Reference tie-in: koizuka/scraper validates and saves fetched payloads
 per page (scraper.go download/save paths, session.go invoke); these are
@@ -111,6 +121,18 @@ def aspect_buckets(images: DataFrame,
 
     Output: (image_id, w, h, bucket_w, bucket_h).
     """
+    bw_col, bh_col = bucket_choice_cols(buckets)
+    return images.select(
+        "image_id", "w", "h",
+        bw_col.alias("bucket_w"), bh_col.alias("bucket_h"))
+
+
+def bucket_choice_cols(buckets: list[tuple[int, int]] | None = None
+                       ) -> tuple[F.Column, F.Column]:
+    """(bucket_w, bucket_h) Columns for the exact-integer nearest-aspect
+    argmin over ``w``/``h`` (the arithmetic aspect_buckets documents —
+    one definition so the standalone rollup and preprocess_to_bucket
+    cannot drift)."""
     buckets = DEFAULT_BUCKETS if buckets is None else buckets
     d = lcm(*[bh for _, bh in buckets])
     w, h = F.col("w"), F.col("h")
@@ -121,10 +143,112 @@ def aspect_buckets(images: DataFrame,
     best = F.array_min(F.array(*scored))
     bw_arr = F.array(*[F.lit(bw) for bw, _ in buckets])
     bh_arr = F.array(*[F.lit(bh) for _, bh in buckets])
-    return images.select(
-        "image_id", "w", "h",
-        F.element_at(bw_arr, best["idx"] + 1).alias("bucket_w"),
-        F.element_at(bh_arr, best["idx"] + 1).alias("bucket_h"))
+    return (F.element_at(bw_arr, best["idx"] + 1),
+            F.element_at(bh_arr, best["idx"] + 1))
+
+
+def center_crop_dims(w: int, h: int, bw: int, bh: int
+                     ) -> tuple[int, int, int, int]:
+    """The EXACT integer center-crop spec (pure function — the Spark
+    kernel and any oracle call this same arithmetic): largest centered
+    sub-rectangle of (w, h) with aspect ≤ the bucket's, floor division
+    throughout. Returns (crop_w, crop_h, x0, y0)."""
+    if w * bh >= h * bw:          # source wider than the bucket aspect
+        crop_h, crop_w = h, (h * bw) // bh
+    else:
+        crop_w, crop_h = w, (w * bh) // bw
+    return crop_w, crop_h, (w - crop_w) // 2, (h - crop_h) // 2
+
+
+def preprocess_to_bucket(images: DataFrame,
+                         buckets: list[tuple[int, int]] | None = None,
+                         dark_max: int = 15, bright_min: int = 240
+                         ) -> DataFrame:
+    """SDXL-style training preprocessing of an image+caption corpus.
+
+    Per image: nearest-aspect bucket (exact integer argmin, JVM-side) →
+    decode → center crop to the bucket aspect (center_crop_dims) →
+    nearest-neighbor resize to (bucket_w, bucket_h) (the ``(i*src)//dst``
+    index spec shared with resize_images) → png re-encode → re-decode →
+    exact-integer exposure stats of the result. Because every stage is
+    an exact integer spec, a codec-free oracle over ground-truth pixels
+    matches bit-for-bit — pinning decode, crop, resize, AND the png
+    round-trip in one entry.
+
+    Output: (image_id, bucket_w, bucket_h, crop_w, crop_h, x0, y0,
+    n_px, n_dark, n_bright, luma_sum).
+
+    100 TB shape: bucket assignment is whole-stage codegen; the pixel
+    work is ONE Arrow-batched map pass, zero shuffles; training shards
+    can then be written partitioned by (bucket_w, bucket_h) so each
+    training task reads one homogeneous resolution.
+    """
+    from ..imaging import decode, png_decode, png_encode
+    from .multimodal import _resize_nn
+
+    def kern(batches):
+        cols = ["image_id", "bucket_w", "bucket_h", "crop_w", "crop_h",
+                "x0", "y0", "n_px", "n_dark", "n_bright", "luma_sum"]
+        for pdf in batches:
+            rows = []
+            for mid, data, fmt, bw, bh in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"],
+                    pdf["bucket_w"], pdf["bucket_h"]):
+                if data is None:
+                    continue
+                bw, bh = int(bw), int(bh)
+                px = decode(bytes(data), fmt)
+                h, w = px.shape[:2]
+                cw, ch, x0, y0 = center_crop_dims(w, h, bw, bh)
+                out = _resize_nn(px[y0:y0 + ch, x0:x0 + cw], bw, bh)
+                out = png_decode(png_encode(out)).astype(np.int64)
+                luma = (299 * out[..., 0] + 587 * out[..., 1]
+                        + 114 * out[..., 2]) // 1000
+                rows.append({
+                    "image_id": mid, "bucket_w": bw, "bucket_h": bh,
+                    "crop_w": cw, "crop_h": ch, "x0": x0, "y0": y0,
+                    "n_px": int(luma.size),
+                    "n_dark": int((luma <= dark_max).sum()),
+                    "n_bright": int((luma >= bright_min).sum()),
+                    "luma_sum": int(luma.sum())})
+            yield pd.DataFrame(rows, columns=cols)
+
+    bw_col, bh_col = bucket_choice_cols(buckets)
+    staged = images.select(
+        "image_id", "bytes", "fmt",
+        bw_col.alias("bucket_w"), bh_col.alias("bucket_h"))
+    return staged.mapInPandas(
+        kern, "image_id string, bucket_w int, bucket_h int, crop_w int, "
+              "crop_h int, x0 int, y0 int, n_px int, n_dark int, "
+              "n_bright int, luma_sum long")
+
+
+def clip_score_gate(pairs: DataFrame, img_col: str = "img_emb",
+                    txt_col: str = "txt_emb", threshold: float = 0.28,
+                    id_col: str = "pair_id") -> DataFrame:
+    """CLIP-score-style image↔caption alignment gate (LAION-5B keeps
+    pairs whose image/text embedding cosine ≥ 0.28).
+
+    Cosine is a pure Column expression (zip_with dot product + aggregate
+    norms — dedup.cosine_sim, the same arithmetic the ANN entries pin
+    against DuckDB's list_cosine_similarity), rounded to 6 dp BEFORE the
+    threshold compare so the keep decision is reproducible across
+    engines at the boundary.
+
+    Output: (pair_id, clip_score double, keep boolean) — all pairs with
+    the decision, so downstream can audit the rejected tail.
+
+    100 TB shape: zero shuffles, whole-stage codegen scan pass; the
+    filter is applied where the corpus lives.
+    """
+    from .dedup import cosine_sim
+    score = F.round(cosine_sim(
+        F.col(img_col).cast("array<double>"),
+        F.col(txt_col).cast("array<double>")), 6)
+    return pairs.select(
+        F.col(id_col),
+        score.alias("clip_score")).withColumn(
+        "keep", F.col("clip_score") >= threshold)
 
 
 def exif_meta(images: DataFrame, id_col: str = "image_id",

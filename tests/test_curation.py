@@ -146,3 +146,102 @@ def test_image_exposure_exact_counts(spark):
     # luma: 0 (dark), 255 (bright), (299+587+114)*128//1000 = 128
     assert (r.n_px, r.n_dark, r.n_bright) == (8, 3, 2)
     assert r.luma_sum == 255 * 2 + 128 * 3
+
+
+def test_center_crop_dims_spec():
+    from crawlspark.functions.curation import center_crop_dims
+    # source wider than bucket aspect: crop width, keep height
+    assert center_crop_dims(100, 50, 64, 64) == (50, 50, 25, 0)
+    # source taller: crop height, keep width
+    assert center_crop_dims(50, 100, 64, 64) == (50, 50, 0, 25)
+    # exact aspect: identity crop
+    assert center_crop_dims(90, 60, 96, 64) == (90, 60, 0, 0)
+    # floor semantics + centered offsets
+    assert center_crop_dims(101, 50, 64, 96) == (33, 50, 34, 0)
+    # crop never exceeds the source
+    for w in range(31, 140, 13):
+        for h in range(31, 140, 17):
+            for bw, bh in DEFAULT_BUCKETS:
+                cw, ch, x0, y0 = center_crop_dims(w, h, bw, bh)
+                assert 0 < cw <= w and 0 < ch <= h
+                assert 0 <= x0 <= w - cw and 0 <= y0 <= h - ch
+                # result aspect is the bucket's within one floor unit
+                # (the floored side undershoots by < 1 scaled pixel)
+                assert abs(cw * bh - ch * bw) < max(bw, bh)
+
+
+def test_preprocess_to_bucket_exact_pipeline(spark):
+    import numpy as np
+
+    from crawlspark.functions.curation import (center_crop_dims,
+                                               preprocess_to_bucket)
+    from crawlspark.functions.multimodal import _resize_nn
+    from crawlspark.imaging import make_pixels, png_encode
+    rows, expect = [], {}
+    for i, (w, h) in enumerate([(100, 50), (50, 100), (90, 60), (64, 64),
+                                (33, 129)]):
+        px = make_pixels(i, w, h)
+        rows.append((f"im{i}", png_encode(px), w, h, "png", "cap", 0))
+        # mirror: bucket argmin + crop + NN resize + integer luma
+        from math import lcm
+        d = lcm(*[bh for _, bh in DEFAULT_BUCKETS])
+        _, bi = min((abs(w * bh - h * bw) * (d // bh), idx)
+                    for idx, (bw, bh) in enumerate(DEFAULT_BUCKETS))
+        bw, bh = DEFAULT_BUCKETS[bi]
+        cw, ch, x0, y0 = center_crop_dims(w, h, bw, bh)
+        out = _resize_nn(px[y0:y0 + ch, x0:x0 + cw], bw, bh).astype(
+            np.int64)
+        luma = (299 * out[..., 0] + 587 * out[..., 1]
+                + 114 * out[..., 2]) // 1000
+        expect[f"im{i}"] = (bw, bh, cw, ch, x0, y0, int(luma.size),
+                            int(luma.sum()))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    got = {r.image_id: (r.bucket_w, r.bucket_h, r.crop_w, r.crop_h,
+                        r.x0, r.y0, r.n_px, r.luma_sum)
+           for r in preprocess_to_bucket(df).collect()}
+    assert got == expect
+
+
+def test_clip_score_gate_matches_numpy(spark):
+    import numpy as np
+
+    from crawlspark.functions.curation import clip_score_gate
+    rng = [(i, [float(((i * 7 + j * 13) % 19) - 9) / 10
+                for j in range(8)],
+            [float(((i * 11 + j * 5) % 17) - 8) / 10 for j in range(8)])
+           for i in range(20)]
+    df = spark.createDataFrame(
+        rng, "pair_id long, img_emb array<float>, txt_emb array<float>")
+    out = {r.pair_id: (r.clip_score, r.keep)
+           for r in clip_score_gate(df, threshold=0.1).collect()}
+    for pid, a, b in rng:
+        av = np.asarray(a, dtype=np.float32).astype(np.float64)
+        bv = np.asarray(b, dtype=np.float32).astype(np.float64)
+        cos = float(av @ bv / (np.sqrt(av @ av) * np.sqrt(bv @ bv)))
+        assert abs(out[pid][0] - round(cos, 6)) < 2e-6, pid
+        assert out[pid][1] == (out[pid][0] >= 0.1)
+
+
+def test_dominant_color_exact_and_tie_rule(spark):
+    import numpy as np
+
+    from crawlspark.functions.multimodal import dominant_color
+    from crawlspark.imaging import png_encode
+    # 2x3: three px of (16,0,0) -> bin 256; three of (0,16,0) -> bin 16:
+    # tie -> LOWEST bin (16)
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[0, :, 0] = 16          # row 0: reddish
+    px[1, :, 1] = 16          # row 1: greenish
+    # and a clear-majority image: 5 of 6 px quantize to (15,15,15)
+    px2 = np.full((2, 3, 3), 255, dtype=np.uint8)
+    px2[0, 0] = 0
+    df = spark.createDataFrame(
+        [("tie", png_encode(px), "png"), ("maj", png_encode(px2), "png")],
+        "image_id string, bytes binary, fmt string")
+    got = {r.media_id: r for r in dominant_color(df).collect()}
+    assert (got["tie"].dom_bin, got["tie"].n_dom) == (16, 3)
+    assert (got["tie"].dom_r, got["tie"].dom_g, got["tie"].dom_b) == (0, 1, 0)
+    assert (got["maj"].dom_bin, got["maj"].n_dom,
+            got["maj"].dom_frac_ppm) == (0xFFF, 5, 5 * 1_000_000 // 6)
