@@ -4232,6 +4232,67 @@ FROM t
 """
 
 
+def q_webdataset_source(spark, sf_dir):
+    """WebDataset tar-shard container (crawlspark/webdataset.py): shards
+    are built executor-side from events rows (one sample per event —
+    .jpg payload + .txt caption, plus .json sidecar for every 4th id,
+    POSIX ustar, deterministic bytes), then parsed back with the
+    Arrow-batched member scanner. The oracle derives every member row —
+    INCLUDING its archive position (member_seq) — from events arithmetic
+    alone (window cumsum over per-sample member counts), byte-free, so
+    the driver check proves parse(build(x)) == x for the container."""
+    import pandas as pd
+
+    from crawlspark.webdataset import build_tar, parse_webdataset_members
+    ev = _t(spark, sf_dir, "events").select("event_id")
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(key[0])
+        members = []
+        for eid in sorted(int(e) for e in pdf["event_id"]):
+            k = f"{eid:09d}"
+            sample = {"jpg": (f"jpgdata-{eid}-" + "p" * (eid % 23)),
+                      "txt": f"caption for {eid}"}
+            if eid % 4 == 0:
+                sample["json"] = '{"id":%d}' % eid
+            for ext in sorted(sample):
+                members.append((f"{k}.{ext}", sample[ext].encode()))
+        return pd.DataFrame(
+            [{"src": str(fid), "content": build_tar(members)}])
+
+    files = (ev.groupBy((F.col("event_id") % 5).alias("fid"))
+             .applyInPandas(build, "src string, content binary"))
+    return (parse_webdataset_members(files)
+            .select("src", "member_seq", "name", "key", "ext",
+                    F.col("data").cast("string").alias("payload")))
+
+
+SQL_WEBDATASET_SOURCE = """
+WITH e AS (SELECT event_id AS eid, event_id % 5 AS fid,
+                  CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS hj
+           FROM events),
+o AS (SELECT *, COALESCE(SUM(2 + hj) OVER (
+           PARTITION BY fid ORDER BY eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      FROM e),
+m AS (
+  SELECT fid, eid, base, 0 AS off, 'jpg' AS ext,
+         'jpgdata-' || eid || '-'
+           || repeat('p', CAST(eid % 23 AS INTEGER)) AS payload
+  FROM o
+  UNION ALL
+  SELECT fid, eid, base, 1, 'json', '{"id":' || eid || '}'
+  FROM o WHERE hj = 1
+  UNION ALL
+  SELECT fid, eid, base, 1 + hj, 'txt', 'caption for ' || eid FROM o)
+SELECT CAST(fid AS VARCHAR) AS src,
+       CAST(base + off AS INTEGER) AS member_seq,
+       lpad(CAST(eid AS VARCHAR), 9, '0') || '.' || ext AS name,
+       lpad(CAST(eid AS VARCHAR), 9, '0') AS key, ext, payload
+FROM m
+"""
+
+
 def q_dominant_color(spark, sf_dir):
     """Dominant color by exact 4-bit RGB quantization over the lossless
     t1 image subset: Spark decodes real png bytes and takes the bincount
@@ -4414,6 +4475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": q_aspect_buckets,
         "jpeg_quality": q_jpeg_quality,
         "exif_meta": q_exif_meta,
+        "webdataset_source": q_webdataset_source,
         "dominant_color": q_dominant_color,
         "images_preprocess": q_images_preprocess,
         "clip_gate": q_clip_gate,
@@ -4648,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "jpeg_quality": SQL_JPEG_QUALITY,
         "exif_meta": SQL_EXIF_META,
+        "webdataset_source": SQL_WEBDATASET_SOURCE,
         "dominant_color": SQL_DOMINANT_COLOR,
         "images_preprocess": SQL_IMAGES_PREPROCESS,
         "clip_gate": SQL_CLIP_GATE,

@@ -1,0 +1,132 @@
+"""WebDataset tar shard container (crawlspark/webdataset.py)."""
+
+import tarfile
+import tempfile
+from io import BytesIO
+
+import pandas as pd
+import pytest
+
+from crawlspark.webdataset import (build_tar, parse_tar,
+                                   parse_webdataset_members,
+                                   read_webdataset, split_key_ext,
+                                   wds_samples, write_webdataset)
+
+
+def test_build_tar_is_stdlib_readable():
+    blob = build_tar([("000001.jpg", b"imgbytes"),
+                      ("000001.txt", b"a caption")])
+    with tarfile.open(fileobj=BytesIO(blob)) as tf:
+        names = tf.getnames()
+        assert names == ["000001.jpg", "000001.txt"]
+        assert tf.extractfile("000001.txt").read() == b"a caption"
+        # deterministic: mtime pinned to 0
+        assert all(m.mtime == 0 for m in tf.getmembers())
+
+
+def test_parse_tar_roundtrip_and_stdlib_parity():
+    members = [(f"{i:06d}.{ext}", (f"payload-{i}-{ext}").encode() * i)
+               for i in range(1, 9) for ext in ("jpg", "txt")]
+    blob = build_tar(members)
+    assert parse_tar(blob) == members
+    # our reader also accepts stdlib-written archives (GNU/pax defaults)
+    buf = BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, BytesIO(data))
+    assert parse_tar(buf.getvalue()) == members
+
+
+def test_parse_tar_wild_envelope():
+    # pax global+local headers, a directory, and a GNU longname
+    buf = BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        ti = tarfile.TarInfo("dir/sample.jpg")
+        ti.size = 3
+        ti.pax_headers = {"comment": "x"}   # forces a pax 'x' record
+        tf.addfile(ti, BytesIO(b"abc"))
+    got = parse_tar(buf.getvalue())
+    assert got == [("dir/sample.jpg", b"abc")]
+    longname = "d/" + "n" * 120 + ".txt"    # >100 bytes -> GNU 'L'
+    buf2 = BytesIO()
+    with tarfile.open(fileobj=buf2, mode="w", format=tarfile.GNU_FORMAT) as tf:
+        ti = tarfile.TarInfo(longname)
+        ti.size = 2
+        tf.addfile(ti, BytesIO(b"ok"))
+    assert parse_tar(buf2.getvalue()) == [(longname, b"ok")]
+
+
+def test_parse_tar_damage_raises():
+    blob = bytearray(build_tar([("a.jpg", b"xyz")]))
+    blob[130] ^= 0x01                        # corrupt the size field
+    with pytest.raises(ValueError):
+        parse_tar(bytes(blob))
+    # payload truncated past EOF
+    ok = build_tar([("a.jpg", b"x" * 600)])
+    with pytest.raises(ValueError):
+        parse_tar(ok[:BLOCK_AND_HALF()])
+
+
+def BLOCK_AND_HALF():
+    return 512 + 256
+
+
+def test_build_tar_name_overflow_raises():
+    with pytest.raises(ValueError):
+        build_tar([("x" * 101, b"d")])
+
+
+def test_split_key_ext_first_dot_rule():
+    assert split_key_ext("000123.jpg") == ("000123", "jpg")
+    assert split_key_ext("a/b.seg.jpg") == ("a/b", "seg.jpg")
+    assert split_key_ext("noext") == ("noext", "")
+
+
+def test_members_and_samples_spark(spark):
+    shard = build_tar([
+        ("000001.jpg", b"i1"), ("000001.txt", b"c1"),
+        ("000002.jpg", b"i2"), ("000002.json", b"{}"),
+        ("000002.txt", b"c2")])
+    files = spark.createDataFrame([("s0", shard)],
+                                  "src string, content binary")
+    members = parse_webdataset_members(files)
+    got = [(r.member_seq, r.name, r.key, r.ext, bytes(r.data), r.size)
+           for r in members.orderBy("member_seq").collect()]
+    assert got == [
+        (0, "000001.jpg", "000001", "jpg", b"i1", 2),
+        (1, "000001.txt", "000001", "txt", b"c1", 2),
+        (2, "000002.jpg", "000002", "jpg", b"i2", 2),
+        (3, "000002.json", "000002", "json", b"{}", 2),
+        (4, "000002.txt", "000002", "txt", b"c2", 2)]
+    samples = {r.key: (r.sample_seq, dict(r.exts))
+               for r in wds_samples(members).collect()}
+    assert samples["000001"] == (0, {"jpg": b"i1", "txt": b"c1"})
+    assert samples["000002"][0] == 2
+    assert set(samples["000002"][1]) == {"jpg", "json", "txt"}
+
+
+def test_write_read_roundtrip_spark(spark):
+    rows = [(i, f"{i:06d}",
+             {"jpg": bytes([i % 251]) * (i + 1), "txt": f"cap {i}".encode()})
+            for i in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seq", "key", "exts"]),
+        "seq long, key string, exts map<string,binary>")
+    out = tempfile.mkdtemp(prefix="wds_")
+    n = write_webdataset(df, out, samples_per_shard=4)
+    assert n == 3                            # 10 samples / 4 per shard
+    back = read_webdataset(spark, out)
+    got = {(r.key, r.ext): bytes(r.data) for r in back.collect()}
+    assert len(got) == 20
+    for i, key, exts in rows:
+        for ext, data in exts.items():
+            assert got[(key, ext)] == data
+    # shard membership follows seq div per: sample 4 is in shard-000001
+    src_of = {r.key: r.src for r in back.collect()}
+    assert src_of["000004"].endswith("shard-000001.tar")
+    assert src_of["000003"].endswith("shard-000000.tar")
