@@ -4232,6 +4232,108 @@ FROM t
 """
 
 
+def q_seq_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk packing offsets (text.pack_sequences)
+    at seq_len=128 over the documents table. Spark computes the global
+    running sum with the two-level bucket prefix (hash-agg + bounded
+    driver prefix + within-bucket window); the oracle uses DuckDB's
+    single unpartitioned window — different algorithms, identical exact
+    integers."""
+    from crawlspark.functions.text import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=128, bucket_size=64)
+
+
+SQL_SEQ_PACKING = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_start
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, tok_start,
+       tok_start % 128 AS offset_in_chunk,
+       tok_start // 128 AS first_chunk,
+       (tok_start + n_tokens - 1) // 128 AS last_chunk
+FROM o
+"""
+
+
+def q_caption_filter(spark, sf_dir):
+    """Caption-junk gate (curation.caption_quality) over captions
+    synthesized from event arithmetic across 8 classes (filename-like,
+    URL-bearing, stock boilerplate, all-digits, too-short, and two clean
+    shapes). Spark derives the flags by REGEX; the oracle derives them
+    from the class arithmetic (CASE on event_id % 8) and recomputes
+    digit_ppm with its own string ops — so a match proves the regex
+    envelope, the integer density arithmetic, and the keep rule."""
+    from crawlspark.functions.curation import caption_quality
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    cap = (
+        F.when(eid % 8 == 0, F.concat(F.lit("IMG_"), eid.cast("string"),
+                                      F.lit(".jpg")))
+        .when(eid % 8 == 1, F.concat(
+            F.lit("a photo of item "), (eid % 50).cast("string"),
+            F.lit(" on a table")))
+        .when(eid % 8 == 2, F.concat(
+            F.lit("visit www.example"), (eid % 9).cast("string"),
+            F.lit(".com for more")))
+        .when(eid % 8 == 3, F.lit("royalty-free stock photo of a sunset"))
+        .when(eid % 8 == 4, eid.cast("string"))
+        .when(eid % 8 == 5, F.lit("nice dog"))
+        .when(eid % 8 == 6, F.concat(
+            F.lit("beautiful landscape with mountains and lake "),
+            (eid % 7).cast("string")))
+        .otherwise(F.concat(F.lit("Screenshot "),
+                            (eid % 100).cast("string"))))
+    df = ev.select(eid.alias("caption_id"), cap.alias("caption"))
+    return (caption_quality(df)
+            .select("caption_id", "is_filename", "has_url", "is_stock",
+                    "digit_ppm", "n_tokens", "keep"))
+
+
+SQL_CAPTION_FILTER = """
+WITH c AS (
+  SELECT event_id AS caption_id, event_id % 8 AS cls,
+         CASE event_id % 8
+           WHEN 0 THEN 'IMG_' || event_id || '.jpg'
+           WHEN 1 THEN 'a photo of item ' || (event_id % 50)
+                       || ' on a table'
+           WHEN 2 THEN 'visit www.example' || (event_id % 9)
+                       || '.com for more'
+           WHEN 3 THEN 'royalty-free stock photo of a sunset'
+           WHEN 4 THEN CAST(event_id AS VARCHAR)
+           WHEN 5 THEN 'nice dog'
+           WHEN 6 THEN 'beautiful landscape with mountains and lake '
+                       || (event_id % 7)
+           ELSE 'Screenshot ' || (event_id % 100)
+         END AS caption
+  FROM events),
+f AS (
+  SELECT caption_id, cls,
+         cls IN (0, 7) AS is_filename,
+         cls = 2 AS has_url,
+         cls = 3 AS is_stock,
+         (len(caption) - len(regexp_replace(caption, '[0-9]', '', 'g')))
+           * 1000000 // len(caption) AS digit_ppm,
+         CASE cls WHEN 0 THEN 1 WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 6
+                  WHEN 4 THEN 1 WHEN 5 THEN 2 WHEN 6 THEN 7 ELSE 2
+         END AS n_tokens
+  FROM c)
+SELECT caption_id, is_filename, has_url, is_stock, digit_ppm,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       (NOT is_filename AND NOT has_url AND NOT is_stock
+        AND n_tokens >= 3 AND digit_ppm <= 300000) AS keep
+FROM f
+"""
+
+
 def q_webdataset_source(spark, sf_dir):
     """WebDataset tar-shard container (crawlspark/webdataset.py): shards
     are built executor-side from events rows (one sample per event —
@@ -4476,6 +4578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_quality": q_jpeg_quality,
         "exif_meta": q_exif_meta,
         "webdataset_source": q_webdataset_source,
+        "caption_filter": q_caption_filter,
+        "seq_packing": q_seq_packing,
         "dominant_color": q_dominant_color,
         "images_preprocess": q_images_preprocess,
         "clip_gate": q_clip_gate,
@@ -4711,6 +4815,8 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_quality": SQL_JPEG_QUALITY,
         "exif_meta": SQL_EXIF_META,
         "webdataset_source": SQL_WEBDATASET_SOURCE,
+        "caption_filter": SQL_CAPTION_FILTER,
+        "seq_packing": SQL_SEQ_PACKING,
         "dominant_color": SQL_DOMINANT_COLOR,
         "images_preprocess": SQL_IMAGES_PREPROCESS,
         "clip_gate": SQL_CLIP_GATE,

@@ -223,6 +223,59 @@ def preprocess_to_bucket(images: DataFrame,
               "n_bright int, luma_sum long")
 
 
+#: Caption-junk regexes, java.util.regex ∩ RE2 common subset (the repo's
+#: cross-engine discipline — see text.PII_PATTERNS): character classes,
+#: alternation, anchors, (?i) only. No \b, no lookarounds.
+CAPTION_FILENAME_RE = (r"(?i)^(img|dsc|dscn|image|photo|pic|untitled|"
+                       r"screenshot|scan)[-_ ]?[0-9]*"
+                       r"(\.(jpe?g|png|gif|webp|bmp))?$")
+CAPTION_URL_RE = r"(?i)(https?://|www\.)"
+CAPTION_STOCK_RE = (r"(?i)(stock (photo|image|vector)|royalty[- ]free|"
+                    r"getty images|shutterstock|alamy|dreamstime|"
+                    r"istockphoto|123rf|watermark)")
+
+
+def caption_quality(images: DataFrame, caption_col: str = "caption",
+                    min_tokens: int = 3, max_digit_ppm: int = 300_000
+                    ) -> DataFrame:
+    """Alt-text junk detection — the caption-side curation pass (LAION
+    drops filename-like and boilerplate alt text before training).
+
+    Flags per row, all pure Column (scan speed, zero Python):
+      is_filename — the whole caption is a camera/filename pattern
+                    ("IMG_1234.jpg", "DSC 0042").
+      has_url     — contains an http(s):// or www. fragment.
+      is_stock    — stock-agency boilerplate / watermark mentions.
+      digit_ppm   — integer digit density (digits · 10^6 div chars).
+      n_tokens    — space-token count (caption_token_count).
+      keep        — none of the junk flags, ≥ min_tokens tokens, digit
+                    density ≤ max_digit_ppm.
+
+    Appends the columns; regexes live in the java-regex/RE2 common
+    subset so any SQL twin finds the identical match set.
+    """
+    c = F.col(caption_col)
+    n_digits = (F.length(c)
+                - F.length(F.regexp_replace(c, r"[0-9]", ""))).cast("long")
+    staged = images.withColumns({
+        "_cq_digits": n_digits, "_cq_len": F.length(c).cast("long")})
+    out = staged.withColumns({
+        "is_filename": c.rlike(CAPTION_FILENAME_RE),
+        "has_url": c.rlike(CAPTION_URL_RE),
+        "is_stock": c.rlike(CAPTION_STOCK_RE),
+        # exact integer division (div), matching SQL's // bit-for-bit
+        "digit_ppm": F.expr("case when _cq_len > 0 then "
+                            "(_cq_digits * 1000000) div _cq_len "
+                            "else 0 end"),
+        "n_tokens": caption_token_count(c).cast("int"),
+    }).drop("_cq_digits", "_cq_len")
+    return out.withColumn(
+        "keep",
+        ~F.col("is_filename") & ~F.col("has_url") & ~F.col("is_stock")
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("digit_ppm") <= max_digit_ppm))
+
+
 def clip_score_gate(pairs: DataFrame, img_col: str = "img_emb",
                     txt_col: str = "txt_emb", threshold: float = 0.28,
                     id_col: str = "pair_id") -> DataFrame:

@@ -245,3 +245,28 @@ def test_dominant_color_exact_and_tie_rule(spark):
     assert (got["tie"].dom_r, got["tie"].dom_g, got["tie"].dom_b) == (0, 1, 0)
     assert (got["maj"].dom_bin, got["maj"].n_dom,
             got["maj"].dom_frac_ppm) == (0xFFF, 5, 5 * 1_000_000 // 6)
+
+
+def test_caption_quality_flags(spark):
+    from crawlspark.functions.curation import caption_quality
+    rows = [
+        ("f1", "IMG_1234.jpg"), ("f2", "dsc0042"), ("f3", "Screenshot 7"),
+        ("u1", "see https://x.y/z now please"), ("u2", "go to www.foo.com"),
+        ("s1", "a royalty-free stock photo of a dog"),
+        ("d1", "1234567890"), ("short", "two words"),
+        ("ok", "a lovely dog in the park"),
+        ("okn", "room 42 with a view today"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    got = {r.image_id: r for r in caption_quality(df).collect()}
+    assert got["f1"].is_filename and got["f2"].is_filename
+    assert got["f3"].is_filename
+    assert got["u1"].has_url and got["u2"].has_url
+    assert got["s1"].is_stock
+    assert got["d1"].digit_ppm == 1_000_000 and not got["d1"].keep
+    assert not got["short"].keep          # 2 tokens < 3
+    assert got["ok"].keep and got["okn"].keep
+    assert got["okn"].digit_ppm == 2 * 1_000_000 // len("room 42 with a view today")
+    # keep rejects every junk class
+    for k in ("f1", "f2", "f3", "u1", "u2", "s1"):
+        assert not got[k].keep, k
