@@ -4232,6 +4232,137 @@ FROM t
 """
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """CLIP-style retrieval eval (similarity.retrieval_true_rank): odd
+    vec_ids are text queries, even vec_ids the image corpus, the true
+    pair is the adjacent even id. Spark computes each query's true-pair
+    rank WITHOUT sorting (count-of-better under the rounded-cosine order,
+    one broadcast corpus pass); the oracle ranks with a DuckDB window —
+    different algorithms, identical ranks."""
+    from crawlspark.functions.similarity import retrieval_true_rank
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    queries = (emb.filter(vid % 2 == 1)
+               .select(vid.alias("query_id"),
+                       F.col("embedding").cast("array<double>")
+                       .alias("qv"),
+                       (vid - 1).alias("true_id")))
+    corpus = (emb.filter(vid % 2 == 0)
+              .select(vid.alias("neighbor_id"),
+                      F.col("embedding").cast("array<double>")
+                      .alias("cv")))
+    return retrieval_true_rank(queries, corpus).orderBy("query_id")
+
+
+SQL_RETRIEVAL_EVAL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  vec_id - 1 AS true_id
+           FROM embeddings WHERE vec_id % 2 = 1),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+           FROM embeddings WHERE vec_id % 2 = 0),
+     s AS (SELECT q.query_id, q.true_id, c.neighbor_id,
+                  round(list_cosine_similarity(q.qv::DOUBLE[],
+                                               c.cv::DOUBLE[]), 6) AS cos
+           FROM q CROSS JOIN c),
+     r AS (SELECT query_id, true_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id)
+                    AS rnk
+           FROM s)
+SELECT query_id, CAST(rnk AS INTEGER) AS true_rank,
+       rnk <= 1 AS hit1, rnk <= 5 AS hit5, rnk <= 10 AS hit10
+FROM r WHERE neighbor_id = true_id ORDER BY query_id
+"""
+
+
+def q_site_topk(spark, sf_dir):
+    """Per-SITE fetch budget: the domain_rollup host population (PSL
+    tiers incl. private domains, IPs, unknown TLDs) with priorities from
+    event arithmetic; keep the top 3 urls per registrable domain by
+    (priority desc, url asc) — hosts with no registrable domain (IPs,
+    bare suffixes) budget as their own site. Spark keys the window by
+    urltools.registrable_domain; the oracle derives each row's site
+    directly from the class arithmetic."""
+    from crawlspark.urltools import registrable_domain
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    host = (
+        F.when(eid % 9 == 0, F.concat(
+            F.lit("cdn"), (eid % 3).cast("string"), F.lit(".shop"),
+            (eid % 13).cast("string"), F.lit(".co.uk")))
+        .when(eid % 9 == 1, F.concat(
+            F.lit("shop"), (eid % 13).cast("string"), F.lit(".co.uk")))
+        .when(eid % 9 == 2, F.concat(
+            F.lit("www.site"), (eid % 17).cast("string"), F.lit(".com")))
+        .when(eid % 9 == 3, F.concat(
+            F.lit("site"), (eid % 17).cast("string"), F.lit(".com")))
+        .when(eid % 9 == 4, F.concat(
+            F.lit("user"), (eid % 7).cast("string"), F.lit(".github.io")))
+        .when(eid % 9 == 5, F.concat(
+            F.lit("a.b.user"), (eid % 7).cast("string"),
+            F.lit(".github.io")))
+        .when(eid % 9 == 6, F.lit("co.uk"))
+        .when(eid % 9 == 7, F.concat(
+            F.lit("192.168.0."), (eid % 250).cast("string")))
+        .otherwise(F.concat(
+            F.lit("x"), (eid % 5).cast("string"), F.lit(".unknowntld"))))
+    urls = ev.select(
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 eid.cast("string")).alias("url"),
+        (eid % 97).cast("int").alias("priority"))
+    site = F.coalesce(registrable_domain("host"), F.col("host"))
+    w = W.partitionBy(site).orderBy(F.col("priority").desc(),
+                                    F.col("url").asc())
+    return (urls.withColumn("site", site)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("site", "url", "priority", "rnk"))
+
+
+SQL_SITE_TOPK = """
+WITH h AS (
+  SELECT event_id,
+         CASE event_id % 9
+           WHEN 0 THEN 'cdn' || (event_id % 3)::VARCHAR || '.shop'
+                       || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 1 THEN 'shop' || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 2 THEN 'www.site' || (event_id % 17)::VARCHAR || '.com'
+           WHEN 3 THEN 'site' || (event_id % 17)::VARCHAR || '.com'
+           WHEN 4 THEN 'user' || (event_id % 7)::VARCHAR || '.github.io'
+           WHEN 5 THEN 'a.b.user' || (event_id % 7)::VARCHAR
+                       || '.github.io'
+           WHEN 6 THEN 'co.uk'
+           WHEN 7 THEN '192.168.0.' || (event_id % 250)::VARCHAR
+           ELSE 'x' || (event_id % 5)::VARCHAR || '.unknowntld'
+         END AS host,
+         CASE event_id % 9
+           WHEN 0 THEN 'shop' || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 1 THEN 'shop' || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 2 THEN 'site' || (event_id % 17)::VARCHAR || '.com'
+           WHEN 3 THEN 'site' || (event_id % 17)::VARCHAR || '.com'
+           WHEN 4 THEN 'user' || (event_id % 7)::VARCHAR || '.github.io'
+           WHEN 5 THEN 'user' || (event_id % 7)::VARCHAR || '.github.io'
+           WHEN 6 THEN NULL
+           WHEN 7 THEN NULL
+           ELSE 'x' || (event_id % 5)::VARCHAR || '.unknowntld'
+         END AS psl_site
+  FROM events),
+u AS (
+  SELECT COALESCE(psl_site, host) AS site,
+         'http://' || host || '/p/' || event_id AS url,
+         CAST(event_id % 97 AS INTEGER) AS priority
+  FROM h),
+r AS (
+  SELECT site, url, priority,
+         row_number() OVER (PARTITION BY site
+                            ORDER BY priority DESC, url) AS rnk
+  FROM u)
+SELECT site, url, priority, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
 def q_seq_packing(spark, sf_dir):
     """GPT-style concat-and-chunk packing offsets (text.pack_sequences)
     at seq_len=128 over the documents table. Spark computes the global
@@ -4580,6 +4711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_source": q_webdataset_source,
         "caption_filter": q_caption_filter,
         "seq_packing": q_seq_packing,
+        "retrieval_eval": q_retrieval_eval,
+        "site_topk": q_site_topk,
         "dominant_color": q_dominant_color,
         "images_preprocess": q_images_preprocess,
         "clip_gate": q_clip_gate,
@@ -4817,6 +4950,8 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_source": SQL_WEBDATASET_SOURCE,
         "caption_filter": SQL_CAPTION_FILTER,
         "seq_packing": SQL_SEQ_PACKING,
+        "retrieval_eval": SQL_RETRIEVAL_EVAL,
+        "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,
         "images_preprocess": SQL_IMAGES_PREPROCESS,
         "clip_gate": SQL_CLIP_GATE,

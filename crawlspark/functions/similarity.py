@@ -226,3 +226,40 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def retrieval_true_rank(queries: DataFrame, corpus: DataFrame,
+                        hits: tuple[int, ...] = (1, 5, 10)) -> DataFrame:
+    """Retrieval evaluation: the rank of each query's TRUE pair in the
+    corpus, without sorting anything — true_rank = 1 + count of corpus
+    rows that beat the true item under the (cosine desc, neighbor_id asc)
+    order (cosines rounded to 6 dp first, the repo-wide cross-engine
+    contract). CLIP-style image↔text eval: recall@k is then a trivial
+    aggregate of the hit flags.
+
+    Inputs: queries (query_id, qv array<double>, true_id), corpus
+    (neighbor_id, cv array<double>).
+    Output: (query_id, true_rank, hit1, hit5, ... per ``hits``).
+
+    100 TB shape: queries (eval sets are small) broadcast twice — once
+    against their true rows (equi-join), once against the corpus for the
+    better-count — so the corpus is scanned ONCE with no shuffle and no
+    global sort; the count aggregate is map-side partial.
+    """
+    from .dedup import cosine_sim
+    truth = (queries.join(
+        corpus.select(F.col("neighbor_id").alias("true_id"),
+                      F.col("cv").alias("tv")), "true_id")
+        .withColumn("cos_true", F.round(cosine_sim("qv", "tv"), 6))
+        .select("query_id", "qv", "true_id", "cos_true"))
+    scored = (corpus.crossJoin(F.broadcast(truth))
+              .withColumn("cos", F.round(cosine_sim("qv", "cv"), 6)))
+    better = ((F.col("cos") > F.col("cos_true"))
+              | ((F.col("cos") == F.col("cos_true"))
+                 & (F.col("neighbor_id") < F.col("true_id"))))
+    ranked = (scored.groupBy("query_id")
+              .agg((F.sum(better.cast("int")) + 1).cast("int")
+                   .alias("true_rank")))
+    cols = [F.col("query_id"), F.col("true_rank")]
+    cols += [(F.col("true_rank") <= k).alias(f"hit{k}") for k in hits]
+    return ranked.select(*cols)

@@ -116,3 +116,32 @@ def test_unigram_logprob_common_docs_score_higher(spark):
            unigram_logprob(spark.createDataFrame(
                docs, ["doc_id", "text"])).collect()}
     assert got[9] < min(got[i] for i in range(9))
+
+
+def test_retrieval_true_rank_matches_sort_mirror(spark):
+    import numpy as np
+
+    from crawlspark.functions.similarity import retrieval_true_rank
+    corpus_rows = [(i, [float(((i * 3 + j) % 7) - 3) for j in range(6)])
+                   for i in range(0, 30, 2)]
+    query_rows = [(i + 1, [float(((i * 3 + j + 1) % 7) - 3)
+                           for j in range(6)], i)
+                  for i in range(0, 30, 2)]
+    q = spark.createDataFrame(
+        query_rows, "query_id long, qv array<double>, true_id long")
+    c = spark.createDataFrame(
+        corpus_rows, "neighbor_id long, cv array<double>")
+    got = {r.query_id: (r.true_rank, r.hit1, r.hit5, r.hit10)
+           for r in retrieval_true_rank(q, c).collect()}
+    # sequential mirror: full sort per query
+    for qid, qv, tid in query_rows:
+        qa = np.array(qv)
+        scores = []
+        for nid, cv in corpus_rows:
+            ca = np.array(cv)
+            na, nb = np.sqrt(qa @ qa), np.sqrt(ca @ ca)
+            cos = float(qa @ ca / (na * nb)) if na > 0 and nb > 0 else 0.0
+            scores.append((-round(cos, 6), nid))
+        scores.sort()
+        rank = 1 + [nid for _, nid in scores].index(tid)
+        assert got[qid] == (rank, rank <= 1, rank <= 5, rank <= 10), qid
