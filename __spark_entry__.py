@@ -4363,38 +4363,6 @@ FROM r WHERE rnk <= 3
 """
 
 
-def q_seq_packing(spark, sf_dir):
-    """GPT-style concat-and-chunk packing offsets (text.pack_sequences)
-    at seq_len=128 over the documents table. Spark computes the global
-    running sum with the two-level bucket prefix (hash-agg + bounded
-    driver prefix + within-bucket window); the oracle uses DuckDB's
-    single unpartitioned window — different algorithms, identical exact
-    integers."""
-    from crawlspark.functions.text import pack_sequences
-    docs = _t(spark, sf_dir, "documents")
-    return pack_sequences(docs, seq_len=128, bucket_size=64)
-
-
-SQL_SEQ_PACKING = """
-WITH t AS (
-  SELECT doc_id,
-         CASE WHEN len(trim(text)) = 0 THEN 0
-              ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tokens
-  FROM documents),
-o AS (
-  SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS tok_start
-  FROM t WHERE n_tokens > 0)
-SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, tok_start,
-       tok_start % 128 AS offset_in_chunk,
-       tok_start // 128 AS first_chunk,
-       (tok_start + n_tokens - 1) // 128 AS last_chunk
-FROM o
-"""
-
-
 def q_caption_filter(spark, sf_dir):
     """Caption-junk gate (curation.caption_quality) over captions
     synthesized from event arithmetic across 8 classes (filename-like,
@@ -4710,7 +4678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_meta": q_exif_meta,
         "webdataset_source": q_webdataset_source,
         "caption_filter": q_caption_filter,
-        "seq_packing": q_seq_packing,
         "retrieval_eval": q_retrieval_eval,
         "site_topk": q_site_topk,
         "dominant_color": q_dominant_color,
@@ -4949,7 +4916,6 @@ def oracle_sql() -> dict[str, str]:
         "exif_meta": SQL_EXIF_META,
         "webdataset_source": SQL_WEBDATASET_SOURCE,
         "caption_filter": SQL_CAPTION_FILTER,
-        "seq_packing": SQL_SEQ_PACKING,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,

@@ -349,48 +349,3 @@ def scrub_pii(c: Column):
         out = F.regexp_replace(out, pat, token)
     return out, counts
 
-
-# -- training-sequence packing (GPT-style concat-and-chunk) --------------------
-
-def pack_sequences(docs, seq_len: int, text_col: str = "text",
-                   id_col: str = "doc_id", bucket_size: int = 1024):
-    """Concat-and-chunk packing offsets: tokens of all docs are laid out
-    in doc_id order and cut into fixed ``seq_len`` context windows; each
-    doc learns where it landed. Output per (non-empty) doc: (doc_id,
-    n_tokens, tok_start, offset_in_chunk, first_chunk, last_chunk).
-
-    The global running sum is two-level, scale-safe prefix arithmetic —
-    NOT an unpartitioned window: per-bucket token sums (one hash-agg over
-    bucket = doc_id div bucket_size), a driver-side prefix over the
-    bounded bucket list (16 B/bucket; pick bucket_size so id_range/
-    bucket_size stays ~10^4-10^5 at any corpus — the same bounded-collect
-    discipline as the engine's histogram prune), broadcast back, then a
-    within-bucket cumsum window partitioned BY bucket. Zero-token docs
-    occupy no window and are excluded (documented contract).
-    """
-    spark = docs.sparkSession
-    t = (docs.select(F.col(id_col).alias("doc_id"),
-                     token_count(F.col(text_col)).alias("n_tokens"))
-         .filter(F.col("n_tokens") > 0)
-         .withColumn("bucket", F.expr(f"doc_id div {int(bucket_size)}")))
-    sums = (t.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum"))
-            .orderBy("bucket").collect())          # bounded: one row/bucket
-    prefix, acc = {}, 0
-    for r in sums:
-        prefix[r.bucket] = acc
-        acc += r.bsum
-    pref_df = spark.createDataFrame(
-        [(b, p) for b, p in prefix.items()], "bucket long, bpref long")
-    from pyspark.sql import Window as W
-    w = (W.partitionBy("bucket").orderBy("doc_id")
-         .rowsBetween(W.unboundedPreceding, -1))
-    L = int(seq_len)
-    return (t.join(F.broadcast(pref_df), "bucket")
-            .withColumn("tok_start",
-                        F.col("bpref")
-                        + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-            .select("doc_id", "n_tokens", "tok_start",
-                    F.expr(f"tok_start % {L}").alias("offset_in_chunk"),
-                    F.expr(f"tok_start div {L}").alias("first_chunk"),
-                    F.expr(f"(tok_start + n_tokens - 1) div {L}")
-                    .alias("last_chunk")))

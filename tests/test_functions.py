@@ -461,27 +461,3 @@ def test_cm_sketch_merges_by_counter_addition(spark):
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, direct.collect()))
 
-
-def test_pack_sequences_matches_sequential_mirror(spark):
-    from crawlspark.functions.text import pack_sequences
-    rows = [(i, "tok " * ((i * 7) % 13)) for i in range(40)]  # some empty
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.doc_id: (r.n_tokens, r.tok_start, r.offset_in_chunk,
-                      r.first_chunk, r.last_chunk)
-           for r in pack_sequences(df, seq_len=8, bucket_size=8).collect()}
-    # sequential mirror
-    pos = 0
-    expect = {}
-    for i in range(40):
-        n = (i * 7) % 13
-        if n == 0:
-            continue
-        expect[i] = (n, pos, pos % 8, pos // 8, (pos + n - 1) // 8)
-        pos += n
-    assert out == expect
-    # bucket boundaries are invisible: same answer at a different width
-    out2 = {r.doc_id: (r.n_tokens, r.tok_start, r.offset_in_chunk,
-                       r.first_chunk, r.last_chunk)
-            for r in pack_sequences(df, seq_len=8,
-                                    bucket_size=1000).collect()}
-    assert out2 == expect
