@@ -4232,6 +4232,73 @@ FROM t
 """
 
 
+def q_exif_scrub(spark, sf_dir):
+    """EXIF privacy scrub end-to-end: the exif_meta corpus (real JPEGs,
+    APP1 injected for i%7!=0) through curation.exif_scrub with the
+    double-decode differential on — returns per image whether EXIF was
+    found, whether a re-parse of the scrubbed bytes still finds any
+    (must not), whether decoded pixels are bit-identical (must be), and
+    whether the payload shrank. The oracle knows all four from the id
+    arithmetic alone."""
+    import pandas as pd
+
+    from crawlspark.functions.curation import exif_scrub
+
+    def enc(batches):
+        from crawlspark.exif import build_exif_app1, inject_app1
+        from crawlspark.imaging import make_pixels
+        from crawlspark.jpegcodec import jpeg_encode
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 32 + (i % 3) * 16
+                data = jpeg_encode(make_pixels(i, w, 32), quality=75)
+                if i % 7 != 0:
+                    seg = build_exif_app1(
+                        orientation=1 + (i % 8),
+                        make=f"CAMERA-MAKER-{i % 5}",
+                        x_res=(72 + (i % 4) * 24, 1 + (i % 3)),
+                        dt_original=f"2026:01:{1 + (i % 28):02d} 12:00:00",
+                        pixel_xy=(w, 32),
+                        big_endian=(i % 2 == 1),
+                        unknown_tag=0x9999)
+                    data = inject_app1(data, seg)
+                rows.append({"image_id": f"img{i:010d}", "bytes": data})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    images = spark.range(0, 160, 1, 8).mapInPandas(
+        enc, "image_id string, bytes binary")
+    scrubbed = exif_scrub(images, verify_pixels=True)
+
+    def reparse(batches):
+        from crawlspark.exif import parse_exif
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"],
+                 "has_exif_after": [parse_exif(bytes(b)) is not None
+                                    for b in pdf["bytes"]]},
+                columns=["image_id", "has_exif_after"])
+
+    after = scrubbed.mapInPandas(
+        reparse, "image_id string, has_exif_after boolean")
+    return (scrubbed
+            .select("image_id", "had_exif", "pixels_equal",
+                    (F.col("n_bytes_after")
+                     < F.col("n_bytes_before")).alias("shrunk"))
+            .join(after, "image_id"))
+
+
+SQL_EXIF_SCRUB = """
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 10, '0') AS image_id,
+       (i % 7) <> 0 AS had_exif,
+       TRUE AS pixels_equal,
+       (i % 7) <> 0 AS shrunk,
+       FALSE AS has_exif_after
+FROM range(0, 160) r(i)
+"""
+
+
 def q_retrieval_eval(spark, sf_dir):
     """CLIP-style retrieval eval (similarity.retrieval_true_rank): odd
     vec_ids are text queries, even vec_ids the image corpus, the true
@@ -4676,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": q_aspect_buckets,
         "jpeg_quality": q_jpeg_quality,
         "exif_meta": q_exif_meta,
+        "exif_scrub": q_exif_scrub,
         "webdataset_source": q_webdataset_source,
         "caption_filter": q_caption_filter,
         "retrieval_eval": q_retrieval_eval,
@@ -4914,6 +4982,7 @@ def oracle_sql() -> dict[str, str]:
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "jpeg_quality": SQL_JPEG_QUALITY,
         "exif_meta": SQL_EXIF_META,
+        "exif_scrub": SQL_EXIF_SCRUB,
         "webdataset_source": SQL_WEBDATASET_SOURCE,
         "caption_filter": SQL_CAPTION_FILTER,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,

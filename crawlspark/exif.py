@@ -278,3 +278,41 @@ def parse_exif(jpeg: bytes) -> dict | None:
         if TAG_PIXEL_Y in sub:
             out["pixel_y"] = sub[TAG_PIXEL_Y][0]
     return out
+
+
+def strip_exif(jpeg: bytes) -> tuple[bytes, bool]:
+    """Remove every APP1-Exif segment (privacy scrub — the image-side
+    analog of text PII masking: GPS position, serial numbers, and
+    capture timestamps all live in EXIF, and public image-text corpus
+    builds strip it before release). Non-Exif APP1 (XMP), all other
+    APPn, and the entropy stream are byte-preserved, so decoded pixels
+    are provably unchanged. Returns (clean_bytes, had_exif).
+
+    Same wild-envelope posture as find_app1_exif: the walk stops at SOS
+    (EXIF is only legal before it) and structural damage raises."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    out = bytearray(jpeg[:2])
+    pos, n, had = 2, len(jpeg), False
+    while pos + 4 <= n:
+        if jpeg[pos] != 0xFF:
+            raise ValueError(f"bad marker byte at {pos}")
+        marker = jpeg[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            out += jpeg[pos:pos + 2]
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", jpeg[pos + 2:pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise ValueError(f"truncated segment at {pos}")
+        is_exif = (marker == 0xE1
+                   and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00")
+        if is_exif:
+            had = True
+        else:
+            out += jpeg[pos:pos + 2 + seg_len]
+        if marker == 0xDA:      # SOS: rest is entropy data + EOI
+            out += jpeg[pos + 2 + seg_len:]
+            return bytes(out), had
+        pos += 2 + seg_len
+    return bytes(out), had

@@ -367,6 +367,56 @@ def exif_meta(images: DataFrame, id_col: str = "image_id",
         "flip_h": F.when(valid, F.element_at(flip, o))})
 
 
+def exif_scrub(images: DataFrame, id_col: str = "image_id",
+               bytes_col: str = "bytes", verify_pixels: bool = False
+               ) -> DataFrame:
+    """Privacy scrub: drop every APP1-Exif segment from the payload
+    (GPS, serial numbers, timestamps) while byte-preserving everything
+    else — the image-side analog of text.scrub_pii, and what public
+    image+caption corpus builds do before release.
+
+    Output: (image_id, bytes, had_exif, n_bytes_before, n_bytes_after
+    [, pixels_equal]). With ``verify_pixels`` the scrubbed payload is
+    decoded against the original and compared exactly (differential
+    self-check for audits — costs a double decode; leave off on the
+    hot path, where byte-preservation outside APP1 already guarantees
+    it).
+
+    100 TB shape: one Arrow-batched header walk, zero shuffles; only
+    leading marker segments are copied around, the entropy stream is
+    a single slice."""
+
+    def kern(batches):
+        import numpy as np
+
+        from ..exif import strip_exif
+        from ..imaging import decode
+        cols = ["image_id", "bytes", "had_exif", "n_bytes_before",
+                "n_bytes_after"] + (["pixels_equal"] if verify_pixels
+                                    else [])
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                data = bytes(data)
+                clean, had = strip_exif(data)
+                row = {"image_id": mid, "bytes": clean, "had_exif": had,
+                       "n_bytes_before": len(data),
+                       "n_bytes_after": len(clean)}
+                if verify_pixels:
+                    row["pixels_equal"] = bool(np.array_equal(
+                        decode(data, "jpeg"), decode(clean, "jpeg")))
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = ("image_id string, bytes binary, had_exif boolean, "
+              "n_bytes_before int, n_bytes_after int")
+    if verify_pixels:
+        schema += ", pixels_equal boolean"
+    return images.select(id_col, bytes_col).mapInPandas(kern, schema)
+
+
 def jpeg_quality(images: DataFrame, id_col: str = "image_id",
                  bytes_col: str = "bytes") -> DataFrame:
     """Estimate the IJG encode quality of baseline/progressive JPEGs.

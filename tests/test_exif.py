@@ -107,3 +107,41 @@ def test_exif_meta_operator(spark):
     assert got["b"]["orientation"] is None
     assert got["b"]["rot_deg"] is None
     assert got["c"]["rot_deg"] == 0 and got["c"]["flip_h"] is True
+
+
+def test_strip_exif_removes_only_exif_app1():
+    from crawlspark.exif import (build_exif_app1, inject_app1, parse_exif,
+                                 strip_exif)
+    from crawlspark.imaging import make_pixels
+    from crawlspark.jpegcodec import jpeg_decode, jpeg_encode
+    base = jpeg_encode(make_pixels(3, 48, 32), quality=80)
+    seg = build_exif_app1(orientation=6, make="M", dt_original=None)
+    tagged = inject_app1(base, seg)
+    assert parse_exif(tagged)["orientation"] == 6
+    clean, had = strip_exif(tagged)
+    assert had and parse_exif(clean) is None
+    assert (jpeg_decode(clean) == jpeg_decode(tagged)).all()
+    # idempotent + honest flag on exif-free input
+    clean2, had2 = strip_exif(clean)
+    assert not had2 and clean2 == clean
+    # non-Exif APP1 (XMP) is preserved
+    import struct
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x/>"
+    xmp_seg = b"\xff\xe1" + struct.pack(">H", len(xmp) + 2) + xmp
+    both = inject_app1(inject_app1(base, xmp_seg), seg)
+    clean3, had3 = strip_exif(both)
+    assert had3 and xmp in clean3 and parse_exif(clean3) is None
+
+
+def test_strip_exif_damage_raises():
+    import pytest
+
+    from crawlspark.exif import strip_exif
+    with pytest.raises(ValueError):
+        strip_exif(b"\x00\x01not a jpeg")
+    from crawlspark.imaging import make_pixels
+    from crawlspark.jpegcodec import jpeg_encode
+    data = bytearray(jpeg_encode(make_pixels(0, 32, 32)))
+    data[2] = 0x00  # clobber the first marker byte
+    with pytest.raises(ValueError):
+        strip_exif(bytes(data))
