@@ -3098,7 +3098,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v15"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v16"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -3378,6 +3378,32 @@ def _ensure_oracle_files() -> None:
     write("image_resize", pd.DataFrame(
         rrows, columns=["media_id", "w", "h", "mean_r", "mean_g",
                         "mean_b", "phash", "luma_hist"]))
+
+    # BPE: sequential classic trainer (Counter + explicit tie sort) and a
+    # string-replace token counter — both independent of the Spark path's
+    # hash-agg/fold machinery. doc texts only; no bytes.
+    from crawlspark.functions import bpe as bpelib
+    texts = [t for _, t in doc_rows]
+    bm = bpelib.py_bpe_merges(texts, 24, min_freq=2)
+    write("bpe_merges", pd.DataFrame(
+        bm, columns=["rank", "left", "right", "pair_freq"]).astype(
+        {"rank": "int32", "pair_freq": "int32"}))
+    mlist = [(a, b) for _, a, b, _ in bm]
+
+    def _count_by_replace(word: str) -> int:
+        s = "\x00" + "\x00".join(list(word) + ["</w>"]) + "\x00"
+        for a, b in mlist:
+            s = s.replace("\x00" + a + "\x00" + b + "\x00",
+                          "\x00" + a + b + "\x00")
+        return s.count("\x00") - 1
+
+    write("bpe_tokens", pd.DataFrame(
+        [{"doc_id": int(i),
+          "n_bpe_tokens": sum(_count_by_replace(w)
+                              for w in (t or "").split())}
+         for i, t in doc_rows],
+        columns=["doc_id", "n_bpe_tokens"]).astype(
+        {"n_bpe_tokens": "int32"}))
 
     # dominant color from ground-truth pixels (codec-free, exact integer
     # quantization): argmax computed by a DIFFERENT algorithm than the
@@ -4430,6 +4456,56 @@ FROM r WHERE rnk <= 3
 """
 
 
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges_cached(spark, sf_dir):
+    key = sf_dir
+    if key not in _BPE_CACHE:
+        from crawlspark.functions.bpe import bpe_train
+        docs = _t(spark, sf_dir, "documents")
+        _BPE_CACHE[key] = bpe_train(docs, n_merges=24, min_freq=2)
+    return _BPE_CACHE[key]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE training (functions/bpe.py): 24 merges over the
+    documents word-frequency table — per round one pair hash-agg + a
+    1-row MIN-struct argmax + a pure-Column fold rewrite. The oracle is
+    the sequential Counter-based classic trainer, materialized; ranks,
+    pairs, AND pair frequencies must all match."""
+    _ensure_oracle_files()
+    merges = _bpe_merges_cached(spark, sf_dir)
+    return spark.createDataFrame(
+        [tuple(m) for m in merges],
+        "rank int, left string, right string, pair_freq int")
+
+
+SQL_BPE_MERGES = f"""
+SELECT "rank", "left", "right", pair_freq
+FROM read_parquet('{_ORACLE_DIR}/bpe_merges.parquet')
+"""
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Apply the learned merge list corpus-wide (bpe_token_counts):
+    Arrow-batched segmentation with per-batch word memoization. Oracle
+    counts tokens with a string-replace reduction over the SAME merge
+    list its own trainer produced — so this entry cross-checks trainer
+    equality AND application semantics (leftmost, non-overlapping)."""
+    _ensure_oracle_files()
+    from crawlspark.functions.bpe import bpe_token_counts
+    merges = [(a, b) for _, a, b, _ in _bpe_merges_cached(spark, sf_dir)]
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, merges)
+
+
+SQL_BPE_TOKENIZE = f"""
+SELECT doc_id, n_bpe_tokens
+FROM read_parquet('{_ORACLE_DIR}/bpe_tokens.parquet')
+"""
+
+
 def q_caption_filter(spark, sf_dir):
     """Caption-junk gate (curation.caption_quality) over captions
     synthesized from event arithmetic across 8 classes (filename-like,
@@ -4746,6 +4822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_scrub": q_exif_scrub,
         "webdataset_source": q_webdataset_source,
         "caption_filter": q_caption_filter,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "retrieval_eval": q_retrieval_eval,
         "site_topk": q_site_topk,
         "dominant_color": q_dominant_color,
@@ -4985,6 +5063,8 @@ def oracle_sql() -> dict[str, str]:
         "exif_scrub": SQL_EXIF_SCRUB,
         "webdataset_source": SQL_WEBDATASET_SOURCE,
         "caption_filter": SQL_CAPTION_FILTER,
+        "bpe_merges": SQL_BPE_MERGES,
+        "bpe_tokenize": SQL_BPE_TOKENIZE,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,
