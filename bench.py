@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "token_counts", "text_quality", "exact_dedup", "ngram_jaccard",
     "minhash_lsh", "simhash", "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
     "docs_clean", "dup_components", "asof_join", "decontaminate",
-    "images_clean",
+    "images_clean", "images_preprocess", "caption_filter",
 ]
 
 CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")
