@@ -130,3 +130,46 @@ def test_write_read_roundtrip_spark(spark):
     src_of = {r.key: r.src for r in back.collect()}
     assert src_of["000004"].endswith("shard-000001.tar")
     assert src_of["000003"].endswith("shard-000000.tar")
+
+
+def test_images_to_webdataset_egress_e2e(spark):
+    """The training-egress composite: synth image+caption corpus →
+    images_clean curation → WebDataset shards on disk → read back and
+    verify payload bytes, captions, and sample grouping survive."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import synth
+    from crawlspark.functions.curation import images_clean
+    from crawlspark.plans.ordering import with_global_seq
+
+    tier = synth.TIERS["t1"]
+    images = (synth.spark_images(spark, tier, parallelism=4)
+              .filter(F.col("image_id") < "img0000000120"))
+    kept = images_clean(images, min_side=16, aspect_num=4,
+                        min_caption_tokens=1)
+    # rejoin payload bytes (images_clean works on metadata + phash)
+    rows = kept.select("image_id", "caption").join(
+        images.select("image_id", "bytes"), "image_id")
+    seqd = with_global_seq(rows, [F.col("image_id")], out="seq")
+    samples = seqd.select(
+        "seq", F.col("image_id").alias("key"),
+        F.map_from_entries(F.array(
+            F.struct(F.lit("jpg").alias("k"), F.col("bytes").alias("v")),
+            F.struct(F.lit("txt").alias("k"),
+                     F.col("caption").cast("binary").alias("v"))))
+        .alias("exts"))
+    out = tempfile.mkdtemp(prefix="wds_egress_")
+    n_shards = write_webdataset(samples, out, samples_per_shard=32)
+    n_kept = kept.count()
+    assert n_shards == -(-n_kept // 32)
+    back = read_webdataset(spark, out)
+    assert back.count() == 2 * n_kept
+    # byte-exact payloads and captions after the full round trip
+    orig = {r.image_id: (bytes(r.bytes), r.caption)
+            for r in rows.collect()}
+    got = {}
+    for r in back.collect():
+        got.setdefault(r.key, {})[r.ext] = bytes(r.data)
+    assert set(got) == set(orig)
+    for k, (b, cap) in orig.items():
+        assert got[k]["jpg"] == b and got[k]["txt"].decode() == cap
