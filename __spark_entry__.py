@@ -3098,7 +3098,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v16"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v17"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -3234,6 +3234,18 @@ def _ensure_oracle_files() -> None:
                             image_phash=image_phash, phash_dedup=True)
     write("crawl_phash_dedup",
           pd.DataFrame(res_p.payload_dups).astype({"round": "int32"}))
+
+    # same t1 crawl with the payload-curation gate on (aspect_num=2 so
+    # min_side AND aspect reasons both fire on the synth metadata)
+    image_meta = {i: (int(w), int(h), c)
+                  for i, w, h, c in zip(ipdf["image_id"], ipdf["w"],
+                                        ipdf["h"], ipdf["caption"])}
+    res_c = oracle.simulate(pages_by_url, robots, seeds,
+                            round_ms=30_000, k_global=100, max_rounds=3,
+                            image_meta=image_meta, curate_images=True,
+                            curate_aspect_num=2)
+    write("crawl_curate",
+          pd.DataFrame(res_c.image_rejects).astype({"round": "int32"}))
 
     # page_parse expected: the structured generator output, flattened to
     # driver-hashable scalars (the Spark side re-derives these by PARSING
@@ -3702,6 +3714,40 @@ def q_crawl_phash_dedup(spark, sf_dir):
     eng.run()
     return (store.read("payload_dups").orderBy("fetch_seq")
             .select("round", "fetch_seq", "image_id", "phash", "dup_of"))
+
+
+def q_crawl_curate(spark, sf_dir):
+    """Payload-curation gate end-to-end at the driver: the t1 crawl
+    (3 rounds, k=100) with cfg.curate_images on (aspect_num=2) — every
+    fetched 2xx image failing the LAION-style predicate is recorded in
+    image_rejects with the first failing reason, exactly as the
+    sequential oracle derives from the generator metadata."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+    tier = synth.TIERS["t1"]
+    pages = _t1_pages(spark)
+    robots = _t1_robots(spark)
+    seeds = synth.spark_seeds(spark, tier)
+    images = synth.spark_images(spark, tier, parallelism=8)
+    cfg = CrawlConfig(k_global=100, max_rounds=3, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      curate_images=True, curate_aspect_num=2,
+                      shuffle_partitions=8)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="entry_curate_crawl_", dir=scratch))
+    eng = CrawlEngine(spark, store, pages, robots, images, cfg)
+    eng.seed(seeds)
+    eng.run()
+    return (store.read("image_rejects").orderBy("fetch_seq")
+            .select("round", "fetch_seq", "image_id", "reason"))
+
+
+SQL_CRAWL_CURATE = f"""
+SELECT round, fetch_seq, image_id, reason
+FROM read_parquet('{_ORACLE_DIR}/crawl_curate.parquet')
+"""
 
 
 def q_form_urlencode(spark, sf_dir):
@@ -4936,6 +4982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_form_submit": q_crawl_form_submit,
         "crawl_cookies": q_crawl_cookies,
         "crawl_phash_dedup": q_crawl_phash_dedup,
+        "crawl_curate": q_crawl_curate,
     }
 
 
@@ -4988,6 +5035,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_form_submit": SQL_CRAWL_FORM_SUBMIT,
         "crawl_cookies": SQL_CRAWL_COOKIES,
         "crawl_phash_dedup": SQL_CRAWL_PHASH_DEDUP,
+        "crawl_curate": SQL_CRAWL_CURATE,
         "anchor_select": SQL_ANCHOR_SELECT,
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,

@@ -181,6 +181,18 @@ class CrawlConfig:
     # downstream store can skip the duplicate payload. Off by default:
     # dropping duplicate payloads is a crawl policy, not a fetch semantic.
     phash_dedup: bool = False
+    # payload curation (LAION/DataComp gate applied in the round loop):
+    # 2xx image fetches whose metadata fails the training-corpus predicate
+    # (min side / integer aspect envelope / caption token floor — the SAME
+    # arithmetic as functions/curation.curation_predicate) are recorded in
+    # the image_rejects append table with the FIRST failing reason
+    # (min_side → aspect → caption, fixed order). A side record like
+    # payload_dups: the fetch log is unchanged. Off by default.
+    curate_images: bool = False
+    curate_min_side: int = 48
+    curate_aspect_num: int = 3
+    curate_aspect_den: int = 1
+    curate_min_caption_tokens: int = 4
     # crawler-trap suppression (frontier/traps.py applied to the round
     # loop): once a (host, digit-collapsed path template) has accumulated
     # this many FETCHED urls, further children matching it are dropped at
@@ -997,6 +1009,36 @@ class CrawlEngine:
                              .select("phash",
                                      F.col("fetch_seq").alias("first_seq")))
 
+        # payload curation gate (cfg.curate_images): metadata-only probe
+        # of the images scan — broadcast this round's ≤k keys INTO it, no
+        # shuffle of the corpus; reasons evaluated in fixed order so the
+        # record is deterministic. Same side-record posture as phash
+        # dedup: the fetch log itself is untouched.
+        image_rejects = None
+        if cfg.curate_images and self.images is not None:
+            ckeys = (all_fetched
+                     .filter(is2 & F.col("image_id").isNotNull())
+                     .select("image_id", "fetch_seq"))
+            cmeta = (self.images.select("image_id", "w", "h", "caption")
+                     .join(F.broadcast(ckeys), "image_id"))
+            _w, _h = F.col("w"), F.col("h")
+            _toks = F.size(F.filter(F.split(F.col("caption"), " "),
+                                    lambda t: t != ""))
+            _reason = (
+                F.when(F.least(_w, _h) < cfg.curate_min_side,
+                       F.lit("min_side"))
+                .when((_w * cfg.curate_aspect_den
+                       > _h * cfg.curate_aspect_num)
+                      | (_h * cfg.curate_aspect_den
+                         > _w * cfg.curate_aspect_num), F.lit("aspect"))
+                .when(_toks < cfg.curate_min_caption_tokens,
+                      F.lit("caption")))
+            image_rejects = (cmeta.withColumn("reason", _reason)
+                             .filter(F.col("reason").isNotNull())
+                             .withColumn("round", F.lit(r))
+                             .select("round", "fetch_seq", "image_id",
+                                     "reason"))
+
         # payload fidelity sampling (input_hint invariant), if corpus
         # present. The decode/count action overlaps the commit's table
         # writes (it runs in its own thread; the store joins it AFTER the
@@ -1059,6 +1101,8 @@ class CrawlEngine:
         if payload_dups is not None:
             tables["payload_dups"] = payload_dups
             tables["phash_seen"] = phash_winners
+        if image_rejects is not None:
+            tables["image_rejects"] = image_rejects
         if compact:
             tables["frontier"] = frontier_next
         else:

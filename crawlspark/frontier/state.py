@@ -33,6 +33,10 @@ APPEND_TABLES = {"fetch_log", "seen", "metrics",
                  # duplicate-payload records and the winners that extend the
                  # cross-round phash_seen state
                  "payload_dups", "phash_seen",
+                 # payload curation gate (engine cfg.curate_images):
+                 # per-round metadata-reject records (side table; the
+                 # fetch log is unchanged by the stage)
+                 "image_rejects",
                  # merge-on-read frontier deltas (engine.run_round step 11):
                  # per-round additions (wide rows) and removal hashes, each
                  # tagged with delta_round; the REPLACE "frontier" table is

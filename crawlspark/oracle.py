@@ -34,6 +34,7 @@ class OracleResult:
     seen: set = field(default_factory=set)         # url_hash values
     rounds: int = 0
     payload_dups: list = field(default_factory=list)  # phash-dedup records
+    image_rejects: list = field(default_factory=list)  # curation records
 
 
 def _key(row) -> tuple:
@@ -47,7 +48,13 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
              initial_cookies: dict | None = None,
              image_phash: dict | None = None,
              phash_dedup: bool = False,
-             trap_max_urls: int | None = None) -> OracleResult:
+             trap_max_urls: int | None = None,
+             image_meta: dict | None = None,
+             curate_images: bool = False,
+             curate_min_side: int = 48,
+             curate_aspect_num: int = 3,
+             curate_aspect_den: int = 1,
+             curate_min_caption_tokens: int = 4) -> OracleResult:
     """pages_by_url: canonical url -> page dict (FIXTURES.md §2 row shape);
     robots: host -> (disallow_prefixes, crawl_delay_ms);
     seeds: [url, ...] in seed_pos order.
@@ -91,6 +98,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     phash_first: dict[int, int] = {}
 
     def note_payload(rnd: int, seq: int, image_id) -> None:
+        _note_curation(rnd, seq, image_id)
         if not phash_dedup or image_id is None:
             return
         ph = (image_phash or {}).get(image_id)
@@ -103,6 +111,31 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
             res.payload_dups.append({
                 "round": rnd, "fetch_seq": seq, "image_id": image_id,
                 "phash": ph, "dup_of": first})
+
+    # payload curation gate (engine cfg.curate_images): record the FIRST
+    # failing reason (min_side → aspect → caption, the engine's fixed
+    # order) for every fetched 2xx image. ``image_meta``:
+    # image_id -> (w, h, caption).
+    def _note_curation(rnd: int, seq: int, image_id) -> None:
+        if not curate_images or image_id is None:
+            return
+        meta = (image_meta or {}).get(image_id)
+        if meta is None:
+            return
+        w, h, caption = meta
+        reason = None
+        if min(w, h) < curate_min_side:
+            reason = "min_side"
+        elif (w * curate_aspect_den > h * curate_aspect_num
+              or h * curate_aspect_den > w * curate_aspect_num):
+            reason = "aspect"
+        elif len([t for t in (caption or "").split(" ")
+                  if t]) < curate_min_caption_tokens:
+            reason = "caption"
+        if reason is not None:
+            res.image_rejects.append({
+                "round": rnd, "fetch_seq": seq, "image_id": image_id,
+                "reason": reason})
 
     def _norm(v):
         if isinstance(v, dict):

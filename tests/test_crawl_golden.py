@@ -496,3 +496,51 @@ def test_payload_validation_failure_aborts_commit(spark, t1_data):
     assert store.last_round() == -1          # only the seed commit exists
     assert store.read("fetch_log").count() == 0
     store.destroy()
+
+
+def test_curate_images_matches_oracle(spark, t1_data):
+    """Payload-curation gate (cfg.curate_images): every fetched 2xx image
+    failing the training predicate lands in image_rejects with the FIRST
+    failing reason, element-for-element equal to the sequential oracle —
+    and the fetch log is unchanged by the stage. aspect_num=2 so both
+    min_side and aspect reasons fire on the synth corpus."""
+    tier, pages, robots, seeds = t1_data
+    images = synth.spark_images(spark, tier, parallelism=8)
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      curate_images=True, curate_aspect_num=2)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_curate_"))
+    eng = CrawlEngine(spark, store, pages, robots, images, cfg)
+    eng.seed(seeds)
+    eng.run()
+
+    counts = synth.page_counts(tier)
+    pdf = synth.gen_pages_pdf(0, tier.n_pages, counts, tier.n_images)
+    pages_by_url = {d["url"]: d for d in pdf.to_dict("records")}
+    robots_d = {r["host"]: (list(r["disallow_prefixes"]),
+                            int(r["crawl_delay_ms"]))
+                for r in synth.gen_robots_pdf(
+                    tier.n_hosts).to_dict("records")}
+    seed_urls = list(synth.gen_seeds_pdf(tier)["url"])
+    ipdf = synth.gen_images_pdf(0, tier.n_images, materialize_bytes=False)
+    image_meta = {i: (int(w), int(h), c)
+                  for i, w, h, c in zip(ipdf["image_id"], ipdf["w"],
+                                        ipdf["h"], ipdf["caption"])}
+    o = oracle.simulate(pages_by_url, robots_d, seed_urls,
+                        round_ms=30_000, k_global=K, max_rounds=ROUNDS,
+                        image_meta=image_meta, curate_images=True,
+                        curate_aspect_num=2)
+    got = [(r["round"], r["fetch_seq"], r["image_id"], r["reason"])
+           for r in store.read("image_rejects")
+           .orderBy("fetch_seq").collect()]
+    want = [(d["round"], d["fetch_seq"], d["image_id"], d["reason"])
+            for d in o.image_rejects]
+    assert len(want) > 0
+    assert {r[3] for r in want} >= {"min_side", "aspect"}
+    assert got == want
+    # fetch log unchanged by the stage
+    log = [(r["fetch_seq"], r["canon"], r["status"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    assert log == [(r["fetch_seq"], r["canon"], r["status"])
+                   for r in o.fetch_log]
+    store.destroy()
