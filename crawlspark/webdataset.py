@@ -218,3 +218,22 @@ def write_webdataset(df: DataFrame, out_dir: str,
            .groupBy("_fid")
            .applyInPandas(write_group, "fileid long, n_samples long"))
     return out.count()
+
+
+def export_webdataset(df: DataFrame, final_dir: str, **kwargs) -> int:
+    """Atomic-commit egress: write the shards into a scratch sibling
+    (``<final_dir>.__tmp__``), then publish with ONE directory rename —
+    a killed export leaves no partially-visible dataset, the same
+    crash-before-commit posture as SnapshotStore's manifest replace.
+    Refuses to overwrite an existing ``final_dir``."""
+    import os
+    import shutil
+
+    if os.path.exists(final_dir):
+        raise FileExistsError(final_dir)
+    tmp = final_dir.rstrip("/") + ".__tmp__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)          # leftover from a killed export
+    n = write_webdataset(df, tmp, **kwargs)
+    os.replace(tmp, final_dir)
+    return n

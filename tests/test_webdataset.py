@@ -173,3 +173,27 @@ def test_images_to_webdataset_egress_e2e(spark):
     assert set(got) == set(orig)
     for k, (b, cap) in orig.items():
         assert got[k]["jpg"] == b and got[k]["txt"].decode() == cap
+
+
+def test_export_webdataset_atomic_commit(spark):
+    import os
+
+    from crawlspark.webdataset import export_webdataset
+    rows = [(i, f"{i:06d}", {"txt": f"c{i}".encode()}) for i in range(6)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seq", "key", "exts"]),
+        "seq long, key string, exts map<string,binary>")
+    root = tempfile.mkdtemp(prefix="wds_exp_")
+    final = os.path.join(root, "ds")
+    # a leftover scratch dir from a killed export is cleaned, not merged
+    os.makedirs(final + ".__tmp__")
+    open(os.path.join(final + ".__tmp__", "junk.tar"), "wb").close()
+    n = export_webdataset(df, final, samples_per_shard=4)
+    assert n == 2
+    assert not os.path.exists(final + ".__tmp__")
+    assert sorted(os.listdir(final)) == ["shard-000000.tar",
+                                         "shard-000001.tar"]
+    assert read_webdataset(spark, final).count() == 6
+    # refuses to clobber a published dataset
+    with pytest.raises(FileExistsError):
+        export_webdataset(df, final, samples_per_shard=4)
