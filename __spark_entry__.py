@@ -1311,6 +1311,54 @@ FROM customer
 """
 
 
+def q_idn_canonicalize(spark, sf_dir):
+    """IDN host canonicalization: unicode hosts from event arithmetic
+    across five classes (uppercase unicode, mixed ascii+unicode labels,
+    pre-encoded punycode passthrough, plain ascii control, unicode with
+    port+query). Spark runs the Arrow canonicalizer (urltools RFC 3490
+    path); the oracle emits each class's expected ACE literal — computed
+    once offline with the public punycode algorithm — so a match pins
+    the case-fold + per-label encode + no-double-encode rules."""
+    from crawlspark.urltools import canonicalize_udf
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    url = (
+        F.when(eid % 5 == 0, F.concat(
+            F.lit("http://MÜNCHEN.example/p"), eid.cast("string")))
+        .when(eid % 5 == 1, F.concat(
+            F.lit("http://sub"), (eid % 9).cast("string"),
+            F.lit(".東京.example/x")))
+        .when(eid % 5 == 2, F.concat(
+            F.lit("http://XN--MNCHEN-3YA.example/q"),
+            (eid % 7).cast("string")))
+        .when(eid % 5 == 3, F.concat(
+            F.lit("http://plain"), (eid % 11).cast("string"),
+            F.lit(".example/y")))
+        .otherwise(F.concat(
+            F.lit("http://español.example:8080/z?b="),
+            eid.cast("string"), F.lit("&a=1"))))
+    return ev.select(
+        eid.alias("event_id"),
+        canonicalize_udf(url, F.lit(None).cast("string")).alias("canon"))
+
+
+SQL_IDN_CANONICALIZE = """
+SELECT event_id,
+       CASE event_id % 5
+         WHEN 0 THEN 'http://xn--mnchen-3ya.example/p' || event_id
+         WHEN 1 THEN 'http://sub' || (event_id % 9)::VARCHAR
+                     || '.xn--1lqs71d.example/x'
+         WHEN 2 THEN 'http://xn--mnchen-3ya.example/q'
+                     || (event_id % 7)::VARCHAR
+         WHEN 3 THEN 'http://plain' || (event_id % 11)::VARCHAR
+                     || '.example/y'
+         ELSE 'http://xn--espaol-zwa.example:8080/z?a=1&b='
+              || event_id::VARCHAR
+       END AS canon
+FROM events
+"""
+
+
 # -- JSON sidecar projection (SURVEY §2.8 C8) --------------------------------
 
 def q_json_props(spark, sf_dir):
@@ -4923,6 +4971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_match": q_rep_match,
         "name_from_selector": q_name_from_selector,
         "url_canonicalize": q_url_canonicalize,
+        "idn_canonicalize": q_idn_canonicalize,
         "json_props": q_json_props,
         "csv_source": q_csv_source,
         "charset_chain": q_charset_chain,
@@ -5042,6 +5091,7 @@ def oracle_sql() -> dict[str, str]:
         "rep_match": SQL_REP_MATCH,
         "name_from_selector": SQL_NAME_FROM_SELECTOR,
         "url_canonicalize": SQL_URL_CANONICALIZE,
+        "idn_canonicalize": SQL_IDN_CANONICALIZE,
         "json_props": SQL_JSON_PROPS,
         "csv_source": SQL_CSV_SOURCE,
         "charset_chain": SQL_CHARSET_CHAIN,

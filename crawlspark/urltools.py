@@ -61,6 +61,15 @@ def _canon_parts(url: str, base: str | None = None):
     host = (parts.hostname or "").lower()
     if not host:
         return None
+    if not host.isascii():
+        # IDN → punycode (RFC 3490, stdlib "idna" codec): the seen-set
+        # key, politeness host, and robots lookup must all use the
+        # ASCII-compatible form a resolver sees. Unencodable hosts are
+        # unusable hrefs, same as a bad scheme.
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
     port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):

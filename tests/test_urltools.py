@@ -131,3 +131,24 @@ def test_registrable_domain_psl_tiers(spark):
     got = [r.site for r in df.select(
         registrable_domain("host").alias("site")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_canonicalize_idn_punycode():
+    from crawlspark.urltools import canonicalize, host_of
+    # unicode host → RFC 3490 ACE form, case-folded first
+    assert canonicalize("http://MÜNCHEN.example/p1") == \
+        "http://xn--mnchen-3ya.example/p1"
+    # only the unicode label is encoded; ASCII labels pass through
+    assert canonicalize("http://sub5.東京.example/x") == \
+        "http://sub5.xn--1lqs71d.example/x"
+    # already-punycode input is case-folded, not double-encoded
+    assert canonicalize("http://XN--MNCHEN-3YA.example/") == \
+        "http://xn--mnchen-3ya.example/"
+    # non-default port and query sort still apply
+    assert canonicalize("http://español.example:8080/q?b=1&a=2") == \
+        "http://xn--espaol-zwa.example:8080/q?a=2&b=1"
+    # host_of of the canonical form is the ACE host (seen/politeness key)
+    assert host_of(canonicalize("https://www.héllo.example/")) == \
+        "www.xn--hllo-bpa.example"
+    # unencodable (overlong label) → unusable href
+    assert canonicalize("http://" + "ü" * 64 + ".example/") is None
