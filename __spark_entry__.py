@@ -2689,6 +2689,67 @@ GROUP BY tf.doc_id
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """DCLM-style quality classifier (text.nb_quality_scores): naive
+    Bayes trained on the even-doc seed set (label = doc_id%3==0), scoring
+    every document. All ln() rounded once to integer micro-nats, so the
+    DuckDB twin reproduces scores exactly (same discipline as
+    unigram_logprob)."""
+    from crawlspark.functions.text import nb_quality_scores
+    docs = _t(spark, sf_dir, "documents")
+    train = (docs.filter(F.col("doc_id") % 2 == 0)
+             .withColumn("label", F.col("doc_id") % 3 == 0))
+    return nb_quality_scores(train, docs)
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH tok AS (
+  SELECT doc_id, lower(u.t) AS term
+  FROM documents, UNNEST(str_split_regex(trim(text), '\\s+')) AS u(t)
+  WHERE len(trim(text)) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+train AS (SELECT doc_id, doc_id % 3 = 0 AS label FROM documents
+          WHERE doc_id % 2 = 0),
+ltf AS (
+  SELECT tf.term,
+         CASE WHEN t.label THEN tf.tf ELSE 0 END AS p,
+         CASE WHEN t.label THEN 0 ELSE tf.tf END AS q
+  FROM tf JOIN train t USING (doc_id)),
+counts AS (SELECT term, SUM(p) AS c_pos, SUM(q) AS c_neg
+           FROM ltf GROUP BY term),
+tot AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS tp,
+               CAST(SUM(c_neg) AS BIGINT) AS tn,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts),
+model AS (
+  SELECT term,
+         CAST(round(ln((c_pos + 1)::DOUBLE
+                       / ((SELECT tp FROM tot)
+                          + (SELECT v FROM tot))::DOUBLE)
+                    * 1000000) AS BIGINT)
+       - CAST(round(ln((c_neg + 1)::DOUBLE
+                       / ((SELECT tn FROM tot)
+                          + (SELECT v FROM tot))::DOUBLE)
+                    * 1000000) AS BIGINT) AS odds_micro
+  FROM counts),
+prior AS (
+  SELECT CAST(round(ln(
+           (SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) + 1)::DOUBLE
+           / (COUNT(*)
+              - SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+              + 1)::DOUBLE) * 1000000) AS BIGINT) AS pm
+  FROM documents WHERE doc_id % 2 = 0)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * m.odds_micro) + (SELECT pm FROM prior)
+            AS BIGINT) AS score_micro,
+       (SUM(tf.tf * m.odds_micro) + (SELECT pm FROM prior)) > 0
+         AS predict_pos
+FROM tf JOIN model m USING (term)
+GROUP BY tf.doc_id
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from crawlspark.functions.text import tfidf_top_terms
     docs = _t(spark, sf_dir, "documents")
@@ -4990,6 +5051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_classifier": q_quality_classifier,
         "segment_dedup": q_segment_dedup,
         "sitemap_parse": q_sitemap_parse,
         "warc_source": q_warc_source,
@@ -5114,6 +5176,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "doc_repetition": SQL_DOC_REPETITION,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "quality_classifier": SQL_QUALITY_CLASSIFIER,
         "segment_dedup": SQL_SEGMENT_DEDUP,
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "warc_source": SQL_WARC_SOURCE,

@@ -349,3 +349,68 @@ def scrub_pii(c: Column):
         out = F.regexp_replace(out, pat, token)
     return out, counts
 
+
+
+def nb_quality_scores(train_docs, score_docs, label_col: str = "label",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      alpha: int = 1):
+    """DCLM/fastText-style quality classifier, naive-Bayes form: train
+    per-term log-odds on a labeled seed set, score every document by
+    prior + Σ tf·odds. Closed-form training (counting, not SGD) keeps the
+    model deterministic and the whole pipeline two hash-aggs + one join.
+
+    Float discipline (same as unigram_logprob): every ln() is rounded
+    ONCE to integer micro-nats — odds_micro(term) = round(ln(p_t)·1e6) −
+    round(ln(q_t)·1e6) with add-``alpha`` smoothing over the train
+    vocabulary V; doc scores are then exact BIGINT sums, so a SQL twin
+    matches without tolerance. Terms unseen in training contribute 0
+    (dropped by the join — the standard convention for log-odds scoring).
+
+    Output: (doc_id, n_tokens, score_micro, predict_pos). score > 0 ⇒
+    the positive ("high-quality") class under equal loss.
+
+    100 TB shape: training runs on the SEED set (small by definition);
+    scoring is one (term) join against the broadcast-sized model + one
+    per-doc hash-agg — the corpus is touched once, all JVM.
+    """
+    def _tf(docs):
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(F.transform(ws_tokens(F.col(text_col)),
+                                  lambda t: F.lower(t))).alias("term"))
+        return (toks.groupBy(id_col, "term")
+                .agg(F.count(F.lit(1)).alias("tf")))
+
+    ltf = (_tf(train_docs)
+           .join(train_docs.select(id_col, label_col), id_col))
+    pos = F.when(F.col(label_col), F.col("tf")).otherwise(F.lit(0))
+    neg = F.when(F.col(label_col), F.lit(0)).otherwise(F.col("tf"))
+    counts = (ltf.groupBy("term")
+              .agg(F.sum(pos).alias("c_pos"), F.sum(neg).alias("c_neg"))
+              .persist())
+    tot = counts.agg(F.sum("c_pos"), F.sum("c_neg"),
+                     F.count(F.lit(1))).first()
+    t_pos, t_neg, v = int(tot[0] or 0), int(tot[1] or 0), int(tot[2])
+
+    def _lp(c_col, total):
+        return F.round(F.log((c_col + F.lit(alpha)).cast("double")
+                             / F.lit(float(total + alpha * v)))
+                       * 1_000_000).cast("long")
+
+    model = counts.select(
+        "term", (_lp(F.col("c_pos"), t_pos)
+                 - _lp(F.col("c_neg"), t_neg)).alias("odds_micro"))
+    n = train_docs.groupBy().agg(
+        F.sum(F.col(label_col).cast("long")),
+        F.count(F.lit(1))).first()
+    n_pos, n_all = int(n[0] or 0), int(n[1])
+    import math
+    prior = round(math.log((n_pos + alpha)
+                           / (n_all - n_pos + alpha)) * 1_000_000)
+    stf = _tf(score_docs)
+    return (stf.join(model, "term")
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 (F.sum(F.col("tf") * F.col("odds_micro"))
+                  + F.lit(prior)).cast("long").alias("score_micro"))
+            .withColumn("predict_pos", F.col("score_micro") > 0))

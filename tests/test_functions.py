@@ -461,3 +461,38 @@ def test_cm_sketch_merges_by_counter_addition(spark):
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, direct.collect()))
 
+
+
+def test_nb_quality_scores_matches_sequential_mirror(spark):
+    import math
+    from collections import Counter
+
+    from crawlspark.functions.text import nb_quality_scores
+    texts = ["good clean prose here", "spam spam buy now", "clean text",
+             "buy spam now now", "prose and text", "now now now"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = docs.withColumn("label", F.col("doc_id") % 2 == 0)
+    got = {r.doc_id: (r.n_tokens, r.score_micro, r.predict_pos)
+           for r in nb_quality_scores(train, docs).collect()}
+    # sequential mirror with identical rounding discipline
+    cp, cn = Counter(), Counter()
+    n_pos = n_all = 0
+    for i, t in rows:
+        n_all += 1
+        lab = i % 2 == 0
+        n_pos += lab
+        for w in t.lower().split():
+            (cp if lab else cn)[w] += 1
+    vocab = set(cp) | set(cn)
+    tp, tn, v = sum(cp.values()), sum(cn.values()), len(vocab)
+    odds = {w: round(math.log((cp[w] + 1) / (tp + v)) * 1e6)
+            - round(math.log((cn[w] + 1) / (tn + v)) * 1e6)
+            for w in vocab}
+    prior = round(math.log((n_pos + 1) / (n_all - n_pos + 1)) * 1e6)
+    for i, t in rows:
+        toks = t.lower().split()
+        score = prior + sum(odds[w] for w in toks if w in odds)
+        assert got[i] == (len(toks), score, score > 0), i
+    # sanity: the spammy doc scores below the clean one
+    assert got[1][1] < got[0][1]
