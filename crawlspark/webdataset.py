@@ -142,12 +142,17 @@ def parse_webdataset_members(files: DataFrame, src_col: str = "src",
     parallelism comes from the shard count, the format's own unit."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
         cols = ["src", "member_seq", "name", "key", "ext", "data", "size"]
         for pdf in batches:
             rows = []
             for src, blob in zip(pdf[src_col], pdf[content_col]):
                 if blob is None:
                     continue
+                blob = bytes(blob)
+                if blob[:2] == b"\x1f\x8b":   # .tar.gz shard convention
+                    blob = gzip.decompress(blob)
                 for i, (name, data) in enumerate(parse_tar(bytes(blob))):
                     key, ext = split_key_ext(name)
                     rows.append({"src": src, "member_seq": i,
@@ -173,7 +178,7 @@ def wds_samples(members: DataFrame) -> DataFrame:
 
 
 def read_webdataset(spark: SparkSession, path: str,
-                    glob: str = "*.tar") -> DataFrame:
+                    glob: str = "*.tar*") -> DataFrame:
     """Shard directory → member rows, one whole file per task
     (binaryFile; standard ~1 GB WebDataset shard sizing keeps a blob
     bounded)."""

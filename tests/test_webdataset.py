@@ -197,3 +197,19 @@ def test_export_webdataset_atomic_commit(spark):
     # refuses to clobber a published dataset
     with pytest.raises(FileExistsError):
         export_webdataset(df, final, samples_per_shard=4)
+
+
+def test_read_webdataset_gzip_shards(spark):
+    import gzip
+    import os
+
+    out = tempfile.mkdtemp(prefix="wds_gz_")
+    blob = build_tar([("000001.jpg", b"img"), ("000001.txt", b"cap")])
+    with open(os.path.join(out, "shard-000000.tar.gz"), "wb") as f:
+        f.write(gzip.compress(blob, mtime=0))
+    with open(os.path.join(out, "shard-000001.tar"), "wb") as f:
+        f.write(build_tar([("000002.txt", b"c2")]))
+    got = {(r.key, r.ext): bytes(r.data)
+           for r in read_webdataset(spark, out).collect()}
+    assert got == {("000001", "jpg"): b"img", ("000001", "txt"): b"cap",
+                   ("000002", "txt"): b"c2"}
