@@ -3207,7 +3207,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v17"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v18"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -3355,6 +3355,19 @@ def _ensure_oracle_files() -> None:
                             curate_aspect_num=2)
     write("crawl_curate",
           pd.DataFrame(res_c.image_rejects).astype({"round": "int32"}))
+
+    # host-backoff crawl (circuit breaker): 4 rounds so the trailing
+    # window both trips (rounds 1-2 errors suppress round-3 scheduling)
+    # and visibly reshapes the log vs the plain crawl
+    res_b = oracle.simulate(pages_by_url, robots, seeds,
+                            round_ms=30_000, k_global=100, max_rounds=4,
+                            backoff_errors=3, backoff_window=2)
+    flog_b = pd.DataFrame(res_b.fetch_log)
+    flog_b["host"] = flog_b["canon"].map(host_of)
+    write("crawl_backoff", flog_b[
+        ["round", "fetch_seq", "canon", "ref_url", "status",
+         "is_refresh", "image_id", "host"]].astype(
+        {"round": "int32", "status": "int32"}))
 
     # page_parse expected: the structured generator output, flattened to
     # driver-hashable scalars (the Spark side re-derives these by PARSING
@@ -3859,6 +3872,36 @@ FROM read_parquet('{_ORACLE_DIR}/crawl_curate.parquet')
 """
 
 
+def q_crawl_backoff(spark, sf_dir):
+    """Adaptive host backoff end-to-end at the driver: the t1 crawl
+    (4 rounds, k=100) with cfg.backoff_errors=3 / backoff_window=2 — a
+    host whose non-2xx count over the trailing two committed rounds
+    reaches 3 is excluded from scheduling until the errors age out
+    (circuit-breaker retry policy; the frontier rows stay put). Oracle =
+    the sequential simulator keeping its own per-round error tally
+    (crawlspark/oracle.py step 4b)."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+    tier = synth.TIERS["t1"]
+    pages = _t1_pages(spark)
+    robots = _t1_robots(spark)
+    seeds = synth.spark_seeds(spark, tier)
+    cfg = CrawlConfig(k_global=100, max_rounds=4, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      backoff_errors=3, backoff_window=2,
+                      shuffle_partitions=8)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="entry_backoff_crawl_", dir=scratch))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    return (store.read("fetch_log").orderBy("fetch_seq")
+            .select("round", "fetch_seq", "canon", "ref_url", "status",
+                    "is_refresh", "image_id", "host"))
+
+
 def q_form_urlencode(spark, sf_dir):
     """U5 outbound re-encode + submit-body assembly (form.go:378-401):
     values transformed UTF-8 → session encoding (keeping the encodable
@@ -4269,6 +4312,11 @@ FROM read_parquet('{_ORACLE_DIR}/crawl_cookies.parquet')
 SQL_CRAWL_PHASH_DEDUP = f"""
 SELECT round, fetch_seq, image_id, phash, dup_of
 FROM read_parquet('{_ORACLE_DIR}/crawl_phash_dedup.parquet')
+"""
+
+SQL_CRAWL_BACKOFF = f"""
+SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
+FROM read_parquet('{_ORACLE_DIR}/crawl_backoff.parquet')
 """
 
 
@@ -5094,6 +5142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cookies": q_crawl_cookies,
         "crawl_phash_dedup": q_crawl_phash_dedup,
         "crawl_curate": q_crawl_curate,
+        "crawl_backoff": q_crawl_backoff,
     }
 
 
@@ -5147,6 +5196,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_cookies": SQL_CRAWL_COOKIES,
         "crawl_phash_dedup": SQL_CRAWL_PHASH_DEDUP,
         "crawl_curate": SQL_CRAWL_CURATE,
+        "crawl_backoff": SQL_CRAWL_BACKOFF,
         "anchor_select": SQL_ANCHOR_SELECT,
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,

@@ -205,6 +205,22 @@ class CrawlConfig:
     # committed state), which the oracle mirrors exactly. None ⇒ off
     # (trap policy, like auto_submit_forms).
     trap_max_urls: int | None = None
+    # adaptive per-host error backoff (circuit breaker): a host whose
+    # non-2xx fetch count summed over the trailing `backoff_window`
+    # committed rounds reaches `backoff_errors` is excluded from
+    # SCHEDULING this round — its frontier rows stay in place (the
+    # standing frontier is untouched; conflict resolution still sees
+    # them) and become eligible again once the errors age out of the
+    # window. Counts ride an APPEND state table (host_errors: this
+    # round's per-host non-2xx counts, O(hosts touched) rows); the
+    # suppressed set is a windowed aggregate ≥ threshold, broadcast into
+    # ONE anti-join on the narrow scheduling pool AFTER the seen filter
+    # (so seen-ness decisions are identical with or without backoff).
+    # A round where every candidate host is suppressed schedules 0 rows
+    # and terminates the crawl, same as an empty frontier — the oracle
+    # mirrors that. None ⇒ off (retry policy, like trap_max_urls).
+    backoff_errors: int | None = None
+    backoff_window: int = 2
     # merge-on-read frontier commits: a normal round writes only the O(k)
     # deltas (frontier_add: children kept; frontier_rm: removal hashes) and
     # the read reconstructs frontier = base ∖ removals ∪ (adds ∖ any
@@ -464,6 +480,21 @@ class CrawlEngine:
                                 .filter(F.col("n")
                                         >= F.lit(int(cfg.trap_max_urls)))
                                 .select("host", "template"))
+        # host backoff: suppressed hosts as of ROUND START (non-2xx counts
+        # over committed rounds [r - backoff_window, r-1] — append table,
+        # aggregated at read; O(hosts) rows, broadcast below)
+        backoff_hosts = None
+        if cfg.backoff_errors is not None:
+            he = store.read("host_errors")
+            if he is not None:
+                backoff_hosts = (he.filter(
+                                     F.col("round")
+                                     >= F.lit(int(r - cfg.backoff_window)))
+                                 .groupBy("host")
+                                 .agg(F.sum("n_err").alias("n"))
+                                 .filter(F.col("n")
+                                         >= F.lit(int(cfg.backoff_errors)))
+                                 .select("host"))
         base_seq = store.counters().get("fetched_total", 0)
 
         if frontier is None:
@@ -588,7 +619,16 @@ class CrawlEngine:
         # is of the same order as the round width) — measured as the serial
         # fraction that froze N-vs-4N scaling at ~0.25 efficiency.
         from .politeness import over_budget_hosts, postcap_cut, schedule_stats
-        stats = ckpt(schedule_stats(allowed))
+        # host backoff: suppressed hosts leave the SCHEDULING pool only —
+        # `allowed` (hence rem_meta's conflict resolution and the frontier
+        # at rest) still contains their rows, so nothing is lost and the
+        # unique-by-url_hash invariant holds; applied AFTER the seen
+        # filter so confirmed_seen is identical with or without backoff.
+        pool = allowed
+        if backoff_hosts is not None:
+            pool = allowed.join(F.broadcast(backoff_hosts), "host",
+                                "left_anti")
+        stats = ckpt(schedule_stats(pool))
         cut = postcap_cut(stats, cfg.k_global)
         # the cut is applied BEFORE the salted ranking, not after: priority
         # is the leading sort key, so each host's ≥cut rows are a PREFIX of
@@ -598,7 +638,7 @@ class CrawlEngine:
         # whole over-budget slice (at a 30%-hot frontier that is the
         # round's largest sort). The cut itself is computed from post-cap
         # counts (postcap_cut), so ≥ k rows survive, exactly as before.
-        cand = (allowed if cut is None else allowed.filter(
+        cand = (pool if cut is None else pool.filter(
             F.floor(F.col("priority") * 64) >= cut))
         pruned = topk_per_host(cand, cfg.salt_buckets,
                                over=over_budget_hosts(stats))
@@ -1098,6 +1138,15 @@ class CrawlEngine:
                     _path, "[0-9]+", "N").alias("template"))
                 .groupBy("host", "template")
                 .agg(F.count(F.lit(1)).alias("n")))
+        if cfg.backoff_errors is not None:
+            # this round's per-host non-2xx counts (append table,
+            # O(hosts touched)/round; all_fetched is ≤2k rows)
+            tables["host_errors"] = (
+                all_fetched
+                .filter(F.floor(F.col("status") / 100) != 2)
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n_err"))
+                .withColumn("round", F.lit(r)))
         if payload_dups is not None:
             tables["payload_dups"] = payload_dups
             tables["phash_seen"] = phash_winners

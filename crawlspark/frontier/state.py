@@ -37,6 +37,10 @@ APPEND_TABLES = {"fetch_log", "seen", "metrics",
                  # per-round metadata-reject records (side table; the
                  # fetch log is unchanged by the stage)
                  "image_rejects",
+                 # host error backoff (engine cfg.backoff_errors): per-round
+                 # per-host non-2xx counts; the suppressed set is a windowed
+                 # aggregate at read time
+                 "host_errors",
                  # merge-on-read frontier deltas (engine.run_round step 11):
                  # per-round additions (wide rows) and removal hashes, each
                  # tagged with delta_round; the REPLACE "frontier" table is

@@ -49,6 +49,8 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
              image_phash: dict | None = None,
              phash_dedup: bool = False,
              trap_max_urls: int | None = None,
+             backoff_errors: int | None = None,
+             backoff_window: int = 2,
              image_meta: dict | None = None,
              curate_images: bool = False,
              curate_min_side: int = 48,
@@ -84,6 +86,14 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     children matching it stop being inserted. Round r's insert uses counts
     through round r-1, exactly like the engine's committed trap_counts
     state.
+
+    ``backoff_errors``/``backoff_window`` (engine cfg.backoff_errors /
+    cfg.backoff_window): a host whose non-2xx fetch count over rounds
+    [r - backoff_window, r-1] reaches the threshold is excluded from
+    scheduling in round r (its frontier rows stay put — they re-enter the
+    pool when the errors age out of the window). Applied AFTER the seen
+    filter, exactly like the engine's broadcast anti-join on the
+    scheduling pool.
     """
     from .frontier.robots import rule_allows
 
@@ -179,6 +189,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     base_seq = 0
     credit: dict[str, int] = {}  # host -> credit_ms (§2.7 carryover)
     trap_n: dict[tuple, int] = {}  # (host, template) -> fetched-url count
+    err_by_round: list[dict] = []  # per round: host -> non-2xx count
 
     def _tmpl(path: str) -> str:
         return re.sub(r"[0-9]+", "N", path)
@@ -205,10 +216,25 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                              max(1, (round_ms + credit.get(row["host"], 0))
                                  // delay))
             allowed.append(row)
+        # 4b. host backoff: hosts over the trailing-window error threshold
+        # leave the SCHEDULING pool only — their rows stay in `allowed`
+        # (hence in `remaining` below), exactly like the engine's
+        # broadcast anti-join after the seen filter.
+        suppressed: set = set()
+        if backoff_errors is not None:
+            window = err_by_round[max(0, r - backoff_window):r]
+            totals: dict[str, int] = {}
+            for d in window:
+                for h, n in d.items():
+                    totals[h] = totals.get(h, 0) + n
+            suppressed = {h for h, n in totals.items()
+                          if n >= backoff_errors}
         # 5. per-host top-K
         survivors = []
         per_host: dict[str, int] = {}
         for row in sorted(allowed, key=_key):
+            if row["host"] in suppressed:
+                continue
             n = per_host.get(row["host"], 0)
             if n < row["budget"]:
                 per_host[row["host"]] = n + 1
@@ -289,6 +315,16 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                         cookie_updates.append(
                             (seq, rhost, c["name"], c["value"]))
         base_seq = seq
+
+        # host-error tally (engine host_errors append table): this round's
+        # non-2xx fetches per host — primaries AND refreshes, the same
+        # all_fetched rows the engine aggregates at commit
+        round_errs: dict[str, int] = {}
+        for e in res.fetch_log[len(res.fetch_log) - n_fetched:]:
+            if e["status"] // 100 != 2:
+                h = host_of(e["canon"])
+                round_errs[h] = round_errs.get(h, 0) + 1
+        err_by_round.append(round_errs)
 
         # cookie-jar merge at round end: latest (seq, value) per (host,
         # name) wins — same deterministic tie-break as the engine's
