@@ -3961,6 +3961,31 @@ def q_phash_near_dup(spark, sf_dir):
     return phash_near_dup(images, max_distance=3)
 
 
+def q_image_dedup_clusters(spark, sf_dir):
+    """LAION-shape image dedup end-to-end: phash near-dup pair graph
+    (pigeonhole chunk-bucket join + exact popcount verify — no all-pairs
+    anywhere on the Spark side) → connected components (alternating
+    large-star/small-star) → keep the min-id image per cluster. The
+    image-axis twin of semantic_dedup: pairs alone are not actionable,
+    the transitive closure decides which payloads a training corpus
+    keeps. image_id is fixed-width zero-padded, so the min-id canonical
+    rule is identical under Spark string ordering and DuckDB VARCHAR MIN.
+    Oracle: DuckDB recursive-CTE reachability over its own independent
+    all-pairs bit_count(xor) pair set."""
+    _ensure_oracle_files()
+    from crawlspark.functions.dedup import (connected_components,
+                                            phash_near_dup)
+    images = spark.read.parquet(f"{_ORACLE_DIR}/images_phash.parquet")
+    pairs = phash_near_dup(images, max_distance=3)
+    comp = connected_components(pairs).withColumnRenamed("node", "image_id")
+    return (images.select("image_id")
+            .join(comp, "image_id", "left")
+            .select("image_id",
+                    F.coalesce("component", "image_id").alias("cluster"),
+                    (F.coalesce("component", F.col("image_id"))
+                     == F.col("image_id")).alias("is_canonical")))
+
+
 N_AUDIO_CLIPS = 500
 N_VIDEO_CLIPS = 300
 N_GIF_CLIPS = 300
@@ -4266,6 +4291,28 @@ FROM read_parquet('{_ORACLE_DIR}/images_phash.parquet') a
 JOIN read_parquet('{_ORACLE_DIR}/images_phash.parquet') b
   ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+SQL_IMAGE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM read_parquet('{_ORACLE_DIR}/images_phash.parquet') a
+  JOIN read_parquet('{_ORACLE_DIR}/images_phash.parquet') b
+    ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+SELECT i.image_id,
+       COALESCE(c.component, i.image_id) AS cluster,
+       COALESCE(c.component, i.image_id) = i.image_id AS is_canonical
+FROM read_parquet('{_ORACLE_DIR}/images_phash.parquet') i
+LEFT JOIN comp c ON c.node = i.image_id
 """
 
 SQL_IMAGE_FEATURES = f"""
@@ -5018,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frames": q_gif_frames,
         "phash_dup_pairs": q_phash_dup_pairs,
         "phash_near_dup": q_phash_near_dup,
+        "image_dedup_clusters": q_image_dedup_clusters,
         "images_clean": q_images_clean,
         "aspect_buckets": q_aspect_buckets,
         "jpeg_quality": q_jpeg_quality,
@@ -5267,6 +5315,7 @@ def oracle_sql() -> dict[str, str]:
         "unmarshal_spec": SQL_UNMARSHAL_SPEC,
         "phash_dup_pairs": SQL_PHASH_DUP_PAIRS,
         "phash_near_dup": SQL_PHASH_NEAR_DUP,
+        "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
         "images_clean": SQL_IMAGES_CLEAN,
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "jpeg_quality": SQL_JPEG_QUALITY,

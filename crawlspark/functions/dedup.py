@@ -469,8 +469,17 @@ def connected_components(pairs: DataFrame,
     for dedup — a keep-one-per-cluster policy needs the transitive closure
     (a~b, b~c ⇒ {a,b,c} one cluster even when a≁c).
     """
-    e = (pairs.select(F.col(left_col).cast("long").alias("u"),
-                      F.col(right_col).cast("long").alias("v"))
+    # node ids: any ordered type works (the algorithm only compares /
+    # takes minima). Numeric ids are normalized to long (the historical
+    # contract); string ids (e.g. image_id) pass through unchanged —
+    # min-id canonicals then follow binary string order, which matches
+    # DuckDB VARCHAR MIN for the ASCII ids used throughout.
+    node_t = dict(pairs.dtypes)[left_col]
+    u, v = F.col(left_col), F.col(right_col)
+    if node_t != "string":
+        node_t = "long"
+        u, v = u.cast("long"), v.cast("long")
+    e = (pairs.select(u.alias("u"), v.alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct())
     spark = pairs.sparkSession
@@ -485,7 +494,8 @@ def connected_components(pairs: DataFrame,
     e = e.localCheckpoint(eager=True)
     prev_sig = _sig(e)
     if prev_sig[0] == 0:
-        return spark.createDataFrame([], "node long, component long")
+        return spark.createDataFrame(
+            [], f"node {node_t}, component {node_t}")
     for _ in range(max_iters):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = _sig(e2)

@@ -113,3 +113,20 @@ def test_components_output_partition_shape(spark):
     # reuse twice (members + roots both read the persisted edge set)
     assert out.count() == 3
     assert out.agg(F.min("component")).collect()[0][0] == 1
+
+
+def test_string_node_ids(spark):
+    """String ids pass through untyped (image_id clustering): min-id
+    canonicals follow binary string order, the schema stays string, and
+    an empty pair set yields an empty string-typed frame."""
+    pairs = spark.createDataFrame(
+        [("img02", "img05"), ("img05", "img01"), ("imgZZ", "img09_v")],
+        ["left_id", "right_id"])
+    out = connected_components(pairs)
+    assert dict(out.dtypes) == {"node": "string", "component": "string"}
+    comp = {r["node"]: r["component"] for r in out.collect()}
+    assert comp == {"img01": "img01", "img02": "img01", "img05": "img01",
+                    "img09_v": "img09_v", "imgZZ": "img09_v"}
+    empty = connected_components(pairs.limit(0))
+    assert dict(empty.dtypes) == {"node": "string", "component": "string"}
+    assert empty.count() == 0
