@@ -1827,6 +1827,75 @@ FROM documents
 """
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2): each
+    document is rendered into a deterministic multi-line page — a
+    javascript boilerplate line, a good 6-word sentence, a 3-word
+    too-short line, a 5-word line whose terminal '?' appears only when
+    doc_id % 3 == 0, a 6-word '!' line, plus a page-killing 'lorem
+    ipsum' (doc_id % 17 == 0) or '{' code line (doc_id % 19 == 0) — then
+    text.c4_line_clean filters lines and pages. The DuckDB oracle builds
+    the same page from the token list and re-implements the rules with
+    its own list_filter lambdas."""
+    from crawlspark.functions.text import c4_line_clean
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nl = F.lit("\n")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Enable JavaScript to continue please."), nl,
+            F.array_join(F.slice(toks, 1, 6), " "), F.lit("."), nl,
+            F.array_join(F.slice(toks, 1, 3), " "), F.lit("."), nl,
+            F.array_join(F.slice(toks, 5, 5), " "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?")).otherwise(
+                F.lit("")), nl,
+            F.array_join(F.slice(toks, 3, 6), " "), F.lit("!"),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit("\nlorem ipsum dolor sit amet."))
+            .when(F.col("doc_id") % 19 == 0,
+                  F.lit("\nfunction f() { return 1; }"))
+            .otherwise(F.lit(""))).alias("text"))
+    return c4_line_clean(built)
+
+
+SQL_C4_CLEAN = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+built AS (
+  SELECT doc_id,
+    'Enable JavaScript to continue please.'
+    || chr(10) || array_to_string(t[1:6], ' ') || '.'
+    || chr(10) || array_to_string(t[1:3], ' ') || '.'
+    || chr(10) || array_to_string(t[5:9], ' ')
+    || CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '' END
+    || chr(10) || array_to_string(t[3:8], ' ') || '!'
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+            WHEN doc_id % 19 = 0 THEN chr(10) || 'function f() { return 1; }'
+            ELSE '' END AS text
+  FROM toks),
+evald AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+    list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(rtrim(l), '[.!?"]$')
+                 AND len(list_filter(string_split(trim(l), ' '),
+                                     w -> w <> '')) >= 5
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM built),
+flags AS (
+  SELECT doc_id,
+    CAST(len(ls) AS INTEGER) AS n_lines,
+    CAST(len(kept) AS INTEGER) AS n_kept,
+    (NOT contains(lower(text), 'lorem ipsum')
+     AND NOT contains(text, '{')
+     AND len(kept) >= 3) AS keep,
+    array_to_string(kept, chr(10)) AS joined
+  FROM evald)
+SELECT doc_id, n_lines, n_kept, keep,
+       CASE WHEN keep THEN joined END AS clean_text
+FROM flags
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-family repetition signals per doc — distinct-token ratio,
     most-common-token frequency, duplicate-2-gram density. Pure Column
@@ -5154,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": q_recrawl_priority,
         "dup_spans": q_dup_spans,
         "main_content": q_main_content,
+        "c4_clean": q_c4_clean,
         "vocab_topv": q_vocab_topv,
         "postings": q_postings,
         "event_dedup": q_event_dedup,
@@ -5281,6 +5351,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_priority": SQL_RECRAWL_PRIORITY,
         "dup_spans": SQL_DUP_SPANS,
         "main_content": SQL_MAIN_CONTENT,
+        "c4_clean": SQL_C4_CLEAN,
         "vocab_topv": SQL_VOCAB_TOPV,
         "postings": SQL_POSTINGS,
         "event_dedup": SQL_EVENT_DEDUP,

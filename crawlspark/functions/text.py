@@ -414,3 +414,52 @@ def nb_quality_scores(train_docs, score_docs, label_col: str = "label",
                  (F.sum(F.col("tf") * F.col("odds_micro"))
                   + F.lit(prior)).cast("long").alias("score_micro"))
             .withColumn("predict_pos", F.col("score_micro") > 0))
+
+
+def c4_line_clean(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_words: int = 5,
+                  min_kept_lines: int = 3) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020, §2.2 — the
+    standard web-corpus line filter; same family as the reference's
+    BodyFilter rewrite hook, /root/reference/session.go:40).
+
+    Line keep rules (a line survives iff ALL hold):
+      * ends in a terminal punctuation mark (``. ! ? "``) after
+        trailing-whitespace trim;
+      * has at least ``min_words`` whitespace-separated words;
+      * does not contain the word "javascript" (case-folded substring).
+    Page drop rules (the whole document is dropped iff ANY hold):
+      * the case-folded text contains "lorem ipsum";
+      * the text contains a curly brace ``{``;
+      * fewer than ``min_kept_lines`` lines survive.
+
+    Output: (id, n_lines, n_kept, keep, clean_text) — ``clean_text`` is
+    the kept lines re-joined by newline for kept pages, NULL otherwise.
+
+    100 TB shape: one projection of pure Column array expressions
+    (split / filter / array_join) in whole-stage codegen — scan speed,
+    zero shuffle, fully pushable behind any upstream filter. Per the
+    SURVEY §4 HOF rule, nothing inside the line lambda references a
+    column-derived outer expression (the split is the lambda INPUT, so
+    it evaluates once per row, not once per line).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line):
+        words = F.size(F.filter(F.split(F.trim(line), " "),
+                                lambda t: t != ""))
+        return (F.rtrim(line).rlike('[.!?"]$')
+                & (words >= min_words)
+                & ~F.contains(F.lower(line), F.lit("javascript")))
+
+    kept = F.filter(lines, _keep)
+    lowered = F.lower(F.col(text_col))
+    page_ok = (~F.contains(lowered, F.lit("lorem ipsum"))
+               & ~F.contains(F.col(text_col), F.lit("{"))
+               & (F.size(kept) >= min_kept_lines))
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        page_ok.alias("keep"),
+        F.when(page_ok, F.array_join(kept, "\n")).alias("clean_text"))

@@ -496,3 +496,40 @@ def test_nb_quality_scores_matches_sequential_mirror(spark):
         assert got[i] == (len(toks), score, score > 0), i
     # sanity: the spammy doc scores below the clean one
     assert got[1][1] < got[0][1]
+
+
+def test_c4_line_clean(spark):
+    """C4 line rules (terminal punct + >=5 words + no 'javascript') and
+    page rules (lorem ipsum / brace / min kept lines) — including the
+    subtlety that a line-wise-kept 'lorem ipsum ...' sentence still
+    page-drops the document."""
+    df = spark.createDataFrame([
+        (1, "Good line with many words here.\nshort line.\n"
+            "Enable javascript to view this now.\n"
+            "Another excellent line of text here!\n"
+            "trailing no punct line words here"),
+        (2, "lorem ipsum dolor sit amet today.\n"
+            "Good line with many words here.\n"
+            "Another excellent line of text here!\n"
+            "A third very good long line here."),
+        (3, "function f() { return 1; }\nGood line with many words here.\n"
+            "Another excellent line of text here!\n"
+            "A third very good long line here."),
+        (4, "Good line with many words here.\n"
+            "Another excellent line of text here!\n"
+            "A third very good long line here."),
+    ], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            text.c4_line_clean(df, min_kept_lines=3).collect()}
+    assert (rows[1]["n_lines"], rows[1]["n_kept"], rows[1]["keep"]) == \
+        (5, 2, False)
+    # doc 2: all four lines pass the LINE rules (n_kept=4) but the page
+    # drops on the lorem-ipsum substring
+    assert (rows[2]["n_kept"], rows[2]["keep"]) == (4, False)
+    assert rows[2]["clean_text"] is None
+    assert (rows[3]["n_kept"], rows[3]["keep"]) == (3, False)  # brace
+    assert rows[4]["keep"] is True
+    assert rows[4]["clean_text"] == (
+        "Good line with many words here.\n"
+        "Another excellent line of text here!\n"
+        "A third very good long line here.")
