@@ -1827,6 +1827,31 @@ FROM documents
 """
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order shuffle: rows ranked by a
+    seeded portable hash (ties by doc_id), dense 0-based order_idx from
+    the distributed range sequencer — one range exchange, no global
+    window. The oracle replays the identical mixer arithmetic in a
+    row_number() window (sf0.01 scale only; the Spark side never funnels
+    through one task)."""
+    from crawlspark.functions.sampling import epoch_shuffle, portable_mix
+    docs = _t(spark, sf_dir, "documents")
+    ep = 3
+    mix = portable_mix(F.col("doc_id") * 31 + ep)
+    return (epoch_shuffle(docs.select("doc_id"), "doc_id", ep,
+                          shuffle_key=mix)
+            .select("doc_id", "order_idx"))
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY (((doc_id * 31 + 3) % 1000003) * 2654435761)
+                  % 2147483647, doc_id) - 1 AS order_idx
+FROM documents
+"""
+
+
 def q_c4_clean(spark, sf_dir):
     """C4-style line-level page cleaning (Raffel et al. 2020 §2.2): each
     document is rendered into a deterministic multi-line page — a
@@ -5224,6 +5249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "main_content": q_main_content,
         "c4_clean": q_c4_clean,
+        "epoch_shuffle": q_epoch_shuffle,
         "vocab_topv": q_vocab_topv,
         "postings": q_postings,
         "event_dedup": q_event_dedup,
@@ -5352,6 +5378,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": SQL_DUP_SPANS,
         "main_content": SQL_MAIN_CONTENT,
         "c4_clean": SQL_C4_CLEAN,
+        "epoch_shuffle": SQL_EPOCH_SHUFFLE,
         "vocab_topv": SQL_VOCAB_TOPV,
         "postings": SQL_POSTINGS,
         "event_dedup": SQL_EVENT_DEDUP,

@@ -137,3 +137,37 @@ def dataset_split(df: DataFrame, key_col: str,
              .when(hash_bucket < val_pct + test_pct, "test")
              .otherwise("train"))
     return df.withColumn("split", split)
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, epoch: int,
+                  shuffle_key: Column | None = None,
+                  out: str = "order_idx") -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch: rank
+    rows by a per-epoch seeded hash of the key (ties broken by the key
+    itself, so the order is total and reproducible), assigning a dense
+    0-based ``out`` index with the distributed range sequencer.
+
+    Epoch N and epoch N+1 produce different — but each individually
+    reproducible — permutations, which is exactly the contract a
+    multi-epoch training loader wants (and what a naive .orderBy(rand())
+    cannot give: rand() re-draws on every recompute/retry).
+
+    100 TB shape: ONE range exchange + per-partition sort (the same
+    plans/ordering.with_global_seq machinery as the crawl's fetch_seq) —
+    no unpartitioned window, no orderBy().limit() funnel, no driver-side
+    permutation table. Downstream shard assignment is order_idx div
+    rows_per_shard, a pure codegen projection.
+
+    Default shuffle key = xxhash64(key, epoch) (production path). Pass
+    ``shuffle_key=`` (e.g. portable_mix-based) when a cross-engine
+    reproducible ordering is required — the driver oracle does, so DuckDB
+    can replay the identical arithmetic.
+    """
+    from ..plans.ordering import with_global_seq
+
+    k = (F.xxhash64(F.col(key_col), F.lit(int(epoch)))
+         if shuffle_key is None else shuffle_key)
+    seq = with_global_seq(df.withColumn("_sk", k),
+                          [F.col("_sk").asc(), F.col(key_col).asc()],
+                          out=out)
+    return seq.drop("_sk")

@@ -223,3 +223,20 @@ def test_quantile_gate_median_keep(spark):
     assert got == [("a", 3, 3.0, 3.0), ("a", 4, 4.0, 3.0),
                    ("a", 5, 5.0, 3.0), ("b", 1, 9.0, 8.0),
                    ("b", 2, 8.0, 8.0)]
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    """order_idx is a dense 0..n-1 permutation; the same epoch is
+    reproducible across runs; different epochs give different orders."""
+    from crawlspark.functions.sampling import epoch_shuffle
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    e1 = {r["doc_id"]: r["order_idx"]
+          for r in epoch_shuffle(df, "doc_id", 1).collect()}
+    assert sorted(e1.values()) == list(range(200))
+    e1b = {r["doc_id"]: r["order_idx"]
+           for r in epoch_shuffle(df, "doc_id", 1).collect()}
+    assert e1 == e1b
+    e2 = {r["doc_id"]: r["order_idx"]
+          for r in epoch_shuffle(df, "doc_id", 2).collect()}
+    assert sorted(e2.values()) == list(range(200))
+    assert e1 != e2
