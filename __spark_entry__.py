@@ -1827,6 +1827,37 @@ FROM documents
 """
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Bottom-m uniform-sample quantile sketch (mergeable, deterministic)
+    over order totals: the m=512 rows with the smallest portable-mixer
+    hash form the sample; quantiles are its exact percentile_disc-lower
+    elements via integer ppm-index arithmetic. The oracle draws the SAME
+    bottom-m sample (identical mixer) and ranks it independently, so the
+    match is bit-for-bit — no tolerance band; the pytest suite separately
+    pins the estimator's accuracy against true quantiles."""
+    from crawlspark.functions.sampling import portable_mix
+    from crawlspark.functions.sketch import sample_quantiles
+    orders = _t(spark, sf_dir, "orders")
+    return sample_quantiles(orders, "o_totalprice", "o_orderkey",
+                            m=512, hash_col=portable_mix("o_orderkey"))
+
+
+SQL_QUANTILE_SKETCH = """
+WITH s AS (
+  SELECT o_totalprice AS v
+  FROM orders
+  ORDER BY ((o_orderkey % 1000003) * 2654435761) % 2147483647, o_orderkey
+  LIMIT 512),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n
+      FROM s)
+SELECT q_ppm, v AS value_est
+FROM (VALUES (CAST(500000 AS BIGINT)), (CAST(900000 AS BIGINT)),
+             (CAST(990000 AS BIGINT))) qs(q_ppm)
+JOIN r ON r.rn = GREATEST(1, (q_ppm * n + 999999) // 1000000)
+"""
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch training-order shuffle: rows ranked by a
     seeded portable hash (ties by doc_id), dense 0-based order_idx from
@@ -5250,6 +5281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "c4_clean": q_c4_clean,
         "epoch_shuffle": q_epoch_shuffle,
+        "quantile_sketch": q_quantile_sketch,
         "vocab_topv": q_vocab_topv,
         "postings": q_postings,
         "event_dedup": q_event_dedup,
@@ -5379,6 +5411,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": SQL_MAIN_CONTENT,
         "c4_clean": SQL_C4_CLEAN,
         "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+        "quantile_sketch": SQL_QUANTILE_SKETCH,
         "vocab_topv": SQL_VOCAB_TOPV,
         "postings": SQL_POSTINGS,
         "event_dedup": SQL_EVENT_DEDUP,

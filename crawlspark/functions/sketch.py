@@ -219,3 +219,52 @@ def cm_estimate(sketch: DataFrame, queries: DataFrame, col: str,
     return (joined.groupBy("value")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est_count")))
+
+
+def sample_quantiles(df: DataFrame, value_col: str, key_col: str,
+                     q_ppms=(500_000, 900_000, 990_000), m: int = 4096,
+                     hash_col=None) -> DataFrame:
+    """Bottom-m uniform-sample quantile sketch — deterministic, mergeable.
+
+    Keeps the m rows with the smallest (hash(key), key) — a simple random
+    sample without replacement (bottom-m hashing over unique keys), the
+    same mergeable-by-construction shape as KMV: the bottom-m of a union
+    is the re-taken bottom-m of the parts, so shards/tables/days merge by
+    union + re-limit. Quantile q is then the sample's exact
+    percentile_disc-lower element, whose rank against the full corpus is
+    within O(1/sqrt(m)) of q with high probability (classical
+    sample-quantile bound).
+
+    Scale shape: ONE corpus pass — sort+limit plans as
+    TakeOrderedAndProject (per-partition top-m, single P*m-row merge);
+    the ranking window below runs over the m sampled rows only, never the
+    corpus (the unpartitioned-window ban is about corpus-scale inputs).
+    Quantile indices are exact integer arithmetic (q_ppm parts-per-
+    million, ceil-division), so a same-sample oracle matches bit-for-bit.
+
+    Default hash = xxhash64(key); pass ``hash_col=`` (e.g. the portable
+    mixer) when a cross-engine reproducible sample is required — the
+    driver oracle does.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.xxhash64(F.col(key_col)) if hash_col is None else hash_col
+    sample = (df.select(F.col(value_col).alias("v"), h.alias("_h"),
+                        F.col(key_col).alias("_k"))
+              .orderBy(F.col("_h").asc(), F.col("_k").asc())
+              .limit(int(m))
+              .select("v"))
+    w_all = W.partitionBy(F.lit(1))
+    ranked = sample.select(
+        "v",
+        F.row_number().over(W.partitionBy(F.lit(1))
+                            .orderBy(F.col("v").asc())).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"))
+    qs = df.sparkSession.createDataFrame(
+        [(int(p),) for p in q_ppms], "q_ppm long")
+    # percentile_disc-lower index: ceil(q * n) in integer arithmetic
+    idx = F.greatest(F.lit(1),
+                     F.floor((F.col("q_ppm") * F.col("n")
+                              + F.lit(999_999)) / F.lit(1_000_000)))
+    return (qs.join(ranked, F.col("rn") == idx)
+            .select("q_ppm", F.col("v").alias("value_est")))

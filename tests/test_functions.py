@@ -533,3 +533,34 @@ def test_c4_line_clean(spark):
         "Good line with many words here.\n"
         "Another excellent line of text here!\n"
         "A third very good long line here.")
+
+
+def test_sample_quantiles_accuracy_and_merge(spark):
+    """Bottom-m sample quantiles: (a) within the O(1/sqrt(m)) band of the
+    true quantiles; (b) exact percentile_disc-lower when m >= n; (c) the
+    sample is mergeable — bottom-m of the union == re-taken bottom-m of
+    per-part samples (KMV-style by construction)."""
+    import pyspark.sql.functions as F
+    from crawlspark.functions.sketch import sample_quantiles
+    n = 20_000
+    df = spark.range(n).selectExpr("id as k", "id as v")
+    got = {r["q_ppm"]: r["value_est"]
+           for r in sample_quantiles(df, "v", "k", m=1024).collect()}
+    for ppm, est in got.items():
+        true = (ppm / 1e6) * (n - 1)
+        assert abs(est - true) <= 4 * n / (1024 ** 0.5), (ppm, est, true)
+    # m >= n: the sample is the whole set, quantiles exact
+    small = spark.range(100).selectExpr("id as k", "id as v")
+    exact = {r["q_ppm"]: r["value_est"]
+             for r in sample_quantiles(small, "v", "k", m=4096).collect()}
+    # ceil(q*100) 1-based over 0..99 => value ceil(q*100)-1
+    assert exact == {500_000: 49, 900_000: 89, 990_000: 98}
+    # mergeability: union of two parts' bottom-m == bottom-m of the union
+    h = F.xxhash64(F.col("k"))
+    parts = [df.filter(F.col("k") % 2 == i) for i in (0, 1)]
+    bm = lambda d: d.select("v", h.alias("h"), "k").orderBy("h", "k") \
+                    .limit(256)
+    merged = bm(bm(parts[0]).unionByName(bm(parts[1])))
+    direct = bm(df)
+    assert sorted(r["v"] for r in merged.collect()) == \
+        sorted(r["v"] for r in direct.collect())
