@@ -3609,6 +3609,32 @@ def _ensure_oracle_files() -> None:
         erows, columns=["media_id", "n_px", "n_dark", "n_bright",
                         "luma_sum"]))
 
+    # ViT patch grid from ground-truth pixels (codec-free, exact integer
+    # channel sums): matching proves decode identity + the tile kernel
+    prows = []
+    for i in range(300):
+        if i % 3 == 0:          # lossy fmt — excluded (decode not identity)
+            continue
+        row = synth.gen_image_row(i, materialize_bytes=False)
+        src = i - 1 if (i % 101 == 100 and i > 0) else i
+        px = imaging.make_pixels(src, int(row["w"]),
+                                 int(row["h"])).astype(np.int64)
+        P = 16
+        gh, gw = px.shape[0] // P, px.shape[1] // P
+        tiles = (px[:gh * P, :gw * P].reshape(gh, P, gw, P, 3)
+                 .sum(axis=(1, 3)))
+        for r_ in range(gh):
+            for c_ in range(gw):
+                prows.append({
+                    "media_id": row["image_id"], "patch_row": r_,
+                    "patch_col": c_, "n_px": P * P,
+                    "sum_r": int(tiles[r_, c_, 0]),
+                    "sum_g": int(tiles[r_, c_, 1]),
+                    "sum_b": int(tiles[r_, c_, 2])})
+    write("image_patches", pd.DataFrame(
+        prows, columns=["media_id", "patch_row", "patch_col", "n_px",
+                        "sum_r", "sum_g", "sum_b"]))
+
     # resize kernel: same subset, features of the 16x12 nearest-neighbor
     # thumbnail computed from ground-truth pixels (the index formula below
     # IS the resize spec). Spark runs decode→resize→png re-encode→decode→
@@ -3878,6 +3904,30 @@ SELECT media_id, CAST(n_px AS INTEGER) AS n_px,
        CAST(n_dark AS INTEGER) AS n_dark,
        CAST(n_bright AS INTEGER) AS n_bright, luma_sum
 FROM read_parquet('{oracle_dir}/image_exposure.parquet')
+"""
+
+
+def q_image_patches(spark, sf_dir):
+    """ViT patch-grid statistics over the lossless image subset: the
+    Spark side DECODES real png bytes and tiles the raster into 16x16
+    patches with exact integer channel sums; the oracle computes the
+    same tiles from generator ground-truth pixels (codec free), so a
+    match pins decode identity + the patch kernel."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import image_patches
+    tier = synth.TIERS["t1"]
+    images = (synth.spark_images(spark, tier, parallelism=8)
+              .filter((F.col("image_id") < "img0000000300")
+                      & (F.col("fmt") == "png")))
+    return image_patches(images, patch=16)
+
+
+SQL_IMAGE_PATCHES_TMPL = """
+SELECT media_id, CAST(patch_row AS INTEGER) AS patch_row,
+       CAST(patch_col AS INTEGER) AS patch_col,
+       CAST(n_px AS INTEGER) AS n_px, sum_r, sum_g, sum_b
+FROM read_parquet('{oracle_dir}/image_patches.parquet')
 """
 
 
@@ -5207,6 +5257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_gate": q_clip_gate,
         "zorder_layout": q_zorder_layout,
         "image_exposure": q_image_exposure,
+        "image_patches": q_image_patches,
         # relational core
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
@@ -5466,6 +5517,8 @@ def oracle_sql() -> dict[str, str]:
         "image_features": SQL_IMAGE_FEATURES,
         "image_resize": SQL_IMAGE_RESIZE,
         "image_exposure": SQL_IMAGE_EXPOSURE_TMPL.format(
+            oracle_dir=_ORACLE_DIR),
+        "image_patches": SQL_IMAGE_PATCHES_TMPL.format(
             oracle_dir=_ORACLE_DIR),
         # differential over ground-truth samples (quantization mirror):
         "audio_features": SQL_AUDIO_FEATURES,

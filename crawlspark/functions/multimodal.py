@@ -345,3 +345,52 @@ def dominant_color(images: DataFrame, id_col: str = "image_id",
             .mapInPandas(kern, "media_id string, dom_bin int, dom_r int, "
                                "dom_g int, dom_b int, n_dom int, "
                                "n_px int, dom_frac_ppm int"))
+
+
+def image_patches(images: DataFrame, patch: int = 16,
+                  id_col: str = "image_id", bytes_col: str = "bytes",
+                  fmt_col: str = "fmt") -> DataFrame:
+    """ViT-style patch grid over the native raster: decode, tile into
+    (h div patch) x (w div patch) full patches (edge remainders dropped —
+    the standard grid simplification), one row per patch with EXACT
+    integer channel sums, so a ground-truth-pixel oracle matches
+    bit-for-bit and downstream patch statistics (means, variance screens,
+    masking ratios) can be computed engine-independently.
+
+    Output: (media_id, patch_row, patch_col, n_px, sum_r, sum_g, sum_b).
+
+    100 TB shape: one Arrow-batched decode pass, zero shuffle; the tile
+    reshape+sum is a single vectorized numpy reduction per image (no
+    per-patch Python). Output is ~wh/patch^2 narrow rows per image,
+    partitionable by media_id for patch-sequence assembly."""
+
+    def kern(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "patch_row", "patch_col",
+                                   "n_px", "sum_r", "sum_g", "sum_b")}
+            for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col],
+                                      pdf[fmt_col]):
+                if data is None:
+                    continue
+                px = decode(bytes(data), fmt).astype(np.int64)
+                gh, gw = px.shape[0] // patch, px.shape[1] // patch
+                if gh == 0 or gw == 0:
+                    continue
+                tiles = (px[:gh * patch, :gw * patch]
+                         .reshape(gh, patch, gw, patch, 3)
+                         .sum(axis=(1, 3)))        # (gh, gw, 3)
+                rr, cc = np.meshgrid(np.arange(gh), np.arange(gw),
+                                     indexing="ij")
+                out["media_id"].extend([mid] * (gh * gw))
+                out["patch_row"].extend(rr.ravel().tolist())
+                out["patch_col"].extend(cc.ravel().tolist())
+                out["n_px"].extend([patch * patch] * (gh * gw))
+                out["sum_r"].extend(tiles[..., 0].ravel().tolist())
+                out["sum_g"].extend(tiles[..., 1].ravel().tolist())
+                out["sum_b"].extend(tiles[..., 2].ravel().tolist())
+            yield pd.DataFrame(out)
+
+    return (images.select(id_col, bytes_col, fmt_col)
+            .mapInPandas(kern, "media_id string, patch_row int, "
+                               "patch_col int, n_px int, sum_r long, "
+                               "sum_g long, sum_b long"))

@@ -47,3 +47,36 @@ def test_encode_dispatch():
     assert decode(encode(px, "jpeg"), "jpeg").shape == px.shape
     with pytest.raises(ValueError):
         encode(px, "bmp")
+
+
+def test_image_patches_spark_matches_ground_truth(spark):
+    """Patch tiles over real encoded PNG bytes == tiles computed from the
+    ground-truth pixel generator (decode identity + kernel, bit-exact),
+    including the edge-remainder drop on non-multiple sizes."""
+    import numpy as np
+    import pandas as pd
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import image_patches
+    from crawlspark import imaging
+    rows = [synth.gen_image_row(i) for i in range(30) if i % 3]  # png only
+    pdf = pd.DataFrame(rows)[["image_id", "bytes", "w", "h", "fmt"]]
+    df = spark.createDataFrame(pdf)
+    got = {(r["media_id"], r["patch_row"], r["patch_col"]):
+           (r["n_px"], r["sum_r"], r["sum_g"], r["sum_b"])
+           for r in image_patches(df, patch=16).collect()}
+    want = {}
+    P = 16
+    for row in rows:
+        i = int(row["image_id"][3:])
+        src = i - 1 if (i % 101 == 100 and i > 0) else i
+        px = imaging.make_pixels(src, int(row["w"]),
+                                 int(row["h"])).astype(np.int64)
+        gh, gw = px.shape[0] // P, px.shape[1] // P
+        t = px[:gh * P, :gw * P].reshape(gh, P, gw, P, 3).sum(axis=(1, 3))
+        for r_ in range(gh):
+            for c_ in range(gw):
+                want[(row["image_id"], r_, c_)] = (
+                    P * P, int(t[r_, c_, 0]), int(t[r_, c_, 1]),
+                    int(t[r_, c_, 2]))
+    assert got == want
+    assert len(got) > 30   # multiple patches per image
