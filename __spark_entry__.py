@@ -1827,6 +1827,66 @@ FROM documents
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-language corpus data card — the rollup a pipeline emits with
+    every corpus drop: doc counts, exact token totals, integer mean
+    tokens, prefix-fingerprint distinct counts and the implied duplicate
+    ppm. One hash-agg over scan-speed Column signals (lang_id /
+    token_count / fingerprint all run inside whole-stage codegen); the
+    distinct-fingerprint count is the only extra exchange."""
+    from crawlspark.functions.text import fingerprint, lang_id, token_count
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        lang_id(F.col("text")).alias("lang"),
+        token_count(F.col("text")).cast("long").alias("n_toks"),
+        fingerprint(F.col("text")).alias("fp"))
+    return (base.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_toks").alias("n_tokens"),
+                 F.countDistinct("fp").alias("n_distinct_fp"))
+            .select("lang", "n_docs", "n_tokens", "n_distinct_fp",
+                    F.expr("n_tokens div n_docs").alias("mean_tokens"),
+                    F.expr("(n_docs - n_distinct_fp) * 1000000 div n_docs")
+                    .alias("dup_ppm")))
+
+
+SQL_CORPUS_REPORT = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, text, len(toks) AS n_toks,
+    md5(array_to_string(toks[1:8], ' ')) AS fp,
+    len(list_filter(toks, x -> list_contains(
+      ['the','a','of','and','to','in','is','that','it','for'], x))) AS en,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','de','que','y','en','un','los','se','no'], x))) AS es,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS de,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','de','et','est','un','une','que','pour'], x))) AS fr
+  FROM t),
+l AS (
+  SELECT CASE WHEN regexp_matches(text, '[぀-ヿ一-鿿]') THEN 'cjk'
+       WHEN greatest(en, es, de, fr) > 0 THEN
+         CASE WHEN en = greatest(en, es, de, fr) THEN 'en'
+              WHEN es = greatest(en, es, de, fr) THEN 'es'
+              WHEN de = greatest(en, es, de, fr) THEN 'de'
+              WHEN fr = greatest(en, es, de, fr) THEN 'fr' END
+       ELSE 'unknown' END AS lang,
+       n_toks, fp
+  FROM h)
+SELECT lang, count(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       count(DISTINCT fp) AS n_distinct_fp,
+       SUM(n_toks)::BIGINT // count(*) AS mean_tokens,
+       (count(*) - count(DISTINCT fp)) * 1000000 // count(*) AS dup_ppm
+FROM l GROUP BY lang
+"""
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Bottom-m uniform-sample quantile sketch (mergeable, deterministic)
     over order totals: the m=512 rows with the smallest portable-mixer
@@ -3494,6 +3554,23 @@ def _ensure_oracle_files() -> None:
          "is_refresh", "image_id", "host"]].astype(
         {"round": "int32", "status": "int32"}))
 
+    # host-level link graph: every page link resolved against its base
+    # (the oracle's OWN canonicalizer — the same pure-Python twin the
+    # golden crawl uses), aggregated to (src_host, dst_host, n_links)
+    from crawlspark.urltools import canonicalize
+    hg: dict[tuple, int] = {}
+    for page in pages_by_url.values():
+        base = page.get("base_href") or page["url"]
+        for link in page.get("links") or []:
+            c = canonicalize(link["href"], base)
+            if c is None:
+                continue
+            k = (page["host"], host_of(c))
+            hg[k] = hg.get(k, 0) + 1
+    write("host_graph", pd.DataFrame(
+        [{"src_host": s, "dst_host": d, "n_links": n}
+         for (s, d), n in sorted(hg.items())]))
+
     # page_parse expected: the structured generator output, flattened to
     # driver-hashable scalars (the Spark side re-derives these by PARSING
     # the rendered HTML bytes — a true render→parse differential check)
@@ -3904,6 +3981,103 @@ SELECT media_id, CAST(n_px AS INTEGER) AS n_px,
        CAST(n_dark AS INTEGER) AS n_dark,
        CAST(n_bright AS INTEGER) AS n_bright, luma_sum
 FROM read_parquet('{oracle_dir}/image_exposure.parquet')
+"""
+
+
+def q_warc_wet(spark, sf_dir):
+    """WET extraction end-to-end (the Common-Crawl WARC→WET job): WARC
+    archives whose response payloads are deterministic HTML pages (the
+    main_content chrome around each document's two text halves) are
+    built executor-side, read back through the Arrow-batched WARC record
+    scanner, and boilerplate-stripped with operators/content.main_text.
+    The oracle composes each record's expected extracted text DIRECTLY
+    from the document tokens — parse(build(x)) == x through BOTH the
+    container round trip and the block classifier."""
+    import pandas as pd
+    from crawlspark.operators.content import main_text
+    from crawlspark.warc import (build_record, build_warc,
+                                 http_response_block, parse_warc_records)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(key[0])
+        recs = [build_record(
+            "warcinfo",
+            {"WARC-Record-ID": f"<urn:uuid:info-{fid}>",
+             "WARC-Date": "2024-03-01T00:00:00Z",
+             "Content-Type": "application/warc-fields"},
+            b"software: crawlspark-wet\r\n")]
+        rows = sorted((int(d), t)
+                      for d, t in zip(pdf["doc_id"], pdf["text"]))
+        for did, text in rows:
+            toks = text.split()
+            n = len(toks)
+            h1 = " ".join(toks[:(n + 1) // 2])
+            h2 = " ".join(toks[(n + 1) // 2:])
+            body = (f"<html><header>site nav {did}</header><p>{h1}</p>"
+                    f'<div><a href="/x">more links here</a></div>'
+                    f"<p>{h2}</p><footer>(c) {did}</footer></html>")
+            recs.append(build_record(
+                "response",
+                {"WARC-Target-URI":
+                     f"http://site{did % 7}.example/doc/{did}",
+                 "WARC-Date": "2024-03-01T00:00:00Z",
+                 "WARC-Record-ID": f"<urn:uuid:resp-{did}>",
+                 "Content-Type": "application/http;msgtype=response"},
+                http_response_block(200, body.encode())))
+        return pd.DataFrame([{
+            "src": str(fid),
+            "content": build_warc(recs, gzip_records=(fid % 2 == 0))}])
+
+    files = (docs.groupBy((F.col("doc_id") % 7).alias("fid"))
+             .applyInPandas(build, "src string, content binary"))
+    parsed = (parse_warc_records(files)
+              .filter(F.col("rec_type") == "response")
+              .select("target_uri",
+                      F.col("payload").cast("string").alias("body")))
+    return main_text(parsed, body_col="body", id_col="target_uri")
+
+
+SQL_WARC_WET = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents)
+SELECT 'http://site' || (doc_id % 7)::VARCHAR || '.example/doc/'
+           || doc_id::VARCHAR AS target_uri,
+       CAST(3 AS INT) AS n_blocks,
+       CAST(2 AS INT) AS n_content_blocks,
+       array_to_string(toks[1:(n+1)//2], ' ') || chr(10)
+           || array_to_string(toks[(n+1)//2+1:n], ' ') AS main_text
+FROM t
+"""
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level link graph from the t1 pages corpus: every link
+    resolved against its page base via the fused URL kernel
+    (url_parts_udf — ONE Arrow stage), unusable hrefs dropped, then ONE
+    (src_host, dst_host) hash-agg. The seed data for host-authority
+    scoring (pagerank/HITS) and crawl budget allocation. Oracle = a
+    materialized pure-Python canonicalizer twin over the same pages."""
+    _ensure_oracle_files()
+    from crawlspark.urltools import url_parts_udf
+    pages = _t1_pages(spark)
+    return (pages.select(
+                "host",
+                F.coalesce("base_href", "url").alias("base"),
+                F.explode("links").alias("link"))
+            .select("host", url_parts_udf(
+                F.col("link.href"), F.col("base")).alias("_u"))
+            .filter(F.col("_u.canon").isNotNull())
+            .groupBy(F.col("host").alias("src_host"),
+                     F.col("_u.host").alias("dst_host"))
+            .agg(F.count(F.lit(1)).alias("n_links")))
+
+
+SQL_HOST_GRAPH = f"""
+SELECT src_host, dst_host, n_links
+FROM read_parquet('{_ORACLE_DIR}/host_graph.parquet')
 """
 
 
@@ -5258,6 +5432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "image_exposure": q_image_exposure,
         "image_patches": q_image_patches,
+        "host_graph": q_host_graph,
+        "warc_wet": q_warc_wet,
         # relational core
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
@@ -5333,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "epoch_shuffle": q_epoch_shuffle,
         "quantile_sketch": q_quantile_sketch,
+        "corpus_report": q_corpus_report,
         "vocab_topv": q_vocab_topv,
         "postings": q_postings,
         "event_dedup": q_event_dedup,
@@ -5463,6 +5640,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": SQL_C4_CLEAN,
         "epoch_shuffle": SQL_EPOCH_SHUFFLE,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
+        "corpus_report": SQL_CORPUS_REPORT,
         "vocab_topv": SQL_VOCAB_TOPV,
         "postings": SQL_POSTINGS,
         "event_dedup": SQL_EVENT_DEDUP,
@@ -5520,6 +5698,8 @@ def oracle_sql() -> dict[str, str]:
             oracle_dir=_ORACLE_DIR),
         "image_patches": SQL_IMAGE_PATCHES_TMPL.format(
             oracle_dir=_ORACLE_DIR),
+        "host_graph": SQL_HOST_GRAPH,
+        "warc_wet": SQL_WARC_WET,
         # differential over ground-truth samples (quantization mirror):
         "audio_features": SQL_AUDIO_FEATURES,
         "video_features": SQL_VIDEO_FEATURES,
