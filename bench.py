@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "minhash_lsh", "simhash", "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
     "docs_clean", "dup_components", "asof_join", "decontaminate",
     "images_clean", "images_preprocess", "caption_filter",
+    "c4_clean", "warc_wet",
 ]
 
 CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")

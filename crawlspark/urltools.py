@@ -142,6 +142,24 @@ def url_parts_udf(url: pd.Series, base: pd.Series) -> pd.DataFrame:
         columns=["canon", "host", "path"], dtype="object")
 
 
+# The four kernels above are PURE functions, but they are registered
+# nondeterministic on purpose: Catalyst inlines deterministic expressions
+# through project/filter collapse, so the ubiquitous
+#   .withColumn("_u", url_parts_udf(...)).filter(_u.canon.isNotNull())
+# pattern compiled to TWO ArrowEvalPython stages — the kernel ran once for
+# the filter and AGAIN for every downstream field extract, doubling the
+# Arrow traffic on the engine's largest Python input (O(k·fanout)
+# children/round). Nondeterministic expressions are pulled into ONE
+# projection and never duplicated; since the functions are pure, retry
+# semantics are unchanged. (Trade-off: unrelated filters cannot be pushed
+# below the projection — every call site filters ON the kernel's output,
+# so there is nothing to push.)
+canonicalize_udf = canonicalize_udf.asNondeterministic()
+host_udf = host_udf.asNondeterministic()
+path_udf = path_udf.asNondeterministic()
+url_parts_udf = url_parts_udf.asNondeterministic()
+
+
 def with_canonical(df, url_col: str, base_col: str | None = None,
                    out: str = "canon"):
     """Attach canonical URL + url_hash + host + path columns.
