@@ -3767,6 +3767,21 @@ def _ensure_oracle_files() -> None:
         columns=["doc_id", "n_bpe_tokens"]).astype(
         {"n_bpe_tokens": "int32"}))
 
+    # unigram LM tokenizer (Kudo 2018): the sequential twin trains and
+    # tokenizes with its own Counter/Viterbi loop — the distributed side
+    # must reproduce scores, counts, AND per-doc totals bit-for-bit
+    from crawlspark.functions import unigram as unilib
+    uv = unilib.py_unigram_train(texts, vocab_size=200, em_iters=2)
+    write("unigram_vocab", pd.DataFrame(
+        uv, columns=["piece", "score_micro", "n_uses"]).astype(
+        {"score_micro": "int64", "n_uses": "int64"}))
+    write("unigram_tokens", pd.DataFrame(
+        [{"doc_id": int(i),
+          "n_unigram_tokens": unilib.py_unigram_token_count(t or "", uv)}
+         for i, t in doc_rows],
+        columns=["doc_id", "n_unigram_tokens"]).astype(
+        {"n_unigram_tokens": "int32"}))
+
     # dominant color from ground-truth pixels (codec-free, exact integer
     # quantization): argmax computed by a DIFFERENT algorithm than the
     # Spark kernel's bincount().argmax() — max count then min bin over
@@ -5056,6 +5071,56 @@ FROM r WHERE rnk <= 3
 
 
 _BPE_CACHE: dict = {}
+_UNIGRAM_CACHE: dict = {}
+
+
+def _unigram_vocab_cached(spark, sf_dir):
+    key = sf_dir
+    if key not in _UNIGRAM_CACHE:
+        from crawlspark.functions.unigram import unigram_train
+        docs = _t(spark, sf_dir, "documents")
+        _UNIGRAM_CACHE[key] = unigram_train(docs, vocab_size=200,
+                                            em_iters=2)
+    return _UNIGRAM_CACHE[key]
+
+
+def q_unigram_vocab(spark, sf_dir):
+    """Distributed unigram-LM tokenizer training (functions/unigram.py,
+    Kudo 2018 / SentencePiece shape): substring-seeded vocab + 2 EM
+    rounds of Arrow-batched integer Viterbi over the word-TYPE table,
+    scores in once-rounded integer micro-nats. The oracle is the
+    sequential Counter/Viterbi twin, materialized; pieces, scores, AND
+    final-E-step usage counts must all match bit-for-bit."""
+    _ensure_oracle_files()
+    vocab = _unigram_vocab_cached(spark, sf_dir)
+    return spark.createDataFrame(
+        [tuple(v) for v in vocab],
+        "piece string, score_micro long, n_uses long")
+
+
+SQL_UNIGRAM_VOCAB = f"""
+SELECT piece, score_micro, n_uses
+FROM read_parquet('{_ORACLE_DIR}/unigram_vocab.parquet')
+"""
+
+
+def q_unigram_tokenize(spark, sf_dir):
+    """Apply the trained unigram vocab corpus-wide
+    (unigram_token_counts): Arrow-batched Viterbi with per-batch word
+    memoization. Oracle tokenizes with the twin's OWN trained vocab —
+    so this entry cross-checks trainer equality and the segmentation's
+    deterministic tie-breaks (score, fewer pieces, lexicographic)."""
+    _ensure_oracle_files()
+    from crawlspark.functions.unigram import unigram_token_counts
+    vocab = _unigram_vocab_cached(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_token_counts(docs, vocab)
+
+
+SQL_UNIGRAM_TOKENIZE = f"""
+SELECT doc_id, n_unigram_tokens
+FROM read_parquet('{_ORACLE_DIR}/unigram_tokens.parquet')
+"""
 
 
 def _bpe_merges_cached(spark, sf_dir):
@@ -5424,6 +5489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_filter": q_caption_filter,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_tokenize": q_unigram_tokenize,
         "retrieval_eval": q_retrieval_eval,
         "site_topk": q_site_topk,
         "dominant_color": q_dominant_color,
@@ -5685,6 +5752,8 @@ def oracle_sql() -> dict[str, str]:
         "caption_filter": SQL_CAPTION_FILTER,
         "bpe_merges": SQL_BPE_MERGES,
         "bpe_tokenize": SQL_BPE_TOKENIZE,
+        "unigram_vocab": SQL_UNIGRAM_VOCAB,
+        "unigram_tokenize": SQL_UNIGRAM_TOKENIZE,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,
