@@ -394,3 +394,59 @@ def test_images_ingest_stream_filters_and_phash_dedup(spark):
     got = sorted((r["image_id"], r["phash"]) for r in
                  spark.sql("select image_id, phash from simg").collect())
     assert got == [("a", 10), ("a_again", 10), ("b", 14), ("c", 15)]
+
+
+def test_streaming_backoff_window(spark):
+    """Stateful host backoff: the suppression decision entering round r
+    uses exactly the trailing-window error counts of rounds < r — the
+    batch engine's cfg.backoff_errors rule — and errors age out so the
+    host re-enters the pool."""
+    from crawlspark.streaming.backoff_stream import streaming_backoff
+
+    root = tempfile.mkdtemp(prefix="backoffstream_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    schema = "host string, round int, status int"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src)
+
+    def drain():
+        req = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_backoff(req, backoff_errors=3, backoff_window=2)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # round 0: 2 errors; round 1: 1 error -> window(0,1)=3 trips round 2
+    feed([("h0.test", 0, 404), ("h0.test", 0, 500), ("h0.test", 0, 200),
+          ("h0.test", 1, 404), ("h0.test", 1, 200),
+          ("h1.test", 0, 200), ("h1.test", 1, 404)])
+    drain()
+    # rounds 2 and 3 arrive later: round 2 suppressed (2+1 >= 3), round 3
+    # sees only round-2 errors (round-0 aged out of the 2-round window)
+    feed([("h0.test", 2, 200), ("h0.test", 3, 200),
+          ("h1.test", 2, 404), ("h1.test", 3, 200)])
+    drain()
+    got = {(r["host"], r["round"]): (r["n_fetched"], r["n_err"],
+                                     r["suppressed"])
+           for r in spark.read.parquet(out).collect()}
+    assert got[("h0.test", 0)] == (3, 2, False)
+    assert got[("h0.test", 1)] == (2, 1, False)   # window = rounds<1 = 2
+    assert got[("h0.test", 2)] == (1, 0, True)    # 2 + 1 >= 3
+    assert got[("h0.test", 3)] == (1, 0, False)   # round-0 aged out: 1+0
+    assert got[("h1.test", 0)] == (1, 0, False)
+    assert got[("h1.test", 2)] == (1, 1, False)   # 0+1 < 3
+    assert got[("h1.test", 3)] == (1, 0, False)
+    # parity: the decision equals the batch rule recomputed sequentially
+    errs = {("h0.test", 0): 2, ("h0.test", 1): 1, ("h0.test", 2): 0,
+            ("h0.test", 3): 0, ("h1.test", 0): 0, ("h1.test", 1): 1,
+            ("h1.test", 2): 1, ("h1.test", 3): 0}
+    for (h, r), (_nf, _ne, sup) in got.items():
+        window = sum(n for (hh, rr), n in errs.items()
+                     if hh == h and r - 2 <= rr <= r - 1)
+        assert sup == (window >= 3), (h, r)
