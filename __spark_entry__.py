@@ -4013,6 +4013,11 @@ def q_warc_wet(spark, sf_dir):
     from crawlspark.warc import (build_record, build_warc,
                                  http_response_block, parse_warc_records)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # archive count scales with the corpus (~64 docs/file) so the build
+    # and scan stages parallelize with cores and per-file memory stays
+    # bounded at any SF — the grouping key is independent of the output
+    # (no rec_seq column; target_uri uses doc_id % 7 for the HOST only)
+    n_files = max(8, docs.count() // 64)
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(key[0])
@@ -4044,7 +4049,7 @@ def q_warc_wet(spark, sf_dir):
             "src": str(fid),
             "content": build_warc(recs, gzip_records=(fid % 2 == 0))}])
 
-    files = (docs.groupBy((F.col("doc_id") % 7).alias("fid"))
+    files = (docs.groupBy((F.col("doc_id") % n_files).alias("fid"))
              .applyInPandas(build, "src string, content binary"))
     parsed = (parse_warc_records(files)
               .filter(F.col("rec_type") == "response")

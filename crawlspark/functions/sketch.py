@@ -257,8 +257,7 @@ def sample_quantiles(df: DataFrame, value_col: str, key_col: str,
     w_all = W.partitionBy(F.lit(1))
     ranked = sample.select(
         "v",
-        F.row_number().over(W.partitionBy(F.lit(1))
-                            .orderBy(F.col("v").asc())).alias("rn"),
+        F.row_number().over(w_all.orderBy(F.col("v").asc())).alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n"))
     qs = df.sparkSession.createDataFrame(
         [(int(p),) for p in q_ppms], "q_ppm long")

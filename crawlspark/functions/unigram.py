@@ -51,30 +51,41 @@ def _micro_ln(x: int, total: int) -> int:
     return round(math.log(x / total) * 1e6)
 
 
+# score for a character absent from the vocab (possible only when a
+# TRAINED vocab is applied to a DIFFERENT corpus — training always seeds
+# every character it sees): far below any real micro-nat log-prob, so an
+# unknown character segments as its own <unk>-style piece and never
+# outcompetes an in-vocab segmentation.
+UNK_SCORE = -(10 ** 9)
+
+
 def _viterbi(word: str, scores: dict[str, int], max_len: int
              ) -> tuple[list[str], int]:
     """Best segmentation of `word` under integer piece scores: maximize
-    (sum_score, -n_pieces, smallest piece tuple). Single characters are
-    guaranteed present, so a segmentation always exists. Pure integer /
-    tuple arithmetic — deterministic everywhere."""
+    sum_score, then fewer pieces, then the lexicographically SMALLEST
+    piece tuple. Characters absent from the vocab fall back to
+    single-character pieces at UNK_SCORE (graceful on foreign corpora).
+    Pure integer / tuple arithmetic — deterministic everywhere."""
     n = len(word)
-    NEG = float("-inf")
-    # best[i] = (sum_score, neg_pieces, pieces_tuple) for word[:i]
+    # best[i] = (sum_score, neg_pieces, pieces_tuple) for word[:i];
+    # "better" = higher (sum_score, neg_pieces), tie -> SMALLER tuple
     best: list = [None] * (n + 1)
     best[0] = (0, 0, ())
     for i in range(1, n + 1):
         cand = None
         for j in range(max(0, i - max_len), i):
-            if best[j] is None:
-                continue
             piece = word[j:i]
             sc = scores.get(piece)
             if sc is None:
                 continue
             s, np_, tup = best[j]
             c = (s + sc, np_ - 1, tup + (piece,))
-            if cand is None or c > cand:
+            if (cand is None or c[:2] > cand[:2]
+                    or (c[:2] == cand[:2] and c[2] < cand[2])):
                 cand = c
+        if cand is None:    # out-of-vocab character: single-char fallback
+            s, np_, tup = best[i - 1]
+            cand = (s + UNK_SCORE, np_ - 1, tup + (word[i - 1:i],))
         best[i] = cand
     s, np_, tup = best[n]
     return list(tup), s
@@ -168,9 +179,9 @@ def unigram_token_counts(docs: DataFrame,
         memo: dict[str, int] = {}
         for pdf in batches:
             out = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
                 n = 0
-                for wrd in text.split():
+                for wrd in (text or "").split():
                     c = memo.get(wrd)
                     if c is None:
                         c = len(_viterbi(wrd, scores, max_len)[0])
@@ -180,7 +191,8 @@ def unigram_token_counts(docs: DataFrame,
             yield pd.DataFrame(out,
                                columns=["doc_id", "n_unigram_tokens"])
 
-    return (docs.select(F.col(id_col).alias("doc_id"), text_col)
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
             .mapInPandas(kern, "doc_id long, n_unigram_tokens int"))
 
 

@@ -71,13 +71,15 @@ def test_unigram_viterbi_tiebreaks():
     # equal total score -> fewer pieces wins
     sc2 = {"a": -1, "b": -1, "ab": -2}
     assert _viterbi("ab", sc2, 6)[0] == ["ab"]
-    # equal score AND piece count -> lexicographically smaller tuple
-    sc3 = {"ax": -1, "by": -1, "ab": -1, "xy": -1,
-           "a": -5, "x": -5, "b": -5, "y": -5}
-    # 'axby': ('ax','by') vs no alternative of same shape — craft a real
-    # tie: 'aa' with pieces {'a': -1} only one way; use 2-char word with
-    # two single splits vs itself is trivial — instead pin determinism:
-    assert _viterbi("axby", sc3, 6)[0] == ["ax", "by"]
+    # equal score AND piece count -> lexicographically SMALLEST tuple:
+    # ('a','bc') and ('ab','c') both score -3 with 2 pieces
+    sc3 = {"a": -1, "bc": -2, "ab": -2, "c": -1}
+    assert _viterbi("abc", sc3, 6)[0] == ["a", "bc"]
+    # out-of-vocab character: single-char fallback, never a crash
+    pieces, score = _viterbi("axb", {"a": -1, "b": -1}, 6)
+    assert pieces == ["a", "x", "b"]
+    from crawlspark.functions.unigram import UNK_SCORE
+    assert score == -2 + UNK_SCORE
 
 
 def test_unigram_train_spark_matches_twin(spark):
