@@ -564,3 +564,31 @@ def test_sample_quantiles_accuracy_and_merge(spark):
     direct = bm(df)
     assert sorted(r["v"] for r in merged.collect()) == \
         sorted(r["v"] for r in direct.collect())
+
+
+def test_c4_line_clean_idempotent(spark):
+    """Cleaning a kept page's clean_text keeps everything unchanged: kept
+    lines already satisfy every line rule, a kept page has >= the line
+    floor, and page-kill substrings cannot appear in surviving lines."""
+    docs = spark.createDataFrame(
+        [(i,
+          "\n".join(
+              [f"Line number {i} with plenty of words here{p}"
+               for p in (".", "!", "?", "")] +
+              ["tiny line."] +
+              (["lorem ipsum dolor sit amet today."] if i % 5 == 0 else [])
+          )) for i in range(40)],
+        ["doc_id", "text"])
+    first = text.c4_line_clean(docs)
+    kept = first.filter("keep").select(
+        "doc_id", F.col("clean_text").alias("text"))
+    again = {r["doc_id"]: r for r in
+             text.c4_line_clean(kept).collect()}
+    for r in first.filter("keep").collect():
+        a = again[r["doc_id"]]
+        assert a["keep"] is True
+        assert a["clean_text"] == r["clean_text"]
+        assert a["n_lines"] == a["n_kept"] == r["n_kept"]
+    # and the lorem-ipsum docs were dropped in the first pass
+    dropped = {r["doc_id"] for r in first.filter("NOT keep").collect()}
+    assert {i for i in range(40) if i % 5 == 0} <= dropped

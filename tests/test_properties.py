@@ -232,3 +232,42 @@ def test_scrub_pii_idempotent_pure(s):
     for _n, pat, _t in PII_PATTERNS:
         assert not re.search(pat, once), (s, once, pat)
     assert scrub(once) == once
+
+
+@given(st.text(alphabet="ab", min_size=1, max_size=7),
+       st.dictionaries(
+           st.text(alphabet="ab", min_size=1, max_size=3),
+           st.integers(min_value=-50, max_value=-1),
+           max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_unigram_viterbi_total_and_optimal(word, scores):
+    """_viterbi never crashes (single-char UNK fallback makes it total)
+    and, when every position is coverable, its segmentation is optimal
+    under (score desc, pieces asc, tuple asc) vs brute-force
+    enumeration."""
+    from crawlspark.functions.unigram import UNK_SCORE, _viterbi
+
+    pieces, score = _viterbi(word, scores, 3)
+    assert "".join(pieces) == word
+    assert score == sum(scores.get(p, UNK_SCORE) for p in pieces)
+
+    def segs(w):
+        # candidate pieces = in-vocab substrings, or the single-char UNK
+        # fallback (multi-char OOV pieces are not candidates in the DP)
+        if not w:
+            yield ()
+            return
+        for L in range(1, min(3, len(w)) + 1):
+            head = w[:L]
+            if L > 1 and head not in scores:
+                continue
+            for rest in segs(w[L:]):
+                yield (head,) + rest
+
+    # compare via the same ordering the DP uses: maximize score and
+    # -n_pieces, break ties to the SMALLEST tuple
+    cands = [(sum(scores.get(p, UNK_SCORE) for p in s), -len(s), s)
+             for s in segs(word)]
+    top = max(c[:2] for c in cands)
+    want = min(c[2] for c in cands if c[:2] == top)
+    assert tuple(pieces) == want
