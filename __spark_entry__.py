@@ -4769,6 +4769,76 @@ def q_images_clean(spark, sf_dir):
                         aspect_num=3, aspect_den=1, min_caption_tokens=4)
 
 
+def q_images_clean_fuzzy(spark, sf_dir):
+    """The image-axis twin of docs_clean_fuzzy — the composite pipeline a
+    LAION-style corpus actually runs end-to-end: curation filters
+    (min-side / integer aspect envelope / caption floor, pushed to the
+    scan) → phash NEAR-dup pair graph over the survivors only
+    (pigeonhole chunk buckets, no all-pairs) → connected components →
+    min-id canonical per cluster with absorbed member counts.
+    Filter-then-pair == pair-then-filter (chunk keys are per-row), which
+    is how the oracle computes it: survivor-restricted all-pairs
+    bit_count(xor) pair table → recursive-CTE reachability."""
+    _ensure_oracle_files()
+    from crawlspark.functions.curation import curation_predicate
+    from crawlspark.functions.dedup import (connected_components,
+                                            phash_near_dup)
+    # first 6k ids: the oracle's independent method is ALL-PAIRS
+    # bit_count (quadratic by design — that's what makes it independent
+    # of the chunk-bucket algorithm), so the driver tier is sized to keep
+    # the quadratic side inside the check budget; the Spark side's
+    # bucketed plan is the one that scales
+    kept = (_spark_images_meta(spark)
+            .filter(F.col("image_id") < "img0000006000")
+            .filter(curation_predicate(48, 3, 1, 4)))
+    pairs = phash_near_dup(kept, max_distance=3)
+    comp = connected_components(pairs).withColumnRenamed("node",
+                                                         "image_id")
+    labeled = (kept.select("image_id")
+               .join(comp, "image_id", "left")
+               .select("image_id",
+                       F.coalesce("component", "image_id")
+                       .alias("cluster")))
+    sizes = (labeled.groupBy("cluster")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_members")))
+    return (labeled.join(sizes, "cluster")
+            .select("image_id", "cluster", "n_members",
+                    (F.col("cluster") == F.col("image_id"))
+                    .alias("is_canonical")))
+
+
+SQL_IMAGES_CLEAN_FUZZY = f"""
+WITH RECURSIVE kept AS (
+  SELECT image_id, phash
+  FROM read_parquet('{_ORACLE_DIR}/images_meta.parquet')
+  WHERE image_id < 'img0000006000'
+    AND least(w, h) >= 48
+    AND w * 1 <= h * 3 AND h * 1 <= w * 3
+    AND len(list_filter(string_split(caption, ' '), t -> t <> '')) >= 4
+),
+pairs AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM kept a JOIN kept b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+labeled AS (
+  SELECT k.image_id,
+         COALESCE(c.component, k.image_id) AS cluster
+  FROM kept k LEFT JOIN comp c ON c.node = k.image_id)
+SELECT image_id, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS INTEGER) AS n_members,
+       cluster = image_id AS is_canonical
+FROM labeled
+"""
+
+
 def q_aspect_buckets(spark, sf_dir):
     """SDXL-style aspect-ratio training-bucket assignment in exact
     integer arithmetic. Oracle re-derives the argmin with a different
@@ -5486,6 +5556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
         "images_clean": q_images_clean,
+        "images_clean_fuzzy": q_images_clean_fuzzy,
         "aspect_buckets": q_aspect_buckets,
         "jpeg_quality": q_jpeg_quality,
         "exif_meta": q_exif_meta,
@@ -5749,6 +5820,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup": SQL_PHASH_NEAR_DUP,
         "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
         "images_clean": SQL_IMAGES_CLEAN,
+        "images_clean_fuzzy": SQL_IMAGES_CLEAN_FUZZY,
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "jpeg_quality": SQL_JPEG_QUALITY,
         "exif_meta": SQL_EXIF_META,
