@@ -1827,6 +1827,27 @@ FROM documents
 """
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source/sink round trip — the lingua franca of training-data
+    interchange: documents are written as line-delimited JSON (executor-
+    side, one shard per task) and read back through Spark's json source
+    with an explicit schema (schema inference is a scan of its own —
+    never on the scale path). parse(build(x)) == x against the parquet
+    ground truth read directly by DuckDB."""
+    import tempfile as _tf
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = _tf.mkdtemp(prefix="entry_jsonl_", dir=scratch)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").json(out)
+    return (spark.read.schema("doc_id long, text string").json(out)
+            .select("doc_id", "text"))
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text FROM documents
+"""
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus data card — the rollup a pipeline emits with
     every corpus drop: doc counts, exact token totals, integer mean
@@ -5653,6 +5674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "quantile_sketch": q_quantile_sketch,
         "corpus_report": q_corpus_report,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "vocab_topv": q_vocab_topv,
         "postings": q_postings,
         "event_dedup": q_event_dedup,
@@ -5784,6 +5806,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": SQL_EPOCH_SHUFFLE,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "corpus_report": SQL_CORPUS_REPORT,
+        "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
         "vocab_topv": SQL_VOCAB_TOPV,
         "postings": SQL_POSTINGS,
         "event_dedup": SQL_EVENT_DEDUP,
