@@ -3575,6 +3575,18 @@ def _ensure_oracle_files() -> None:
          "is_refresh", "image_id", "host"]].astype(
         {"round": "int32", "status": "int32"}))
 
+    # trap-suppression crawl: the same t1 crawl with trap_max_urls=8 —
+    # the oracle keeps its own (host, digit-collapsed template) tally
+    res_t = oracle.simulate(pages_by_url, robots, seeds,
+                            round_ms=30_000, k_global=100, max_rounds=4,
+                            trap_max_urls=8)
+    flog_t = pd.DataFrame(res_t.fetch_log)
+    flog_t["host"] = flog_t["canon"].map(host_of)
+    write("crawl_traps", flog_t[
+        ["round", "fetch_seq", "canon", "ref_url", "status",
+         "is_refresh", "image_id", "host"]].astype(
+        {"round": "int32", "status": "int32"}))
+
     # host-level link graph: every page link resolved against its base
     # (the oracle's OWN canonicalizer — the same pure-Python twin the
     # golden crawl uses), aggregated to (src_host, dst_host, n_links)
@@ -4290,6 +4302,40 @@ def q_crawl_backoff(spark, sf_dir):
     return (store.read("fetch_log").orderBy("fetch_seq")
             .select("round", "fetch_seq", "canon", "ref_url", "status",
                     "is_refresh", "image_id", "host"))
+
+
+def q_crawl_traps(spark, sf_dir):
+    """Trap suppression end-to-end at the driver: the t1 crawl (4
+    rounds, k=100) with cfg.trap_max_urls=8 — once a (host,
+    digit-collapsed path template) accumulates 8 fetched URLs, its
+    children stop entering the frontier (round r inserts use counts
+    through round r-1, the committed trap_counts state). Oracle = the
+    sequential simulator with its own template tally."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+    tier = synth.TIERS["t1"]
+    pages = _t1_pages(spark)
+    robots = _t1_robots(spark)
+    seeds = synth.spark_seeds(spark, tier)
+    cfg = CrawlConfig(k_global=100, max_rounds=4, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      trap_max_urls=8, shuffle_partitions=8)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="entry_traps_crawl_", dir=scratch))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    return (store.read("fetch_log").orderBy("fetch_seq")
+            .select("round", "fetch_seq", "canon", "ref_url", "status",
+                    "is_refresh", "image_id", "host"))
+
+
+SQL_CRAWL_TRAPS = f"""
+SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
+FROM read_parquet('{_ORACLE_DIR}/crawl_traps.parquet')
+"""
 
 
 def q_form_urlencode(spark, sf_dir):
@@ -5712,6 +5758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_phash_dedup": q_crawl_phash_dedup,
         "crawl_curate": q_crawl_curate,
         "crawl_backoff": q_crawl_backoff,
+        "crawl_traps": q_crawl_traps,
     }
 
 
@@ -5766,6 +5813,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_phash_dedup": SQL_CRAWL_PHASH_DEDUP,
         "crawl_curate": SQL_CRAWL_CURATE,
         "crawl_backoff": SQL_CRAWL_BACKOFF,
+        "crawl_traps": SQL_CRAWL_TRAPS,
         "anchor_select": SQL_ANCHOR_SELECT,
         "download_latest": SQL_DOWNLOAD_LATEST,
         "cookie_join": SQL_COOKIE_JOIN,
