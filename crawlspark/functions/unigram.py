@@ -83,9 +83,18 @@ def _viterbi(word: str, scores: dict[str, int], max_len: int
             if (cand is None or c[:2] > cand[:2]
                     or (c[:2] == cand[:2] and c[2] < cand[2])):
                 cand = c
-        if cand is None:    # out-of-vocab character: single-char fallback
+        if word[i - 1:i] not in scores:
+            # OOV character: the single-char UNK fallback must COMPETE
+            # against in-vocab pieces ending here under the same
+            # ordering, not only fill the no-candidate gap — otherwise
+            # a segmentation placing the OOV char AFTER an in-vocab
+            # piece (e.g. 'baba' with {'aba':-2,'bab':-1} → 'bab'+'a'
+            # at UNK-1) is never explored and a lower-scoring one wins.
             s, np_, tup = best[i - 1]
-            cand = (s + UNK_SCORE, np_ - 1, tup + (word[i - 1:i],))
+            c = (s + UNK_SCORE, np_ - 1, tup + (word[i - 1:i],))
+            if (cand is None or c[:2] > cand[:2]
+                    or (c[:2] == cand[:2] and c[2] < cand[2])):
+                cand = c
         best[i] = cand
     s, np_, tup = best[n]
     return list(tup), s

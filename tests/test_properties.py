@@ -15,7 +15,7 @@ import fnmatch
 import re
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from crawlspark.frontier.robots import rule_allows
 from crawlspark.imaging import (hamming64, make_pixels, phash64, png_decode,
@@ -240,6 +240,7 @@ def test_scrub_pii_idempotent_pure(s):
            st.integers(min_value=-50, max_value=-1),
            max_size=8))
 @settings(max_examples=200, deadline=None)
+@example(word="baba", scores={"aba": -2, "bab": -1})
 def test_unigram_viterbi_total_and_optimal(word, scores):
     """_viterbi never crashes (single-char UNK fallback makes it total)
     and, when every position is coverable, its segmentation is optimal
