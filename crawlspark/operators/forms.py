@@ -50,38 +50,46 @@ def resolve_values(inputs: DataFrame) -> DataFrame:
     norm = (normalize_inputs(inputs)
             .filter(F.col("value").isNotNull()))  # valueless options ignored
 
-    pair = F.struct(F.col("value"), F.col("label"))
-    checked = F.min_by(pair, F.when(F.col("checked"), F.col("pos")))
-    selected = F.min_by(pair, F.when(F.col("selected"), F.col("pos")))
-    first = F.min_by(pair, F.col("pos"))
+    # Per-ELEMENT ranking — the same (rank, pos) ordering as resolve_submit
+    # and the oracle's independent resolver (oracle._form_submit_href), so
+    # all three resolution paths agree including on mixed-type name groups
+    # (round-3 VERDICT: the old group-wide rule took the min-pos element's
+    # type, so a checked element after an earlier text input lost):
+    #   rank 0 = checked radio / checked checkbox / selected option,
+    #   rank 1 = default candidate (text, unchecked radio, first option),
+    #   rank 2 = unchecked checkbox (never submitted).
+    # The group's (rank, pos)-min element is chosen; rank 2 ⇒ no value.
+    rank = (F.when(F.col("type") == "radio",
+                   F.when(F.col("checked"), 0).otherwise(1))
+            .when(F.col("type") == "checkbox",
+                  F.when(F.col("checked"), 0).otherwise(2))
+            .when(F.col("type") == "select",
+                  F.when(F.col("selected"), 0).otherwise(1))
+            .otherwise(F.lit(1)))
+    ranked = norm.withColumn("_rank", rank)
 
-    grouped = (norm.groupBy("form_id", "name")
-               # doc-order-first element's type decides the group rule —
-               # min_by is deterministic where first() after a shuffle
-               # is not (mixed-type groups only arise in hand-authored
-               # pages; reference fixtures are uniform per name)
+    best = F.min_by(F.struct(F.col("value"), F.col("label"),
+                             F.col("_rank")),
+                    F.struct(F.col("_rank"), F.col("pos")))
+    grouped = (ranked.groupBy("form_id", "name")
+               # group Type = doc-order-first element's type (the
+               # reference keeps the creating element's Type,
+               # form.go:100-104); min_by is deterministic where first()
+               # after a shuffle is not
                .agg(F.min_by("type", F.col("pos")).alias("type"),
-                    checked.alias("_checked"),
-                    selected.alias("_selected"),
-                    first.alias("_first"),
-                    F.count("*").alias("_n")))
+                    best.alias("_best"),
+                    F.sum(F.when(F.col("type").isin(
+                        "radio", "checkbox", "select"), 1)
+                          .otherwise(0)).alias("_n")))
 
-    chosen = (F.when(F.col("type") == "radio",
-                     F.coalesce(F.col("_checked"), F.col("_first")))
-              .when(F.col("type") == "checkbox", F.col("_checked"))
-              .when(F.col("type") == "select",
-                    F.coalesce(F.col("_selected"), F.col("_first")))
-              .otherwise(F.col("_first")))
-    n_available = F.when(
-        F.col("type").isin("radio", "checkbox", "select"),
-        F.col("_n")).otherwise(F.lit(0)).cast("int")
-
+    submittable = F.col("_best._rank") < 2
     return (grouped
-            .withColumn("_chosen", chosen)
             .select("form_id", "name", "type",
-                    F.col("_chosen.value").alias("value"),
-                    F.col("_chosen.label").alias("label"),
-                    n_available.alias("n_available")))
+                    F.when(submittable, F.col("_best.value"))
+                     .alias("value"),
+                    F.when(submittable, F.col("_best.label"))
+                     .alias("label"),
+                    F.col("_n").cast("int").alias("n_available")))
 
 
 def submit_params(resolved: DataFrame, image_id: str | None = None

@@ -252,7 +252,8 @@ def gen_page_row(h: int, k: int, counts: list[int], n_images: int,
                      if status == 200 else None),
         "status": np.int32(status),
         "form_action": form_action,
-        "form_method": "get" if form_action else None,
+        # `is not None`, NOT truthiness: action="" is a legal form
+        "form_method": "get" if form_action is not None else None,
         "form_inputs": form_inputs,
     }
     if cookies:
@@ -266,11 +267,15 @@ def gen_page_form(h: int, k: int, status: int):
     S3 — /root/reference/form.go:338-401). Elements exercise the F1-F4
     defaulting matrix: text value, a radio group (second-checked / none ⇒
     first wins), a select (selected / first, plus a valueless decoy
-    option), a checkbox that only contributes when checked."""
+    option), a checkbox that only contributes when checked. Two edge
+    shapes the round-3 goldens had a hole at (VERDICT #3): an empty
+    action="" (legal submit-to-current-URL form) and a MIXED-TYPE name
+    group (per-element ranking decides, not the first element's type)."""
     if status != 200 or _h(h, k, 30) % 10 != 0:
         return None, None
     fv = _h(h, k, 31)
-    action = (f"/search/{k % 5}" if fv % 3 else
+    action = ("" if fv % 7 == 2 else
+              f"/search/{k % 5}" if fv % 3 else
               f"http://host{h}.test/find")
     inputs = [
         {"name": "q", "type": None, "value": f"t{k % 97}",
@@ -289,6 +294,13 @@ def gen_page_form(h: int, k: int, status: int):
     if fv % 2 == 0:
         inputs.append({"name": "flag", "type": "checkbox", "value": "yes",
                        "checked": fv % 8 == 0, "selected": False, "pos": 6})
+    if fv % 5 == 1:
+        # mixed-type name group: a checkbox sharing the text input's name
+        # "q" — when checked (rank 0) it beats the earlier text default
+        # (rank 1); unchecked (rank 2) the text value stands
+        inputs.append({"name": "q", "type": "checkbox",
+                       "value": f"qq{k % 7}", "checked": fv % 2 == 0,
+                       "selected": False, "pos": inputs[-1]["pos"] + 1})
     # nameless submit button: parsed but contributes no param
     inputs.append({"name": None, "type": "submit", "value": "go",
                    "checked": False, "selected": False,
@@ -345,7 +357,7 @@ def render_page_html(h: int, k: int, counts: list[int]) -> tuple[bytes, str]:
                     f'{escape(ln["text"])}{img}</a></li>')
     body.append("</ul>")
 
-    if row["form_action"]:
+    if row["form_action"] is not None:   # action="" still renders a form
         body.append(f'<form action="{escape(row["form_action"], quote=True)}"'
                     ' method="get">')
         in_select = False

@@ -42,6 +42,14 @@ def test_defaulting_matrix(spark):
         ("fa", "name1", "checkbox", "v", False, False, 0, None),
         # checkbox checked → value set
         ("fb", "name1", "checkbox", "v", True, False, 0, None),
+        # MIXED-TYPE name group (round-3 VERDICT): checked element later
+        # in doc order (rank 0) beats the earlier text default (rank 1)
+        ("fc", "name1", "text", "typed", False, False, 0, None),
+        ("fc", "name1", "checkbox", "boxed", True, False, 1, None),
+        # mixed group with only rank-1/2 members → the min-pos rank-1
+        # (unchecked checkbox never submits, text fallback wins)
+        ("fd", "name1", "checkbox", "never", False, False, 0, None),
+        ("fd", "name1", "text", "fallback", True, False, 1, None),
     ]
     got = resolve(spark, rows)
     assert got[("f1", "name1")] == ("value1", None, 0)
@@ -55,6 +63,9 @@ def test_defaulting_matrix(spark):
     assert got[("f9", "name1")] == ("value1", "label1", 2)
     assert got[("fa", "name1")] == (None, None, 1)
     assert got[("fb", "name1")] == ("v", None, 1)
+    # mixed groups: group Type = first element's type; chosen per-element
+    assert got[("fc", "name1")] == ("boxed", None, 1)
+    assert got[("fd", "name1")] == ("fallback", None, 1)
 
 
 def test_submit_params_image_click(spark):
@@ -160,6 +171,28 @@ def test_resolve_submit_mixed_type_group_matches_oracle():
     page = {"form_action": "/s", "form_inputs": inputs}
     assert _form_submit_href(page, None) == \
         forms.submit_href("/s", inputs, None) == "/s?q=boxed&r=fallback"
+
+
+def test_resolve_values_mixed_group_matches_resolve_submit(spark):
+    """The DataFrame path (resolve_values → submit_params) agrees with the
+    per-row resolver AND the oracle twin on mixed-type name groups — the
+    round-3 VERDICT divergence (the old resolve_values let the min-pos
+    element's type set a group-wide rule)."""
+    inputs = [_el("q", "text", "typed", 0),
+              _el("q", "checkbox", "boxed", 1, checked=True),
+              _el("r", "checkbox", "never", 2),
+              _el("r", "text", "fallback", 3),
+              _el("m", "hidden", "hid", 4),
+              _el("m", "radio", "rad", 5, checked=True)]
+    rows = [("f", e["name"], e["type"], e["value"], e["checked"],
+             e["selected"], e["pos"], None) for e in inputs]
+    df = spark.createDataFrame(
+        rows, "form_id string, name string, type string, value string, "
+              "checked boolean, selected boolean, pos int, label string")
+    want = {(r["param"], r["pvalue"]) for r in
+            forms.submit_params(forms.resolve_values(df)).collect()}
+    assert want == set(forms.resolve_submit(inputs))
+    assert want == {("q", "boxed"), ("r", "fallback"), ("m", "rad")}
 
 
 def test_empty_form_action_submits_to_base():

@@ -380,10 +380,11 @@ def test_optimal_table_is_prefix_free_and_complete():
             assert c >> (ln - pln) != pc  # prefix-free
 
 
-def test_multiscan_baseline_rejected():
-    """A baseline (SOF0) header carrying >1 scan — legal non-interleaved
-    layout this decoder doesn't implement — must fail loudly, not decode
-    the first scan and leave the rest of the coefficients zero."""
+def test_multiscan_baseline_duplicate_component_rejected():
+    """Multi-scan baseline now DECODES (see the multiscan tests below),
+    but a scan set where a component appears twice is still illegal
+    (T.81 B.2.3) and must fail loudly — e.g. a doctored file whose first
+    interleaved scan is duplicated wholesale."""
     import re
 
     import numpy as np
@@ -399,5 +400,52 @@ def test_multiscan_baseline_rejected():
     assert sos > 0 and buf.endswith(b"\xff\xd9")
     body = buf[sos:-2]
     doctored = buf[:-2] + body + b"\xff\xd9"
-    with pytest.raises(ValueError, match=re.escape("2 scans")):
+    with pytest.raises(ValueError, match=re.escape("repeated")):
         jpegcodec.jpeg_decode(doctored)
+
+
+# --- multi-scan baseline (T.81 A.2.2 non-interleaved layout) ------------------
+
+def test_multiscan_baseline_decodes_bit_equal_to_interleaved():
+    """Three single-component full-band scans carry the same quantized
+    coefficients as the one interleaved scan, so decoded pixels must be
+    bit-equal (round-3 VERDICT #4: this legal layout used to fail)."""
+    for seed, w, h in ((3, 48, 32), (11, 33, 17)):
+        px = make_pixels(seed, w, h)
+        inter = jc.jpeg_decode(jc.jpeg_encode(px, quality=90))
+        multi = jc.jpeg_decode(jc.jpeg_encode_multiscan(px, quality=90))
+        assert np.array_equal(inter, multi)
+
+
+def test_multiscan_with_restart_interval():
+    px = make_pixels(5, 40, 24)
+    inter = jc.jpeg_decode(jc.jpeg_encode(px, quality=92))
+    multi = jc.jpeg_decode(
+        jc.jpeg_encode_multiscan(px, quality=92, restart_interval=4))
+    assert np.array_equal(inter, multi)
+
+
+def test_multiscan_incomplete_cover_raises_loudly():
+    """Dropping the trailing Cr scan must raise, not silently decode with
+    zero chroma coefficients (the silent-wrong-colors failure mode)."""
+    b = jc.jpeg_encode_multiscan(make_pixels(7, 32, 32))
+    # cut at the LAST SOS marker (0xFFDA), keep the EOI so the container
+    # still terminates cleanly — a structurally plausible truncation
+    last_sos = b.rfind(b"\xff\xda")
+    assert last_sos > 0
+    with pytest.raises(ValueError):
+        jc.jpeg_decode(b[:last_sos] + b"\xff\xd9")
+
+
+def test_multiscan_corruption_fuzz_never_hangs():
+    base = bytearray(jc.jpeg_encode_multiscan(make_pixels(9, 32, 24)))
+    rng = np.random.default_rng(41)
+    for _ in range(100):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            buf[int(rng.integers(2, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = jc.jpeg_decode(bytes(buf))
+            assert isinstance(out, np.ndarray) and out.ndim == 3
+        except Exception:
+            pass
