@@ -78,7 +78,8 @@ from pyspark.sql import functions as F
 
 from ..plans import with_global_seq
 from ..session import ckpt, clear_ckpts
-from ..urltools import canonicalize_udf, host_udf, path_udf, url_parts_udf
+from ..urltools import (canonicalize_udf, host_udf, path_udf,
+                        registrable_domain, url_parts_udf)
 from .politeness import (budget_col, next_host_state, order_cols,
                          prune_to_global_topk, robots_allowed_col,
                          topk_per_host)
@@ -264,50 +265,119 @@ class CrawlEngine:
 
     # -- cookies (S7/J3 — the Session cookie jar, re-expressed) ---------------
     #
-    # The reference attaches a cookiejar to its HTTP client so cookies set by
-    # one response ride on every later request, persisted via LoadCookie/
+    # The reference attaches a cookiejar (Go cookiejar = RFC 6265 scoping
+    # incl. Domain/Path/expiry) to its HTTP client so cookies set by one
+    # response ride on every later request, persisted via LoadCookie/
     # SaveCookie (/root/reference/session.go:67-110). The batch analog:
-    #   * a tiny `cookies` state table (host, name, value, set_seq) in every
-    #     snapshot — the SaveCookie file, resumable like all round state;
+    #   * a tiny `cookies` state table (domain, host_only, path, name,
+    #     value, set_seq, expires_round) in every snapshot — the
+    #     SaveCookie file, resumable like all round state;
     #   * fetches in round r carry the jar AS OF the end of round r-1
     #     (fetches within a round are parallel — there is no intra-round
     #     ordering a cookie could ride; the oracle snapshots identically);
     #   * a corpus page may REQUIRE a cookie (`require_cookie` = "name" or
     #     "name=value"): unsatisfied ⇒ the fetch is a 403 and the response
     #     content (links, image, Set-Cookie, form) is not served;
-    #   * 2xx responses may SET cookies (`set_cookies` array) — harvested
-    #     per round, latest (set_seq, value) per (host, name) wins.
+    #   * 2xx responses may SET cookies (`set_cookies` array, elements
+    #     optionally carrying RFC 6265 attributes `domain` — subdomain
+    #     scope, validated against the setting host's registrable domain —
+    #     `path`, and `max_age` in ROUNDS, the batch analog of seconds).
+    #     Harvested per round, latest set_seq per (domain, host_only,
+    #     path, name) wins; expired rows prune at the round-end merge.
+    #   * matching (RFC 6265 §5.4): domain-match via the request host's
+    #     bounded label-suffix chain (pure-Column explode ⇒ the jar join
+    #     stays a broadcast EQUI-join — never a theta join), path-prefix
+    #     match on "/" boundaries, per-name selection by longest path
+    #     then earliest creation (set_seq).
     # Scale shape: the jar is per-host state (robots-cache-sized), so the
-    # gate is a broadcast join against the ≤k fetched rows — never a corpus
-    # or frontier shuffle.
+    # gate is a broadcast join against the ≤k require_cookie rows — never
+    # a corpus or frontier shuffle; the suffix explode multiplies only
+    # those ≤k rows by the host's label count (bounded, ~3).
 
     _COOKIE_CONTENT_COLS = ("links", "meta_refresh_url", "base_href",
                             "image_id", "title", "form_action",
                             "form_method", "form_inputs", "set_cookies",
                             "effective_charset")
 
-    @staticmethod
-    def _jar_map(jar: DataFrame | None) -> DataFrame | None:
-        """cookies table → broadcastable (host, _jar map<name,value>)."""
-        if jar is None:
-            return None
-        return (jar.groupBy(F.col("host").alias("_jhost"))
-                .agg(F.map_from_entries(
-                    F.collect_list(F.struct("name", "value"))).alias("_jar")))
+    #: legacy → scoped jar normalization: (host, name, value[, set_seq])
+    #: preloads become host-only cookies with path "/" and no expiry
+    _JAR_COLS = ("domain", "host_only", "path", "name", "value",
+                 "set_seq", "expires_round")
 
-    def _cookie_gate(self, looked: DataFrame,
-                     jar_map: DataFrame | None) -> DataFrame:
+    @staticmethod
+    def _normalize_jar(jar: DataFrame) -> DataFrame:
+        cols = set(jar.columns)
+        if "domain" not in cols:          # legacy (host, name, value[,seq])
+            jar = (jar.withColumn("domain", F.col("host"))
+                   .withColumn("host_only", F.lit(True))
+                   .withColumn("path", F.lit("/")))
+        if "set_seq" not in cols:
+            jar = jar.withColumn("set_seq", F.lit(0).cast("long"))
+        if "expires_round" not in jar.columns:
+            jar = jar.withColumn("expires_round",
+                                 F.lit(None).cast("long"))
+        return jar.select(*CrawlEngine._JAR_COLS)
+
+    def _cookie_gate(self, looked: DataFrame, jar: DataFrame | None,
+                     r: int, key_col: str, url_col: str) -> DataFrame:
         """Apply the cookie gate to corpus-lookup output (which still carries
         the page host as ``_phost``): rows whose ``require_cookie`` is not
         satisfied by the round-start jar become status-403 dead letters with
-        all content columns nulled (the page body was never served)."""
+        all content columns nulled (the page body was never served).
+
+        RFC 6265 matching (§5.4): a jar row (domain, host_only, path,
+        name, value, set_seq, expires_round) rides on request (H, P) in
+        round r iff H == domain (host-only) or H domain-matches domain
+        (H == domain or H ends with "."+domain), P path-matches path
+        (equal, or prefix on a "/" boundary), and the row is unexpired
+        (expires_round null or ≥ r). Among same-name matches the
+        longest-path, then earliest-creation (set_seq) row wins."""
         if "require_cookie" not in looked.columns:
             return looked
-        if jar_map is not None:
-            looked = (looked.join(F.broadcast(jar_map),
-                                  looked["_phost"] == jar_map["_jhost"],
-                                  "left")
-                      .drop("_jhost"))
+        if jar is not None:
+            need = (looked
+                    .filter(F.col("require_cookie").isNotNull())
+                    .select(key_col, "_phost",
+                            path_udf(F.col(url_col)).alias("_rpath")))
+            # bounded label-suffix chain of the request host: jar domains
+            # are never shorter than the setting host's registrable
+            # domain (enforced at harvest), so exploding every ≥2-label
+            # suffix can only produce joinable keys — the domain-match
+            # becomes a broadcast hash EQUI-join
+            labels = F.split(F.col("_phost"), r"\.")
+            n = F.size(labels)
+            sfx = F.when(n >= 2, F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.array_join(
+                    F.slice(labels, i, n - i + F.lit(1)), "."))
+            ).otherwise(F.array(F.col("_phost")))
+            cand = need.select(key_col, "_phost", "_rpath",
+                               F.explode(sfx).alias("_dom"))
+            jn = (cand.join(F.broadcast(jar),
+                            cand["_dom"] == jar["domain"], "inner")
+                  .filter((~F.col("host_only"))
+                          | (F.col("_phost") == F.col("domain")))
+                  .filter(F.col("expires_round").isNull()
+                          | (F.col("expires_round") >= F.lit(int(r))))
+                  .filter((F.col("_rpath") == F.col("path"))
+                          | (F.col("_rpath").startswith(F.col("path"))
+                             & (F.col("path").endswith("/")
+                                | (F.col("_rpath").substr(
+                                    F.length("path") + 1, F.lit(1))
+                                   == "/")))))
+            # per-name RFC selection: longest path, then earliest set_seq;
+            # full determinism via (domain, path, host_only, value) tail
+            sel = (jn.groupBy(key_col, "name")
+                   .agg(F.min_by("value", F.struct(
+                       (-F.length("path")).alias("_npl"),
+                       F.col("set_seq"), F.col("domain"), F.col("path"),
+                       F.col("host_only"), F.col("value")))
+                        .alias("value")))
+            maps = (sel.groupBy(key_col)
+                    .agg(F.map_from_entries(
+                        F.collect_list(F.struct("name", "value")))
+                         .alias("_jar")))
+            looked = looked.join(F.broadcast(maps), key_col, "left")
         else:
             looked = looked.withColumn(
                 "_jar", F.lit(None).cast("map<string,string>"))
@@ -363,10 +433,9 @@ class CrawlEngine:
         empty_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
         tables = {"frontier": fr, "fetch_log": empty_log}
         if cookies is not None:
-            if "set_seq" not in cookies.columns:
-                cookies = cookies.withColumn("set_seq", F.lit(0).cast("long"))
-            tables["cookies"] = cookies.select("host", "name", "value",
-                                               "set_seq")
+            # legacy (host, name, value[, set_seq]) preloads normalize to
+            # host-only scope; scoped preloads pass through unchanged
+            tables["cookies"] = self._normalize_jar(cookies)
         self.store.commit(-1, tables, counters={"fetched_total": 0})
 
     # -- one round ---------------------------------------------------------------
@@ -468,7 +537,8 @@ class CrawlEngine:
         shards_df = store.read("seen_shards")
         host_state = store.read("host_state")
         jar = store.read("cookies")        # round-start cookie state (S7)
-        jar_map = self._jar_map(jar)
+        if jar is not None:
+            jar = self._normalize_jar(jar)
         # trap suppression: flagged templates as of ROUND START (counts
         # through round r-1 — append table, aggregated at read)
         trap_flagged = None
@@ -677,7 +747,8 @@ class CrawlEngine:
         # columns null ⇒ status 404 downstream). The corpus — the 100 TB
         # side — is never shuffled, at any scale.
         fetched = self._cookie_gate(
-            self._corpus_lookup(scheduled_wide, "canon"), jar_map)
+            self._corpus_lookup(scheduled_wide, "canon"), jar, r,
+            "url_hash", "canon")
         fetched = (fetched
                    .withColumn("status", F.coalesce(F.col("status"),
                                                     F.lit(404)))
@@ -756,7 +827,8 @@ class CrawlEngine:
         all_pre = primaries_pre.select(*pre_cols)
         if has_refresh:
             refresh_pre = (self._cookie_gate(
-                    self._corpus_lookup(refr, "refresh_canon"), jar_map)
+                    self._corpus_lookup(refr, "refresh_canon"), jar, r,
+                    "r_hash", "refresh_canon")
                 .withColumn("status", F.coalesce(F.col("status"),
                                                  F.lit(404)))
                 .select(F.col("refresh_canon").alias("canon"),
@@ -946,23 +1018,71 @@ class CrawlEngine:
         # max(struct(set_seq, value)).
         cookies_next = None
         if "set_cookies" in all_fetched.columns:
-            harvested = (all_fetched
-                         .filter(is2 & F.col("set_cookies").isNotNull())
-                         .select("host",
-                                 F.col("fetch_seq").alias("set_seq"),
-                                 F.explode("set_cookies").alias("_c"))
-                         .select("host", F.col("_c.name").alias("name"),
-                                 F.col("_c.value").alias("value"),
-                                 "set_seq"))
+            raw = (all_fetched
+                   .filter(is2 & F.col("set_cookies").isNotNull())
+                   .select("host",
+                           path_udf(F.col("canon")).alias("_ppath"),
+                           F.col("fetch_seq").alias("set_seq"),
+                           F.explode("set_cookies").alias("_c")))
+            cfields = {f.name for f in all_fetched.schema["set_cookies"]
+                       .dataType.elementType.fields}
+            dattr = (F.lower(F.regexp_replace(F.col("_c.domain"),
+                                              r"^\.", ""))
+                     if "domain" in cfields
+                     else F.lit(None).cast("string"))
+            pattr = (F.col("_c.path") if "path" in cfields
+                     else F.lit(None).cast("string"))
+            mage = (F.col("_c.max_age").cast("long")
+                    if "max_age" in cfields
+                    else F.lit(None).cast("long"))
+            # RFC 6265 §5.3 setting rules: a Domain attribute must cover
+            # the setting host (host domain-matches it) and stay within
+            # the host's registrable domain (never a public suffix) —
+            # otherwise the cookie is IGNORED. No attribute ⇒ host-only.
+            rd = registrable_domain(F.col("host"))
+            dom_match = ((F.col("host") == dattr)
+                         | F.col("host").endswith(
+                             F.concat(F.lit("."), dattr)))
+            rd_ok = rd.isNotNull() & ((dattr == rd)
+                                      | dattr.endswith(
+                                          F.concat(F.lit("."), rd)))
+            valid = dattr.isNull() | (dom_match & rd_ok)
+            # default path (§5.1.4): the setting URL's path up to (not
+            # including) the last "/", floored at "/"
+            dp0 = F.regexp_replace(F.col("_ppath"), "/[^/]*$", "")
+            dpath = F.when(dp0 == "", F.lit("/")).otherwise(dp0)
+            harvested = (raw
+                         .withColumn("_d", dattr)
+                         .filter(valid)
+                         .select(
+                             F.coalesce(F.col("_d"), F.col("host"))
+                              .alias("domain"),
+                             F.col("_d").isNull().alias("host_only"),
+                             F.when(pattr.isNotNull()
+                                    & pattr.startswith("/"), pattr)
+                              .otherwise(dpath).alias("path"),
+                             F.col("_c.name").alias("name"),
+                             F.col("_c.value").alias("value"),
+                             "set_seq",
+                             F.when(mage.isNotNull(),
+                                    F.lit(int(r)) + mage)
+                              .cast("long").alias("expires_round")))
             merged = (jar.unionByName(harvested) if jar is not None
                       else harvested)
             cookies_next = (merged
-                            .groupBy("host", "name")
-                            .agg(F.max(F.struct("set_seq", "value"))
+                            .groupBy("domain", "host_only", "path", "name")
+                            .agg(F.max(F.struct("set_seq", "value",
+                                                "expires_round"))
                                  .alias("_m"))
-                            .select("host", "name",
+                            .select("domain", "host_only", "path", "name",
                                     F.col("_m.value").alias("value"),
-                                    F.col("_m.set_seq").alias("set_seq")))
+                                    F.col("_m.set_seq").alias("set_seq"),
+                                    F.col("_m.expires_round")
+                                     .alias("expires_round"))
+                            # prune rows that can never ride again
+                            .filter(F.col("expires_round").isNull()
+                                    | (F.col("expires_round")
+                                       >= F.lit(int(r) + 1))))
         elif jar is not None:
             cookies_next = jar   # carry the loaded jar forward unchanged
 

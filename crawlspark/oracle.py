@@ -27,6 +27,10 @@ from dataclasses import dataclass, field
 from .hashing import xxh64_str
 from .urltools import canonicalize, host_of, path_of
 
+# cookie default-path (RFC 6265 §5.1.4): the setting URL's path up to —
+# not including — the last "/" (the engine's regexp_replace twin)
+_re_cookie_dir = re.compile(r"/[^/]*$")
+
 
 @dataclass
 class OracleResult:
@@ -98,8 +102,12 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     from .frontier.robots import rule_allows
 
     res = OracleResult()
-    jar: dict[str, dict] = {h: dict(m)
-                            for h, m in (initial_cookies or {}).items()}
+    # RFC 6265-scoped jar (mirrors the engine's cookies state table):
+    # (domain, host_only, path, name) -> (value, set_seq, expires_round).
+    # {host: {name: value}} preloads normalize to host-only scope.
+    jar: dict[tuple, tuple] = {
+        (h, True, "/", n): (v, 0, None)
+        for h, m in (initial_cookies or {}).items() for n, v in m.items()}
 
     # phash payload dedup (engine cfg.phash_dedup): first fetch of each
     # exact perceptual hash — in fetch_seq order, across rounds — wins;
@@ -156,12 +164,39 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
 
     robots_n = {h: _norm(v) for h, v in robots.items()}
 
-    def served(page: dict, host: str, jar0: dict) -> bool:
+    def cookie_get(jar0: dict, host: str, path: str, name: str,
+                   rnd: int):
+        """RFC 6265 §5.4 match+selection — the engine's suffix-join +
+        min_by(struct(-path_len, set_seq, domain, path, host_only,
+        value)) re-derived sequentially."""
+        best = None
+        for (dom, ho, cp, nm), (val, seq, exp) in jar0.items():
+            if nm != name:
+                continue
+            if ho:
+                if host != dom:
+                    continue
+            elif not (host == dom or host.endswith("." + dom)):
+                continue
+            if exp is not None and rnd > exp:
+                continue
+            if not (path == cp or (path.startswith(cp)
+                                   and (cp.endswith("/")
+                                        or path[len(cp):len(cp) + 1]
+                                        == "/"))):
+                continue
+            cand = (-len(cp), seq, dom, cp, ho, val)
+            if best is None or cand < best:
+                best = cand
+        return None if best is None else best[5]
+
+    def served(page: dict, host: str, path: str, jar0: dict,
+               rnd: int) -> bool:
         req = page.get("require_cookie")
         if req is None:
             return True
         name, sep, want = req.partition("=")
-        got = jar0.get(host, {}).get(name)
+        got = cookie_get(jar0, host, path, name, rnd)
         return (got == want) if sep else (got is not None)
 
     def robots_blocked(host: str, path: str) -> bool:
@@ -247,13 +282,14 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
 
         # 7-8. fetch + refresh claims (first parent in idx order wins).
         # jar0 = the round-start cookie snapshot every fetch this round sees.
-        jar0 = {h: dict(m) for h, m in jar.items()}
-        cookie_updates: list[tuple] = []   # (seq, host, name, value)
+        jar0 = dict(jar)
+        cookie_updates: list[tuple] = []   # (seq, host, page_path, cookie)
         fetch_plan = []
         claims: dict[int, int] = {}  # r_hash -> parent idx
         for idx, row in enumerate(scheduled):
             page = pages_by_url.get(row["canon"])
-            ok = page is not None and served(page, row["host"], jar0)
+            ok = page is not None and served(
+                page, row["host"], path_of(row["canon"]), jar0, r)
             status = (403 if page is not None and not ok
                       else page["status"] if page is not None else 404)
             refresh = None
@@ -289,12 +325,13 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                                         form_encoding))
                 for c in page.get("set_cookies") or []:
                     cookie_updates.append(
-                        (seq, row["host"], c["name"], c["value"]))
+                        (seq, row["host"], path_of(row["canon"]), c))
             if refresh is not None:
                 rc, rh = refresh
                 rhost = host_of(rc)
                 rpage = pages_by_url.get(rc)
-                rok = rpage is not None and served(rpage, rhost, jar0)
+                rok = rpage is not None and served(
+                    rpage, rhost, path_of(rc), jar0, r)
                 rstatus = (403 if rpage is not None and not rok
                            else rpage["status"] if rpage is not None else 404)
                 seq += 1
@@ -313,7 +350,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                                             form_encoding))
                     for c in rpage.get("set_cookies") or []:
                         cookie_updates.append(
-                            (seq, rhost, c["name"], c["value"]))
+                            (seq, rhost, path_of(rc), c))
         base_seq = seq
 
         # host-error tally (engine host_errors append table): this round's
@@ -326,11 +363,43 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
                 round_errs[h] = round_errs.get(h, 0) + 1
         err_by_round.append(round_errs)
 
-        # cookie-jar merge at round end: latest (seq, value) per (host,
-        # name) wins — same deterministic tie-break as the engine's
-        # max(struct(set_seq, value)) aggregation.
-        for _seq, host, name, value in sorted(cookie_updates):
-            jar.setdefault(host, {})[name] = value
+        # cookie-jar merge at round end (RFC 6265 §5.3, mirroring the
+        # engine's harvest): Domain attribute validated against the
+        # setting host + its registrable domain (invalid ⇒ cookie
+        # ignored), default path = setting URL's directory, Max-Age in
+        # rounds ⇒ expires_round; latest max(set_seq, value, expiry) per
+        # (domain, host_only, path, name) wins; expired rows prune.
+        from .urltools import py_registrable_domain
+        for seq, host, ppath, c in sorted(cookie_updates,
+                                          key=lambda t: t[0]):
+            dattr = c.get("domain")
+            if dattr is not None:
+                d = dattr[1:] if dattr.startswith(".") else dattr
+                d = d.lower()
+                rd = py_registrable_domain(host)
+                if not (host == d or host.endswith("." + d)):
+                    continue
+                if rd is None or not (d == rd or d.endswith("." + rd)):
+                    continue
+                domain, host_only = d, False
+            else:
+                domain, host_only = host, True
+            cpath = c.get("path")
+            if cpath is None or not cpath.startswith("/"):
+                dp = _re_cookie_dir.sub("", ppath or "")
+                cpath = dp if dp else "/"
+            ma = c.get("max_age")
+            exp = (r + int(ma)) if ma is not None else None
+            key = (domain, host_only, cpath, c["name"])
+            new = (c["value"], seq, exp)
+            old = jar.get(key)
+            if old is None or ((new[1], new[0],
+                                new[2] is not None, new[2] or 0)
+                               > (old[1], old[0],
+                                  old[2] is not None, old[2] or 0)):
+                jar[key] = new
+        jar = {k: v for k, v in jar.items()
+               if v[2] is None or v[2] >= r + 1}
 
         # 11a. politeness carryover update (primaries only — refreshes are
         # outside budget accounting): credit' = min(delay,

@@ -205,17 +205,35 @@ def gen_cookie_cols(h: int, k: int, status: int) -> tuple:
     Returns (set_cookies, require_cookie):
       * set_cookies: ~1/6 of 2xx pages set the host session cookie
         ``sess=tok<h>`` (a Set-Cookie response header, modeled out-of-band
-        of the body like the real header channel);
-      * require_cookie: ~1/8 of pages are GATED — served only when the
+        of the body like the real header channel). RFC 6265 attribute
+        variants (round-4): ~1/8 of setters use a dot-form Domain
+        (normalizes + rides subdomain scope), ~1/8 set a path-scoped
+        cookie (rides only its path subtree), ~1/8 are short-lived
+        (Max-Age = 1 round), ~1/8 carry an INVALID Domain not covering
+        the host (must be ignored by jar and oracle alike);
+      * require_cookie: ~3/16 of pages are GATED — served only when the
         request carries a satisfying cookie, else the fetch is a 403.
         Encodes ``name=value`` (exact match) or bare ``name`` (presence).
     """
     set_cookies = None
     if status == 200 and _h(h, k, 40) % 6 == 0:
-        set_cookies = [{"name": "sess", "value": f"tok{h}"}]
+        cv = _h(h, k, 42) % 8
+        c = {"name": "sess", "value": f"tok{h}", "domain": None,
+             "path": None, "max_age": None}
+        if cv == 1:
+            c["domain"] = f".host{h}.test"     # dot form, valid scope
+        elif cv == 2:
+            c = {"name": "psc", "value": f"pv{h}",
+                 "domain": None, "path": f"/p/{k}", "max_age": None}
+        elif cv == 3:
+            c["max_age"] = 1                   # rides next round only
+        elif cv == 4:
+            c["domain"] = "other.test"         # invalid: ignored
+        set_cookies = [c]
     rv = _h(h, k, 41) % 16
     require = (f"sess=tok{h}" if rv == 0
-               else "sess" if rv == 8 else None)
+               else "sess" if rv == 8
+               else f"psc=pv{h}" if rv == 4 else None)
     return set_cookies, require
 
 
@@ -689,7 +707,8 @@ RAW_PAGES_SCHEMA = ("url string, host string, body binary, "
                     "content_type string, image_id string, status int")
 # header-channel cookie columns, appended when cookies=True (the Session
 # cookie-jar analog — see gen_cookie_cols)
-COOKIE_COLS_SCHEMA = (", set_cookies array<struct<name:string,value:string>>"
+COOKIE_COLS_SCHEMA = (", set_cookies array<struct<name:string,value:string,"
+                      "domain:string,path:string,max_age:int>>"
                       ", require_cookie string")
 IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                  "caption string, phash long")

@@ -289,6 +289,26 @@ PSL_SUBSET_2 = (
 PSL_SUBSET_3 = ("s3.amazonaws.com", "blogspot.co.uk")
 
 
+def py_registrable_domain(host: str | None) -> str | None:
+    """Pure-Python twin of :func:`registrable_domain` (bit-identical over
+    the same PSL subset) — the sequential oracle's mirror for RFC 6265
+    cookie Domain-attribute validation and for site rollups. Same
+    semantics: a host that IS a public suffix / bare TLD / IPv4 literal
+    → None; unknown TLD → prevailing-* rule (last label is the suffix)."""
+    if host is None:
+        return None
+    import re as _re
+    if _re.match(r"^\d+\.\d+\.\d+\.\d+$", host):
+        return None
+    labels = host.split(".")
+    n = len(labels)
+    if n >= 3 and ".".join(labels[-3:]) in PSL_SUBSET_3:
+        return ".".join(labels[-4:]) if n > 3 else None
+    if n >= 2 and ".".join(labels[-2:]) in PSL_SUBSET_2:
+        return ".".join(labels[-3:]) if n > 2 else None
+    return ".".join(labels[-2:]) if n > 1 else None
+
+
 def registrable_domain(host=None) -> "F.Column":
     """eTLD+1 (PSL registrable domain) of a lowercased host — the
     per-SITE rollup key a crawler budgets and dedups by (host-level

@@ -85,9 +85,19 @@ def test_engine_matches_oracle_cookies(spark, cookie_data, cookie_oracle):
     # the gate actually fired: some fetches were cookie-403s with no payload
     gated = [r for r in log if r[2] == 403]
     assert gated and all(r[4] is None for r in gated)
-    # and some cookies were harvested into the committed jar
+    # and some cookies were harvested into the committed jar, with the
+    # RFC 6265 scoping shapes present (round-4): dot-form Domain rows
+    # normalize to a host-matching non-host-only scope, path-scoped rows
+    # keep their attribute path, Max-Age rows carry expires_round, and
+    # INVALID Domain attributes (not covering the host) never land
     jar = store.read("cookies").collect()
-    assert jar and all(r["name"] == "sess" for r in jar)
+    assert jar and all(r["name"] in ("sess", "psc") for r in jar)
+    assert any(not r["host_only"] and r["domain"].startswith("host")
+               for r in jar)                     # Domain=.hostN.test rows
+    assert any(r["name"] == "psc" and r["path"].startswith("/p/")
+               for r in jar)                     # path-scoped rows
+    assert all(r["domain"] != "other.test" for r in jar)  # invalid ignored
+    assert all(not r["domain"].startswith(".") for r in jar)  # dot stripped
     store.destroy()
 
 
@@ -96,7 +106,7 @@ def test_preloaded_jar_changes_fetches(spark, cookie_data, cookie_oracle):
     cookie turns cookie-403s into served fetches — cookie presence changes
     fetch results, engine and oracle agreeing exactly in both worlds."""
     tier, pages, robots, seeds = cookie_data
-    initial = {f"host{h}.test": {"sess": f"tok{h}"}
+    initial = {f"host{h}.test": {"sess": f"tok{h}", "psc": f"pv{h}"}
                for h in range(tier.n_hosts)}
     _, pages_by_url, robots_d, seeds_l = _oracle_inputs()
     want = oracle.simulate(pages_by_url, robots_d, seeds_l,
@@ -150,3 +160,117 @@ def test_resume_with_cookie_state(spark, cookie_data, cookie_oracle):
            store2.read("fetch_log").orderBy("fetch_seq").collect()]
     assert log == _want(cookie_oracle)
     store2.destroy()
+
+
+# --- RFC 6265 scoping golden (round-4 VERDICT #5) ---------------------------
+#
+# Hand-built corpus over subdomain hosts + multi-level paths — the shapes
+# the t1 graph (flat hostN.test / /p/K) cannot express:
+#   * Domain=.shop.test set on a.shop.test RIDES to b.shop.test;
+#   * it does NOT ride to c.other.test (domain-match fails);
+#   * a host-only cookie set on a.shop.test does NOT ride to b.shop.test;
+#   * Path=/docs/guide rides /docs/guide/sub but NOT /pub/out;
+#   * Max-Age=1 (rounds) rides round 1 and is expired by round 2.
+
+def _scope_page(url, links=(), set_cookies=None, require=None):
+    from crawlspark.urltools import host_of
+    return {
+        "url": url, "host": host_of(url), "base_href": None,
+        "meta_refresh_url": None,
+        "links": [{"href": h, "text": f"l{i}", "img_alt": None, "pos": i}
+                  for i, h in enumerate(links)],
+        "title": url, "image_id": None, "status": 200,
+        "form_action": None, "form_method": None, "form_inputs": None,
+        "set_cookies": set_cookies, "require_cookie": require,
+    }
+
+
+def _scope_corpus():
+    A, B, C = "http://a.shop.test", "http://b.shop.test", "http://c.other.test"
+    pages = [
+        _scope_page(
+            f"{A}/login",
+            links=[f"{B}/account", f"{A}/docs/guide/deep", f"{C}/steal",
+                   f"{B}/local", f"{A}/t1"],
+            set_cookies=[
+                {"name": "auth", "value": "tkn", "domain": ".shop.test",
+                 "path": None, "max_age": None},
+                {"name": "local", "value": "1", "domain": None,
+                 "path": None, "max_age": None},
+                {"name": "tmp", "value": "x", "domain": None,
+                 "path": "/", "max_age": 1},
+            ]),
+        _scope_page(f"{B}/account", require="auth=tkn",
+                    links=[f"{A}/docs/guide/sub2"]),
+        _scope_page(f"{C}/steal", require="auth"),
+        _scope_page(f"{B}/local", require="local"),
+        _scope_page(f"{A}/t1", require="tmp"),
+        _scope_page(
+            f"{A}/docs/guide/deep",
+            links=[f"{A}/docs/guide/sub", f"{A}/pub/out", f"{A}/t2"],
+            set_cookies=[{"name": "pathc", "value": "yes", "domain": None,
+                          "path": "/docs/guide", "max_age": None}]),
+        _scope_page(f"{A}/docs/guide/sub", require="pathc"),
+        _scope_page(f"{A}/docs/guide/sub2", require="pathc"),
+        _scope_page(f"{A}/pub/out", require="pathc"),
+        _scope_page(f"{A}/t2", require="tmp"),
+    ]
+    by_url = {p["url"]: p for p in pages}
+    hosts = sorted({p["host"] for p in pages})
+    robots = {h: ([], 0) for h in hosts}
+    seeds = [f"{A}/login"]
+    return pages, by_url, robots, seeds, hosts
+
+
+def test_rfc6265_scoping_golden(spark):
+    from crawlspark.synth import COOKIE_COLS_SCHEMA, PAGES_SCHEMA
+    pages, by_url, robots_d, seeds_l, hosts = _scope_corpus()
+    want = oracle.simulate(by_url, robots_d, seeds_l, round_ms=30_000,
+                           k_global=50, max_rounds=4)
+
+    pages_df = spark.createDataFrame(
+        [tuple(p[k] for k in (
+            "url", "host", "base_href", "meta_refresh_url", "links",
+            "title", "image_id", "status", "form_action", "form_method",
+            "form_inputs", "set_cookies", "require_cookie"))
+         for p in pages],
+        PAGES_SCHEMA + COOKIE_COLS_SCHEMA)
+    robots_df = spark.createDataFrame(
+        [(h, [], 0) for h in hosts],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long")
+    seeds_df = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds_l)], "url string, seed_pos long")
+
+    cfg = CrawlConfig(k_global=50, max_rounds=4, seen_shards=2,
+                      seen_m_bits=1 << 14, validate_fraction=0,
+                      shuffle_partitions=4)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_rfc6265_"))
+    eng = CrawlEngine(spark, store, pages_df, robots_df, None, cfg)
+    eng.seed(seeds_df)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["image_id"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    assert log == _want(want)
+
+    status = {c: s for _seq, c, s, _ref, _img in log}
+    A, B, C = ("http://a.shop.test", "http://b.shop.test",
+               "http://c.other.test")
+    assert status[f"{B}/account"] == 200        # Domain cookie rides subdomain
+    assert status[f"{C}/steal"] == 403          # ...but not across domains
+    assert status[f"{B}/local"] == 403          # host-only does not ride
+    assert status[f"{A}/t1"] == 200             # Max-Age=1 valid in round 1
+    assert status[f"{A}/t2"] == 403             # ...expired by round 2
+    assert status[f"{A}/docs/guide/sub"] == 200     # in path scope (round 2)
+    assert status[f"{A}/pub/out"] == 403            # outside path scope
+    # sub2 is fetched in round 2 as b/account's child — also in scope
+    assert status[f"{A}/docs/guide/sub2"] == 200
+    # the committed jar: dot-domain normalized, invalid rows absent
+    jar = {(r["domain"], r["host_only"], r["path"], r["name"])
+           for r in store.read("cookies").collect()}
+    assert ("shop.test", False, "/", "auth") in jar
+    assert ("a.shop.test", True, "/", "local") in jar
+    assert ("a.shop.test", False, "/docs/guide", "pathc") not in jar
+    assert ("a.shop.test", True, "/docs/guide", "pathc") in jar
+    assert not any(n == "tmp" for _d, _h, _p, n in jar)   # pruned
+    store.destroy()

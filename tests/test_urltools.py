@@ -152,3 +152,27 @@ def test_canonicalize_idn_punycode():
         "www.xn--hllo-bpa.example"
     # unencodable (overlong label) → unusable href
     assert canonicalize("http://" + "ü" * 64 + ".example/") is None
+
+
+def test_py_registrable_domain_matches_column_twin(spark):
+    """The pure-Python mirror (used by the sequential cookie oracle) is
+    bit-identical to the Column expression over every PSL shape class."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.urltools import py_registrable_domain, registrable_domain
+
+    hosts = [
+        "example.com", "www.example.com", "a.b.example.com",
+        "example.co.uk", "www.example.co.uk", "deep.a.example.co.uk",
+        "co.uk", "uk", "com",                       # public suffixes/TLDs
+        "foo.github.io", "github.io",               # private PSL section
+        "bucket.s3.amazonaws.com", "s3.amazonaws.com",
+        "x.blogspot.co.uk", "blogspot.co.uk",
+        "10.1.2.3", "localhost",                    # IP / single label
+        "host3.test", "a.host3.test", "b.a.host3.test",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["rd"] for r in
+           df.select("host", registrable_domain().alias("rd")).collect()}
+    want = {h: py_registrable_domain(h) for h in hosts}
+    assert got == want
