@@ -1927,7 +1927,8 @@ SQL_QUANTILE_SKETCH = """
 WITH s AS (
   SELECT o_totalprice AS v
   FROM orders
-  ORDER BY ((o_orderkey % 1000003) * 2654435761) % 2147483647, o_orderkey
+  ORDER BY ((o_orderkey % 1000003) * 2654435761) % 2147483647, o_orderkey,
+           o_totalprice
   LIMIT 512),
 r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
              count(*) OVER () AS n

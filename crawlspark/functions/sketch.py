@@ -249,9 +249,15 @@ def sample_quantiles(df: DataFrame, value_col: str, key_col: str,
     from pyspark.sql import Window as W
 
     h = F.xxhash64(F.col(key_col)) if hash_col is None else hash_col
+    # (_h, _k, v): the value column is the FINAL tiebreaker so the
+    # bottom-m cut is a total order even when key_col repeats across rows
+    # (round-3 ADVICE: with (_h, _k) alone, rows tied at the limit-m
+    # boundary — and the v carried per sampled key — were selected
+    # nondeterministically). With unique keys the tail key is inert.
     sample = (df.select(F.col(value_col).alias("v"), h.alias("_h"),
                         F.col(key_col).alias("_k"))
-              .orderBy(F.col("_h").asc(), F.col("_k").asc())
+              .orderBy(F.col("_h").asc(), F.col("_k").asc(),
+                       F.col("v").asc())
               .limit(int(m))
               .select("v"))
     w_all = W.partitionBy(F.lit(1))

@@ -423,11 +423,20 @@ def c4_line_clean(docs: DataFrame, text_col: str = "text",
     standard web-corpus line filter; same family as the reference's
     BodyFilter rewrite hook, /root/reference/session.go:40).
 
+    NOTE on defaults (round-3 ADVICE): the paper PROSE says ≥3 words per
+    line and ≥5 retained sentences per page, but the RELEASED C4
+    implementation (tensorflow_datasets ``c4_utils.py``) uses
+    ``_MIN_WORDS_PER_LINE = 5`` and ``_MIN_NUM_SENTENCES = 3``, and
+    filters "javascript" as a case-folded SUBSTRING (``'javascript' in
+    line.lower()``), not a word-boundary match. These defaults — and the
+    substring semantics, which also drop e.g. "javascripted" lines —
+    intentionally follow the released code, not the paper text.
+
     Line keep rules (a line survives iff ALL hold):
       * ends in a terminal punctuation mark (``. ! ? "``) after
         trailing-whitespace trim;
       * has at least ``min_words`` whitespace-separated words;
-      * does not contain the word "javascript" (case-folded substring).
+      * does not contain "javascript" (case-folded substring, see NOTE).
     Page drop rules (the whole document is dropped iff ANY hold):
       * the case-folded text contains "lorem ipsum";
       * the text contains a curly brace ``{``;

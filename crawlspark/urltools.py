@@ -154,6 +154,13 @@ def url_parts_udf(url: pd.Series, base: pd.Series) -> pd.DataFrame:
 # semantics are unchanged. (Trade-off: unrelated filters cannot be pushed
 # below the projection — every call site filters ON the kernel's output,
 # so there is nothing to push.)
+#
+# CALLER CONTRACT (round-3 ADVICE): nondeterministic expressions are
+# restricted to Project/Filter operators — using these UDFs directly
+# inside a join condition, groupBy key, orderBy, or aggregate fails
+# analysis. Materialize first (select/withColumn the kernel output into a
+# named column, as with_canonical does), then join/group on that column.
+# Every in-repo call site follows this pattern.
 canonicalize_udf = canonicalize_udf.asNondeterministic()
 host_udf = host_udf.asNondeterministic()
 path_udf = path_udf.asNondeterministic()
