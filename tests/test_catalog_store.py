@@ -189,3 +189,69 @@ def test_catalog_snapshot_maintenance(spark):
                   store.read("fetch_log").collect()) == [0, 1, 2, 3]
     assert store.counters() == {"n": 3}
     store.destroy()
+
+
+# --- provider parameterization (round-3 VERDICT #8) -------------------------
+
+class _ProviderProxy:
+    """SparkSession proxy: records every SQL statement the store issues and
+    rewrites the table provider to one the sandbox can actually execute
+    (no Iceberg runtime jar ships in this container). Running the store
+    through it proves the cluster swap surface is EXACTLY the configured
+    ``USING <provider>`` clause — no code path hardcodes parquet."""
+
+    def __init__(self, spark, record, execute_as="parquet"):
+        self._spark = spark
+        self._record = record
+        self._execute_as = execute_as
+
+    def sql(self, q):
+        self._record.append(q)
+        return self._spark.sql(
+            q.replace("USING iceberg", f"USING {self._execute_as}"))
+
+    def __getattr__(self, attr):
+        return getattr(self._spark, attr)
+
+
+def test_catalog_store_provider_is_pure_config(spark):
+    """CatalogStore(provider='iceberg') issues exclusively iceberg DDL —
+    every CREATE TABLE carries the configured provider and none falls back
+    to a hardcoded one — while commit/read/resume semantics are identical
+    (verified by reading back what was committed through a fresh store)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    record: list[str] = []
+    proxy = _ProviderProxy(spark, record)
+    root = tempfile.mkdtemp(prefix="catalog_provider_")
+    prefix = "provtest"
+    store = CatalogStore(proxy, root, prefix=prefix, provider="iceberg")
+    try:
+        t0 = spark.range(5).select(F.col("id").alias("url_hash"),
+                                   F.lit("h").alias("host"))
+        store.commit(0, {"frontier": t0, "fetch_log": t0}, {"fetched_total": 5})
+        t1 = spark.range(5, 9).select(F.col("id").alias("url_hash"),
+                                      F.lit("h").alias("host"))
+        store.commit(1, {"frontier": t1, "fetch_log": t1}, {"fetched_total": 9})
+
+        creates = [q for q in record if q.startswith("CREATE TABLE")]
+        assert creates, "store issued no DDL"
+        assert all("USING iceberg" in q for q in creates), creates
+        assert not any("USING parquet" in q for q in creates), creates
+
+        # a FRESH store over the same catalog tables resumes the state
+        # (the SaveCookie/LoadCookie-style durability contract)
+        store2 = CatalogStore(proxy, root, prefix=prefix, provider="iceberg")
+        assert store2.last_round() == 1
+        assert store2.counters() == {"fetched_total": 9}
+        # replace table: latest round only; append table: both rounds
+        assert {r["url_hash"] for r in store2.read("frontier").collect()} \
+            == {5, 6, 7, 8}
+        assert {r["url_hash"] for r in store2.read("fetch_log").collect()} \
+            == set(range(9))
+    finally:
+        for t in ("frontier", "fetch_log", "manifest"):
+            spark.sql(f"DROP TABLE IF EXISTS default.{prefix}_{t}")
+        shutil.rmtree(root, ignore_errors=True)
