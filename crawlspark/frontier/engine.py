@@ -1003,11 +1003,34 @@ class CrawlEngine:
                                "left_anti"))
             frontier_next = remaining.unionByName(additions)
 
-        shards_next = self.filter.build(
-            new_seen, existing_df=shards_df,
-            # file layout present → each build task reads its own shard's
-            # prior blob executor-side (no driver blob load/broadcast)
-            existing_dirs=(store.table_dirs("seen_shards") or None))
+        # seen-filter shard maintenance, deferred to the regime that reads
+        # it (round-4 serial-fraction cut): while the seen set stays
+        # broadcastable the probe path skips the approximate filter
+        # entirely, so building + writing shards every round was two pure-
+        # overhead jobs/round on small crawls. Build rules:
+        #   * next round still broadcastable and no shards exist → skip;
+        #   * regime FLIP (first round whose committed total crosses
+        #     cfg.seen_broadcast_rows with no shards on disk) → ONE full
+        #     rebuild from the exact seen set (bounded, once per crawl);
+        #   * shards exist (incl. forced-filter configs) → incremental
+        #     build every round, exactly as before, so the shard set is
+        #     never stale where the probe can read it.
+        next_small = (base_seq + n_fetched) <= cfg.seen_broadcast_rows
+        if shards_df is None and not store.table_dirs("seen_shards") \
+                and next_small:
+            shards_next = None
+        elif shards_df is None and not store.table_dirs("seen_shards") \
+                and not next_small and seen is not None:
+            # regime flip with prior rounds unsharded: rebuild from ALL
+            # seen hashes (committed ∪ this round)
+            shards_next = self.filter.build(
+                seen.select("url_hash").unionByName(new_seen))
+        else:
+            shards_next = self.filter.build(
+                new_seen, existing_df=shards_df,
+                # file layout present → each build task reads its own
+                # shard's prior blob executor-side (no driver load)
+                existing_dirs=(store.table_dirs("seen_shards") or None))
         host_state_next = next_host_state(
             self.robots, scheduled, host_state, cfg.round_ms)
 
@@ -1236,11 +1259,12 @@ class CrawlEngine:
             "seen": new_seen.withColumn(
                 "bucket", F.pmod(F.col("url_hash"),
                                  F.lit(cfg.seen_buckets)).cast("int")),
-            "seen_shards": shards_next,
             "host_state": host_state_next,
             "metrics": metrics,
             "debug_samples": debug_samples,
         }
+        if shards_next is not None:
+            tables["seen_shards"] = shards_next
         if cookies_next is not None:
             tables["cookies"] = cookies_next
         if cfg.trap_max_urls is not None:

@@ -544,3 +544,45 @@ def test_curate_images_matches_oracle(spark, t1_data):
     assert log == [(r["fetch_seq"], r["canon"], r["status"])
                    for r in o.fetch_log]
     store.destroy()
+
+
+def test_seen_filter_regime_flip_mid_crawl(spark, t1_data, oracle_result):
+    """Round-4 serial-fraction cut: while the seen set is broadcastable,
+    shard builds are SKIPPED entirely (no seen_shards table in those
+    snapshots); the first round whose committed total crosses
+    seen_broadcast_rows does ONE full rebuild from the exact seen set,
+    and the beyond-broadcast sharded probe then runs against complete
+    shards — crawl order and seen set still exactly match the oracle."""
+    tier, pages, robots, seeds = t1_data
+    # t1/K=200: round totals cross 300 during round 1, so rounds 0-1 are
+    # unsharded, the flip rebuild runs at round 1's commit, and rounds 2+
+    # probe through the sharded path (blob broadcast forced off)
+    cfg = CrawlConfig(k_global=K, max_rounds=ROUNDS, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      seen_broadcast_rows=300,
+                      seen_blob_broadcast_bytes=0)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_flip_"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    stats = eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    want = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in oracle_result.fetch_log]
+    assert log == want
+    assert {r["url_hash"] for r in store.read("seen").collect()} \
+        == oracle_result.seen
+    # the flip actually happened: shards exist now, and the rebuilt set
+    # has no false negatives over every seen hash
+    shards = store.read_local("seen_shards")
+    assert shards and len({r["shard"] for r in shards}) == 4
+    from crawlspark.frontier.seen import SeenFilter
+    filt = SeenFilter("bloom", n_shards=4, m_bits=1 << 16)
+    from pyspark.sql import functions as F
+    flags = (store.read("seen").select("url_hash")
+             .withColumn("m", filt.might_contain_col(
+                 shards, F.col("url_hash"), spark)).collect())
+    assert all(r["m"] for r in flags)
+    store.destroy()
+    assert sum(s["fetched"] for s in stats) == len(want)
