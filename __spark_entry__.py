@@ -3414,7 +3414,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 # row/schema/value-hash checks.
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/crawlspark_oracle_v19"  # bump on oracle-content change
+_ORACLE_DIR = "/tmp/crawlspark_oracle_v20"  # bump on oracle-content change
 _SF_CORRECTNESS = "/root/testdata/sf0.01"   # the driver's correctness SF
 
 
@@ -3815,6 +3815,23 @@ def _ensure_oracle_files() -> None:
          for i, t in doc_rows],
         columns=["doc_id", "n_unigram_tokens"]).astype(
         {"n_unigram_tokens": "int32"}))
+
+    # WordPiece (Schuster & Nakajima 2012): sequential likelihood-argmax
+    # trainer + its own greedy matcher — both independent of the Spark
+    # path's hash-agg/fold machinery and of each other's fold
+    from crawlspark.functions import wordpiece as wplib
+    wpm, wpv = wplib.py_wordpiece_merges(texts, 24, min_freq=2)
+    write("wordpiece_merges", pd.DataFrame(
+        wpm, columns=["rank", "left", "right", "pair_freq",
+                      "score_micro"]).astype(
+        {"rank": "int32", "pair_freq": "int32", "score_micro": "int64"}))
+    write("wordpiece_tokens", pd.DataFrame(
+        [{"doc_id": int(i),
+          "n_wp_tokens": wplib.py_wordpiece_token_count(t or "", wpv)[0],
+          "n_unk": wplib.py_wordpiece_token_count(t or "", wpv)[1]}
+         for i, t in doc_rows],
+        columns=["doc_id", "n_wp_tokens", "n_unk"]).astype(
+        {"n_wp_tokens": "int32", "n_unk": "int32"}))
 
     # dominant color from ground-truth pixels (codec-free, exact integer
     # quantization): argmax computed by a DIFFERENT algorithm than the
@@ -5266,6 +5283,60 @@ FROM read_parquet('{_ORACLE_DIR}/unigram_tokens.parquet')
 """
 
 
+_WP_CACHE: dict = {}
+
+
+def _wordpiece_cached(spark, sf_dir):
+    key = sf_dir
+    if key not in _WP_CACHE:
+        from crawlspark.functions.wordpiece import wordpiece_train
+        docs = _t(spark, sf_dir, "documents")
+        _WP_CACHE[key] = wordpiece_train(docs, n_merges=24, min_freq=2)
+    return _WP_CACHE[key]
+
+
+def q_wordpiece_vocab(spark, sf_dir):
+    """Distributed WordPiece training (functions/wordpiece.py): 24
+    likelihood-argmax merges — per round two hash-aggs + a broadcast
+    unit-count join + a 1-row MIN-struct argmax over
+    struct(-count(ab)/(count(a)count(b)), pair). The oracle is the
+    sequential Counter-based twin, materialized; ranks, pairs, raw
+    counts AND micro-scores must all match bit-for-bit (the score is
+    ONE IEEE-754 division of exact longs — deterministic everywhere)."""
+    _ensure_oracle_files()
+    merges, _vocab = _wordpiece_cached(spark, sf_dir)
+    return spark.createDataFrame(
+        [tuple(m) for m in merges],
+        "rank int, left string, right string, pair_freq int, "
+        "score_micro long")
+
+
+SQL_WORDPIECE_VOCAB = f"""
+SELECT "rank", "left", "right", pair_freq, score_micro
+FROM read_parquet('{_ORACLE_DIR}/wordpiece_merges.parquet')
+"""
+
+
+def q_wordpiece_tokenize(spark, sf_dir):
+    """Apply the trained WordPiece vocab corpus-wide
+    (wordpiece_token_counts): BERT greedy longest-match-first,
+    Arrow-batched with per-batch word memoization, [UNK] words counted
+    as one token + flagged. Oracle tokenizes with the twin's own
+    independently-written matcher over its own trained vocab — trainer
+    equality AND greedy semantics cross-checked in one entry."""
+    _ensure_oracle_files()
+    _merges, vocab = _wordpiece_cached(spark, sf_dir)
+    from crawlspark.functions.wordpiece import wordpiece_token_counts
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_token_counts(docs, vocab)
+
+
+SQL_WORDPIECE_TOKENIZE = f"""
+SELECT doc_id, n_wp_tokens, n_unk
+FROM read_parquet('{_ORACLE_DIR}/wordpiece_tokens.parquet')
+"""
+
+
 def _bpe_merges_cached(spark, sf_dir):
     key = sf_dir
     if key not in _BPE_CACHE:
@@ -5764,6 +5835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": q_quality_quantiles,
         "quality_gate": q_quality_gate,
         "metrics_rollup": q_metrics_rollup,
+        # round-4 additions (registry 143): include in the r05 window
+        "wordpiece_vocab": q_wordpiece_vocab,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
     }
 
 
@@ -5907,6 +5981,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": SQL_BPE_TOKENIZE,
         "unigram_vocab": SQL_UNIGRAM_VOCAB,
         "unigram_tokenize": SQL_UNIGRAM_TOKENIZE,
+        "wordpiece_vocab": SQL_WORDPIECE_VOCAB,
+        "wordpiece_tokenize": SQL_WORDPIECE_TOKENIZE,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,

@@ -52,12 +52,14 @@ def _sym_init() -> F.Column:
     return F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
 
 
-def _merge_fold(a: str, b: str) -> F.Column:
+def _merge_fold(a: str, b: str, merged: str | None = None) -> F.Column:
     """Fold `syms` left-to-right, replacing each leftmost (a, b) with
-    a+b. State = (out, prev): prev holds the symbol that may start a
+    ``merged`` (default a+b; WordPiece passes a+b-without-"##"). State =
+    (out, prev): prev holds the symbol that may start a
     match; emitting is deferred one step so a consumed symbol can't
     also start the next match (leftmost-first, non-overlapping)."""
-    merged = a + b
+    if merged is None:
+        merged = a + b
     empty = F.array().cast("array<string>")
     null_s = F.lit(None).cast("string")
     init = F.struct(empty.alias("out"), null_s.alias("prev"))
