@@ -5295,6 +5295,63 @@ def _wordpiece_cached(spark, sf_dir):
     return _WP_CACHE[key]
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Full Gopher document-quality rule set (Rae et al. 2021 App. A1):
+    word-count bounds, mean-word-length band, symbol ratio, bullet and
+    ellipsis line ratios, alphabetic-word floor, stop-word presence —
+    every threshold in exact integer cross-multiplied arithmetic so the
+    keep decision is bit-reproducible. Pure Column expressions: at
+    100 TB this runs at scan speed inside WholeStageCodegen."""
+    from crawlspark.functions.text import gopher_quality
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs, min_words=20)
+
+
+SQL_GOPHER_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(str_split_regex(trim(text), '\\s+'),
+                     w -> w <> '') AS words,
+         list_filter(str_split(text, chr(10)),
+                     ln -> trim(ln) <> '') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words,
+                                               w -> length(w))), 0)
+              AS INTEGER) AS n_word_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              + length(text) - length(replace(text, chr(8230), ''))
+              AS BIGINT) AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             ln -> ltrim(ln) LIKE chr(8226) || '%'
+                   OR ltrim(ln) LIKE '- %')) AS n_bullet_lines,
+         len(list_filter(lines,
+             ln -> rtrim(ln) LIKE '%...'
+                   OR rtrim(ln) LIKE '%' || chr(8230))) AS n_ellipsis_lines,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(words, w -> lower(w)), s)))
+           AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+       n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
+       (n_words >= 20 AND n_words <= 100000
+        AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        AND 10 * n_symbols < n_words
+        AND 10 * n_bullet_lines < 9 * n_lines
+        AND 10 * n_ellipsis_lines < 3 * n_lines
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_hits >= 2) AS keep
+FROM m
+"""
+
+
 def q_wordpiece_vocab(spark, sf_dir):
     """Distributed WordPiece training (functions/wordpiece.py): 24
     likelihood-argmax merges — per round two hash-aggs + a broadcast
@@ -5838,6 +5895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (registry 143): include in the r05 window
         "wordpiece_vocab": q_wordpiece_vocab,
         "wordpiece_tokenize": q_wordpiece_tokenize,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -5983,6 +6041,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_tokenize": SQL_UNIGRAM_TOKENIZE,
         "wordpiece_vocab": SQL_WORDPIECE_VOCAB,
         "wordpiece_tokenize": SQL_WORDPIECE_TOKENIZE,
+        "gopher_quality": SQL_GOPHER_QUALITY,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,

@@ -472,3 +472,86 @@ def c4_line_clean(docs: DataFrame, text_col: str = "text",
         F.size(kept).alias("n_kept"),
         page_ok.alias("keep"),
         F.when(page_ok, F.array_join(kept, "\n")).alias("clean_text"))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000
+                   ) -> DataFrame:
+    """Full Gopher document-quality rule set (Rae et al. 2021, Appendix
+    A1 — the standard web-corpus page filter; complements
+    doc_repetition's repetition signals). A document is KEPT iff ALL
+    hold:
+
+      * ``min_words`` ≤ word count ≤ ``max_words`` (paper: 50..100,000);
+      * mean word length in [3, 10] characters;
+      * symbol-to-word ratio (``#`` or ``...``/``…``) < 0.1;
+      * < 90% of lines start with a bullet (``•`` or ``- ``);
+      * < 30% of lines end with an ellipsis;
+      * ≥ 80% of words contain at least one alphabetic character;
+      * ≥ 2 of the 8 Gopher stop words (the/be/to/of/and/that/have/with)
+        appear as case-folded word tokens.
+
+    All ratio thresholds are evaluated in EXACT integer cross-multiplied
+    arithmetic (e.g. ``10 * n_symbols < n_words``), so the DuckDB oracle
+    reproduces every decision bit-for-bit — no float boundary.
+
+    Output: (id, n_words, n_word_chars, n_symbols, n_lines,
+    n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits, keep).
+
+    100 TB shape: one projection of pure Column string/array expressions
+    in whole-stage codegen — scan speed, zero shuffle, pushable. Per the
+    SURVEY §4 HOF rule the token/line splits are bound OUTSIDE the
+    lambdas (each evaluates once per row, not once per element).
+    """
+    text = F.col(text_col)
+    words = ws_tokens(text)
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_words = F.size(words)
+    n_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w))
+    # symbols: '#' occurrences + ellipsis occurrences ('...' counted
+    # non-overlapping via replace-length arithmetic, '…' per char)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"),
+                                                 F.lit("")))
+    n_dots = (F.length(text)
+              - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    n_uni = F.length(text) - F.length(F.replace(text, F.lit("…"),
+                                                F.lit("")))
+    n_symbols = (n_hash + n_dots + n_uni).cast("long")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).startswith("•")
+        | F.ltrim(ln).startswith("- ")))
+    ellip = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).endswith("...")
+        | F.rtrim(ln).endswith("…")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(lowered, s)))
+
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (n_word_chars >= 3 * n_words)
+            & (n_word_chars <= 10 * n_words)
+            & (10 * n_symbols < n_words)
+            & (10 * bullet < 9 * n_lines)
+            & (10 * ellip < 3 * n_lines)
+            & (5 * alpha >= 4 * n_words)
+            & (stop_hits >= 2))
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        n_word_chars.cast("int").alias("n_word_chars"),
+        n_symbols.alias("n_symbols"),
+        n_lines.cast("int").alias("n_lines"),
+        bullet.cast("int").alias("n_bullet_lines"),
+        ellip.cast("int").alias("n_ellipsis_lines"),
+        alpha.cast("int").alias("n_alpha_words"),
+        stop_hits.cast("int").alias("n_stop_hits"),
+        keep.alias("keep"))
