@@ -32,6 +32,69 @@ from .urltools import canonicalize, host_of, path_of
 _re_cookie_dir = re.compile(r"/[^/]*$")
 
 
+def cookie_get(jar0: dict, host: str, path: str, name: str, rnd: int):
+    """RFC 6265 §5.4 match+selection — the engine's suffix-join +
+    min_by(struct(-path_len, set_seq, domain, path, host_only, value))
+    re-derived sequentially. Module-level so the randomized differential
+    test (tests/test_crawl_cookies.py) can drive it head-to-head against
+    the engine's Column implementation outside a full crawl."""
+    best = None
+    for (dom, ho, cp, nm), (val, seq, exp) in jar0.items():
+        if nm != name:
+            continue
+        if ho:
+            if host != dom:
+                continue
+        elif not (host == dom or host.endswith("." + dom)):
+            continue
+        if exp is not None and rnd > exp:
+            continue
+        if not (path == cp or (path.startswith(cp)
+                               and (cp.endswith("/")
+                                    or path[len(cp):len(cp) + 1]
+                                    == "/"))):
+            continue
+        cand = (-len(cp), seq, dom, cp, ho, val)
+        if best is None or cand < best:
+            best = cand
+    return None if best is None else best[5]
+
+
+def apply_set_cookie(jar: dict, seq: int, host: str, ppath: str,
+                     c: dict, rnd: int) -> None:
+    """RFC 6265 §5.3 setting rules (the engine harvest's sequential
+    mirror): Domain validation against the setting host + its
+    registrable domain, default path, Max-Age→expires_round, and the
+    max(set_seq, value, expiry) merge. Mutates ``jar`` in place; expiry
+    PRUNING stays with the caller (it is a round-end sweep)."""
+    from .urltools import py_registrable_domain
+    dattr = c.get("domain")
+    if dattr is not None:
+        d = dattr[1:] if dattr.startswith(".") else dattr
+        d = d.lower()
+        rd = py_registrable_domain(host)
+        if not (host == d or host.endswith("." + d)):
+            return
+        if rd is None or not (d == rd or d.endswith("." + rd)):
+            return
+        domain, host_only = d, False
+    else:
+        domain, host_only = host, True
+    cpath = c.get("path")
+    if cpath is None or not cpath.startswith("/"):
+        dp = _re_cookie_dir.sub("", ppath or "")
+        cpath = dp if dp else "/"
+    ma = c.get("max_age")
+    exp = (rnd + int(ma)) if ma is not None else None
+    key = (domain, host_only, cpath, c["name"])
+    new = (c["value"], seq, exp)
+    old = jar.get(key)
+    if old is None or ((new[1], new[0], new[2] is not None, new[2] or 0)
+                       > (old[1], old[0], old[2] is not None,
+                          old[2] or 0)):
+        jar[key] = new
+
+
 @dataclass
 class OracleResult:
     fetch_log: list = field(default_factory=list)  # dicts, in fetch_seq order
@@ -163,32 +226,6 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
         return (list(prefixes), int(delay), False)
 
     robots_n = {h: _norm(v) for h, v in robots.items()}
-
-    def cookie_get(jar0: dict, host: str, path: str, name: str,
-                   rnd: int):
-        """RFC 6265 §5.4 match+selection — the engine's suffix-join +
-        min_by(struct(-path_len, set_seq, domain, path, host_only,
-        value)) re-derived sequentially."""
-        best = None
-        for (dom, ho, cp, nm), (val, seq, exp) in jar0.items():
-            if nm != name:
-                continue
-            if ho:
-                if host != dom:
-                    continue
-            elif not (host == dom or host.endswith("." + dom)):
-                continue
-            if exp is not None and rnd > exp:
-                continue
-            if not (path == cp or (path.startswith(cp)
-                                   and (cp.endswith("/")
-                                        or path[len(cp):len(cp) + 1]
-                                        == "/"))):
-                continue
-            cand = (-len(cp), seq, dom, cp, ho, val)
-            if best is None or cand < best:
-                best = cand
-        return None if best is None else best[5]
 
     def served(page: dict, host: str, path: str, jar0: dict,
                rnd: int) -> bool:
@@ -369,35 +406,9 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
         # ignored), default path = setting URL's directory, Max-Age in
         # rounds ⇒ expires_round; latest max(set_seq, value, expiry) per
         # (domain, host_only, path, name) wins; expired rows prune.
-        from .urltools import py_registrable_domain
         for seq, host, ppath, c in sorted(cookie_updates,
                                           key=lambda t: t[0]):
-            dattr = c.get("domain")
-            if dattr is not None:
-                d = dattr[1:] if dattr.startswith(".") else dattr
-                d = d.lower()
-                rd = py_registrable_domain(host)
-                if not (host == d or host.endswith("." + d)):
-                    continue
-                if rd is None or not (d == rd or d.endswith("." + rd)):
-                    continue
-                domain, host_only = d, False
-            else:
-                domain, host_only = host, True
-            cpath = c.get("path")
-            if cpath is None or not cpath.startswith("/"):
-                dp = _re_cookie_dir.sub("", ppath or "")
-                cpath = dp if dp else "/"
-            ma = c.get("max_age")
-            exp = (r + int(ma)) if ma is not None else None
-            key = (domain, host_only, cpath, c["name"])
-            new = (c["value"], seq, exp)
-            old = jar.get(key)
-            if old is None or ((new[1], new[0],
-                                new[2] is not None, new[2] or 0)
-                               > (old[1], old[0],
-                                  old[2] is not None, old[2] or 0)):
-                jar[key] = new
+            apply_set_cookie(jar, seq, host, ppath, c, r)
         jar = {k: v for k, v in jar.items()
                if v[2] is None or v[2] >= r + 1}
 

@@ -274,3 +274,71 @@ def test_rfc6265_scoping_golden(spark):
     assert ("a.shop.test", True, "/docs/guide", "pathc") in jar
     assert not any(n == "tmp" for _d, _h, _p, n in jar)   # pruned
     store.destroy()
+
+
+def test_cookie_gate_matches_oracle_randomized(spark):
+    """Randomized differential: the engine's Column-side RFC 6265 matcher
+    (_cookie_gate: suffix-chain broadcast equi-join + path match +
+    expiry + longest-path/earliest-creation selection) against the
+    oracle's sequential cookie_get, over a jar x request grid that
+    covers every scope interaction — domain vs host-only, sub/sibling
+    subdomains, nested/sibling/prefix-confusable paths, expired and
+    unexpired rows, shadowed names."""
+    import random
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    from crawlspark.frontier.engine import CrawlEngine
+    from crawlspark.oracle import cookie_get
+
+    rng = random.Random(20260821)
+    domains = ["a.shop.test", "b.shop.test", "shop.test", "other.test",
+               "x.a.shop.test"]
+    paths = ["/", "/a", "/a/b", "/ab", "/a/b/c", "/docs"]
+    names = ["x", "y"]
+    jar0 = {}
+    for seq in range(40):
+        # the real jar is UNIQUE by (domain, host_only, path, name) —
+        # the harvest groupBy enforces it — so build the dict first
+        # (last write wins, like the merge) and the DataFrame from it
+        jar0[(rng.choice(domains), rng.random() < 0.5,
+              rng.choice(paths), rng.choice(names))] = (
+            f"v{seq}", seq, rng.choice([None, 1, 3, 7]))
+    jar = spark.createDataFrame(
+        [(d, ho, p, n, v, s, e)
+         for (d, ho, p, n), (v, s, e) in jar0.items()],
+        "domain string, host_only boolean, path string, "
+        "name string, value string, set_seq long, "
+        "expires_round long")
+
+    req_hosts = domains + ["zz.test", "a.shop.test"]
+    req_paths = paths + ["/a/bc", "/ab/c", "/docs/guide"]
+    looked_rows = []
+    for i in range(120):
+        h = rng.choice(req_hosts)
+        pth = rng.choice(req_paths)
+        name = rng.choice(names)
+        req = name if rng.random() < 0.5 else \
+            f"{name}=v{rng.randrange(40)}"
+        looked_rows.append(
+            (i, f"http://{h}{pth}", h, req, 200))
+    looked = spark.createDataFrame(
+        looked_rows, "url_hash long, canon string, _phost string, "
+                     "require_cookie string, status int")
+
+    ns = SimpleNamespace(_COOKIE_CONTENT_COLS=CrawlEngine._COOKIE_CONTENT_COLS)
+    RND = 4
+    gated = CrawlEngine._cookie_gate(ns, looked, jar, RND,
+                                     "url_hash", "canon")
+    got = {r["url_hash"]: r["status"] for r in gated.collect()}
+
+    from crawlspark.urltools import path_of
+    for i, canon, h, req, _s in looked_rows:
+        name, sep, want = req.partition("=")
+        v = cookie_get(jar0, h, path_of(canon), name, RND)
+        ok = (v == want) if sep else (v is not None)
+        assert got[i] == (200 if ok else 403), \
+            (i, h, canon, req, v, got[i])
+    # both outcomes occurred (the grid actually exercises the gate)
+    assert 200 in got.values() and 403 in got.values()
