@@ -5352,6 +5352,51 @@ FROM m
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """CCNet-shape LM scoring one order up from unigram_logprob: mean
+    add-one-smoothed BIGRAM log-probability per document under the
+    corpus's own bigram model, in once-rounded integer micro-nats (no
+    tolerance band). The persisted (doc, w1, w2, n) projection feeds the
+    model marginals AND the scoring join; the model join is the only
+    corpus-scale shuffle."""
+    from crawlspark.functions.text import bigram_logprob
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(list_filter(str_split_regex(trim(text), '\\s+'),
+                                    w -> w <> ''),
+                        w -> lower(w)) AS ws
+  FROM documents),
+big AS (
+  SELECT doc_id, ws[CAST(r.i AS INTEGER)] AS w1,
+         ws[CAST(r.i AS INTEGER) + 1] AS w2
+  FROM tok, UNNEST(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2),
+dbig AS (SELECT doc_id, w1, w2, COUNT(*) AS n
+         FROM big GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, SUM(n) AS c12 FROM dbig GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT u.t) AS v
+      FROM tok, UNNEST(ws) AS u(t)),
+lp AS (SELECT c12.w1, c12.w2,
+              CAST(round(ln((c12.c12 + 1)::DOUBLE
+                            / (c1.c1 + (SELECT v FROM v))::DOUBLE)
+                         * 1000000) AS BIGINT) AS lp_micro
+       FROM c12 JOIN c1 USING (w1))
+SELECT dbig.doc_id,
+       CAST(SUM(dbig.n) AS BIGINT) AS n_bigrams,
+       CAST(SUM(dbig.n * lp.lp_micro) AS BIGINT) AS sum_lp_micro,
+       CAST(SUM(dbig.n * lp.lp_micro) AS BIGINT)
+         // CAST(SUM(dbig.n) AS BIGINT) AS mean_lp_micro
+FROM dbig JOIN lp USING (w1, w2)
+GROUP BY dbig.doc_id
+"""
+
+
 def q_wordpiece_vocab(spark, sf_dir):
     """Distributed WordPiece training (functions/wordpiece.py): 24
     likelihood-argmax merges — per round two hash-aggs + a broadcast
@@ -5896,6 +5941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_vocab": q_wordpiece_vocab,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "gopher_quality": q_gopher_quality,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -6042,6 +6088,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_vocab": SQL_WORDPIECE_VOCAB,
         "wordpiece_tokenize": SQL_WORDPIECE_TOKENIZE,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,

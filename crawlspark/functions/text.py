@@ -555,3 +555,60 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
         alpha.cast("int").alias("n_alpha_words"),
         stop_hits.cast("int").alias("n_stop_hits"),
         keep.alias("keep"))
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Score every document by its mean BIGRAM log-probability under the
+    corpus's own add-one-smoothed bigram LM — the CCNet LM-filter stage
+    one order up from unigram_logprob (the real CCNet uses a 5-gram
+    KenLM; the plumbing — n-gram count training, model join, per-doc
+    aggregate — is the real shape and the order generalizes by widening
+    the key).
+
+    Model: P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V), with c(w1) the
+    bigram-left marginal and V the corpus vocabulary size (add-one /
+    Laplace smoothing, Chen & Goodman 1999 notation).
+
+    Float discipline (unigram_logprob's rule): each distinct bigram's
+    log-prob is rounded ONCE to integer micro-nats; per-doc sums are
+    n·micronats BIGINT arithmetic — exact on any engine, no tolerance
+    band in the oracle.
+
+    Scale shape: the (doc, w1, w2, n) bigram projection is persisted for
+    its two consumers (model training marginals, doc scoring); the model
+    join is the only corpus-scale shuffle; V and nothing else ever hits
+    the driver. All JVM.
+    """
+    toks = F.transform(ws_tokens(F.col(text_col)), lambda t: F.lower(t))
+    # bind the token array once (SURVEY §4 HOF rule) via a projection
+    big = (docs.select(F.col(id_col), toks.alias("_toks"))
+           .select(
+               F.col(id_col),
+               F.explode(F.when(F.size("_toks") >= 2, F.zip_with(
+                   F.expr("slice(_toks, 1, size(_toks) - 1)"),
+                   F.expr("slice(_toks, 2, size(_toks) - 1)"),
+                   lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))))
+                   .otherwise(F.array().cast(
+                       "array<struct<w1:string,w2:string>>"))).alias("b"))
+           .select(id_col, F.col("b.w1").alias("w1"),
+                   F.col("b.w2").alias("w2")))
+    dbig = (big.groupBy(id_col, "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n")).persist())
+    c12 = (dbig.groupBy("w1", "w2").agg(F.sum("n").alias("c12")))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = int(docs.select(F.explode(toks).alias("t"))
+            .agg(F.countDistinct("t")).first()[0] or 0)
+    lp = (c12.join(c1, "w1")
+          .select("w1", "w2",
+                  F.round(F.log((F.col("c12") + 1).cast("double")
+                                / (F.col("c1") + F.lit(v))
+                                .cast("double")) * 1_000_000)
+                  .cast("long").alias("lp_micro")))
+    return (dbig.join(lp, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(F.sum("n").cast("long").alias("n_bigrams"),
+                 F.sum(F.col("n") * F.col("lp_micro")).cast("long")
+                 .alias("sum_lp_micro"))
+            .withColumn("mean_lp_micro",
+                        F.expr("sum_lp_micro div n_bigrams")))

@@ -30,3 +30,28 @@ def test_gopher_quality_rules(spark):
         [(9, "the and foo bar baz qux " * 5)], ["doc_id", "text"])
     r9 = gopher_quality(b, min_words=20).collect()[0]
     assert r9["n_word_chars"] == 3 * r9["n_words"] and r9["keep"]
+
+
+def test_bigram_logprob_hand_model(spark):
+    """Hand-computed add-one bigram model on a tiny corpus: the operator
+    reproduces exact micro-nat scores (non-shared-code pin)."""
+    import math
+
+    from crawlspark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "b a"), (3, "a")],
+        ["doc_id", "text"])
+    # corpus bigrams: doc0: (a,b)x2? -> a b a b: (a,b),(b,a),(a,b);
+    # doc1: (a,b); doc2: (b,a). c12: (a,b)=3, (b,a)=2.
+    # marginals: c1(a)=3, c1(b)=2. V=2.
+    lp_ab = round(math.log((3 + 1) / (3 + 2)) * 1e6)
+    lp_ba = round(math.log((2 + 1) / (2 + 2)) * 1e6)
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_lp_micro"],
+                         r["mean_lp_micro"]) for r in
+           bigram_logprob(docs).collect()}
+    s0 = 2 * lp_ab + lp_ba
+    assert got[0] == (3, s0, s0 // 3 if s0 >= 0 else -((-s0) // 3))
+    assert got[1] == (1, lp_ab, lp_ab)
+    assert got[2] == (1, lp_ba, lp_ba)
+    assert 3 not in got          # single-token doc: no bigrams, no row
