@@ -3510,6 +3510,44 @@ def _ensure_oracle_files() -> None:
          "is_refresh", "image_id", "host"]].astype(
         {"round": "int32", "status": "int32"}))
 
+    # recrawl epoch-2 composition: epoch-1 fetch log → deterministic
+    # synthetic 3-visit change history per 2xx URL (hash arithmetic both
+    # engines reproduce: pmod/shiftright on the signed xxh64) →
+    # change_history_stats/stale_score EXACT-INTEGER staleness (all
+    # operands nonnegative, so python // == Spark div) → top-3 per host,
+    # global seed order (stale desc, url asc) → a FRESH second crawl.
+    # The entry value-checks the EPOCH-2 fetch log.
+    from crawlspark.hashing import xxh64_str as _xx
+    NOW2 = 10_000
+    stats2: dict = {}
+    for fr in res.fetch_log:
+        if fr["status"] // 100 != 2:
+            continue
+        u = fr["canon"]
+        hsh = _xx(u)
+        base_ts = 1000 + (hsh % 997)
+        gap = (hsh % 13) + 1
+        ts = [base_ts + i * gap for i in range(3)]
+        ch = [(hsh >> (16 + i)) & 1 for i in range(3)]
+        stats2[u] = (host_of(u), 3, sum(ch), ts[0], ts[2], ts[2] - ts[0])
+    cand2: dict = {}
+    for u, (hh, nf, nc, f0, l0, sp) in stats2.items():
+        stale = (nc * (NOW2 - l0) * 1_000_000) // sp
+        cand2.setdefault(hh, []).append((-stale, u))
+    picks = []
+    for hh, rows in cand2.items():
+        for negst, u in sorted(rows)[:3]:
+            picks.append((negst, u))
+    seeds2 = [u for _n, u in sorted(picks)]
+    res2 = oracle.simulate(pages_by_url, robots, seeds2,
+                           round_ms=30_000, k_global=100, max_rounds=2)
+    flog2 = pd.DataFrame(res2.fetch_log)
+    flog2["host"] = flog2["canon"].map(host_of)
+    write("crawl_epoch2", flog2[
+        ["round", "fetch_seq", "canon", "ref_url", "status",
+         "is_refresh", "image_id", "host"]].astype(
+        {"round": "int32", "status": "int32"}))
+
     # same crawl with auto-submitted GET forms (S3): the engine must fetch
     # each form's submit URL (action + sorted urlencoded defaults) in the
     # reserved document-order slot
@@ -4003,6 +4041,66 @@ def q_crawl_fetch_log(spark, sf_dir):
     _ensure_oracle_files()
     return entry(spark).select("round", "fetch_seq", "canon", "ref_url",
                                "status", "is_refresh", "image_id", "host")
+
+
+def q_crawl_epochs(spark, sf_dir):
+    """Recrawl epoch-2 composition end-to-end: the flagship epoch-1
+    fetch log feeds a deterministic synthetic change history (3 visits
+    per 2xx URL from hash arithmetic), frontier/recrawl.py ranks
+    staleness in EXACT integer arithmetic (top-3 per host), and the
+    picks seed a FRESH second crawl in (staleness desc, url asc) order.
+    The oracle replays the identical pipeline sequentially (history →
+    // staleness → top-k → oracle.simulate epoch 2); this entry
+    value-checks the epoch-2 fetch log — cross-epoch crawl-order
+    exactness plus the Cho-scheduling integer contract in one check."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.frontier import CrawlConfig, CrawlEngine, SnapshotStore
+    from crawlspark.frontier.recrawl import (change_history_stats,
+                                             recrawl_candidates)
+
+    flog1 = entry(spark)      # epoch 1 (cached flagship crawl)
+    NOW2 = 10_000
+    h = F.xxhash64(F.col("canon"))
+    base_ts = F.lit(1000) + F.pmod(h, F.lit(997))
+    gap = F.pmod(h, F.lit(13)) + F.lit(1)
+    visits = F.array(*[
+        F.struct((base_ts + F.lit(i) * gap).alias("ts_s"),
+                 (F.shiftright(h, 16 + i).bitwiseAND(F.lit(1)))
+                 .cast("int").alias("changed"))
+        for i in range(3)])
+    hist = (flog1.filter(F.floor(F.col("status") / 100) == 2)
+            .select(F.col("canon").alias("url"), "host",
+                    F.explode(visits).alias("v"))
+            .select("url", "host", F.col("v.ts_s").alias("ts_s"),
+                    F.col("v.changed").alias("changed")))
+    cands = recrawl_candidates(change_history_stats(hist), NOW2, 3)
+    rows = cands.select("url", "stale_ppm").collect()   # ≤ hosts×3 rows
+    seeds2 = [u for _n, u in
+              sorted((-int(r["stale_ppm"]), r["url"]) for r in rows)]
+    seeds_df = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds2)], "url string, seed_pos long")
+
+    pages = _t1_pages(spark)
+    robots = _t1_robots(spark)
+    cfg = CrawlConfig(k_global=100, max_rounds=2, seen_shards=4,
+                      seen_m_bits=1 << 16, validate_fraction=0,
+                      shuffle_partitions=8)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    store = SnapshotStore(spark, tempfile.mkdtemp(
+        prefix="entry_epoch2_", dir=scratch))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds_df)
+    eng.run()
+    return (store.read("fetch_log").orderBy("fetch_seq")
+            .select("round", "fetch_seq", "canon", "ref_url", "status",
+                    "is_refresh", "image_id", "host"))
+
+
+SQL_CRAWL_EPOCHS = f"""
+SELECT round, fetch_seq, canon, ref_url, status, is_refresh, image_id, host
+FROM read_parquet('{_ORACLE_DIR}/crawl_epoch2.parquet')
+"""
 
 
 def q_image_features(spark, sf_dir):
@@ -5942,6 +6040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "gopher_quality": q_gopher_quality,
         "bigram_logprob": q_bigram_logprob,
+        "crawl_epochs": q_crawl_epochs,
     }
 
 
@@ -6089,6 +6188,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_tokenize": SQL_WORDPIECE_TOKENIZE,
         "gopher_quality": SQL_GOPHER_QUALITY,
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
+        "crawl_epochs": SQL_CRAWL_EPOCHS,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,
