@@ -5885,9 +5885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries with NO driver row in ANY round (union of
         # CORRECTNESS_r01..r03) + 3 r03-green canaries, so after r04
         # every entry has a driver-green row in some round (141/141).
-        # ROUND-5 PLAN: swap this block with the "r02-only" block below
-        # (45 entries last green in r01/r02) + 5 canaries for the r05
-        # window, so no entry's last green row is ever >2 rounds old.
+        # ROUND-5 PLAN: the r05 window = the "r02-only" block below
+        # (45 entries last green in r01/r02) + the 5 round-4 additions
+        # at the registry tail (wordpiece_vocab, wordpiece_tokenize,
+        # gopher_quality, bigram_logprob, crawl_epochs) = exactly 50.
+        # Move those 50 to the front next round, so no entry's last
+        # green driver row is ever >2 rounds old.
         # flagship
         "crawl_fetch_log": q_crawl_fetch_log,
         # engine-e2e opt-in stages (never driver-checked before r04)
