@@ -5495,6 +5495,42 @@ GROUP BY dbig.doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG-style overlapping token-window chunking (text.chunk_documents,
+    64-token chunks, 16-token overlap): every token in ≥1 chunk, each
+    consecutive pair sharing exactly the overlap; stable (doc_id,
+    chunk_idx) identity. Pure Column + one posexplode — scan-speed,
+    zero shuffle."""
+    from crawlspark.functions.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(trim(text), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+m AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= 0 THEN 0
+              WHEN len(ws) <= 64 THEN 1
+              ELSE 1 + CAST(ceil((len(ws) - 64) / 48.0) AS INTEGER)
+         END AS nc
+  FROM t)
+SELECT doc_id,
+       CAST(r.i AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(ws, CAST(r.i AS INTEGER) * 48 + 1,
+                           CAST(r.i AS INTEGER) * 48 + 64))
+            AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(ws, CAST(r.i AS INTEGER) * 48 + 1,
+                                  CAST(r.i AS INTEGER) * 48 + 64), ' ')
+         AS chunk_text
+FROM m, UNNEST(range(0, nc)) AS r(i)
+"""
+
+
 def q_wordpiece_vocab(spark, sf_dir):
     """Distributed WordPiece training (functions/wordpiece.py): 24
     likelihood-argmax merges — per round two hash-aggs + a broadcast
@@ -5885,12 +5921,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries with NO driver row in ANY round (union of
         # CORRECTNESS_r01..r03) + 3 r03-green canaries, so after r04
         # every entry has a driver-green row in some round (141/141).
-        # ROUND-5 PLAN: the r05 window = the "r02-only" block below
-        # (45 entries last green in r01/r02) + the 5 round-4 additions
-        # at the registry tail (wordpiece_vocab, wordpiece_tokenize,
-        # gopher_quality, bigram_logprob, crawl_epochs) = exactly 50.
-        # Move those 50 to the front next round, so no entry's last
-        # green driver row is ever >2 rounds old.
+        # ROUND-5 PLAN: the r05 window = the 6 round-4 additions at
+        # the registry tail (wordpiece_vocab, wordpiece_tokenize,
+        # gopher_quality, bigram_logprob, crawl_epochs, chunk_documents
+        # — no driver row yet) + 44 of the "r02-only" block below
+        # (entries last green in r01/r02; the one left out keeps its
+        # union coverage from r02) = 50. Move them to the front next
+        # round.
         # flagship
         "crawl_fetch_log": q_crawl_fetch_log,
         # engine-e2e opt-in stages (never driver-checked before r04)
@@ -6044,6 +6081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "bigram_logprob": q_bigram_logprob,
         "crawl_epochs": q_crawl_epochs,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -6192,6 +6230,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": SQL_GOPHER_QUALITY,
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "crawl_epochs": SQL_CRAWL_EPOCHS,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,

@@ -612,3 +612,48 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
                  .alias("sum_lp_micro"))
             .withColumn("mean_lp_micro",
                         F.expr("sum_lp_micro div n_bigrams")))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the standard
+    RAG / embedding-pipeline document splitter (complements
+    packing.pack_sequences, which concatenates; this SPLITS).
+
+    Chunk grammar (mirrored exactly by the SQL oracle): with stride
+    s = chunk_tokens - overlap and n whitespace tokens,
+    n_chunks = 1 if n <= chunk_tokens else
+    1 + ceil((n - chunk_tokens) / s); chunk i covers tokens
+    [i*s, i*s + chunk_tokens) — every token belongs to ≥1 chunk, each
+    consecutive pair shares exactly ``overlap`` tokens except possibly
+    the shorter final chunk. Empty docs yield no rows.
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text). Stable chunk
+    identity = (id, chunk_idx).
+
+    100 TB shape: pure Column — one projection builds the per-doc chunk
+    array (bounded by doc length), one posexplode; no shuffle, no
+    Python, pushable behind upstream filters.
+    """
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).when(
+        n <= chunk_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - F.lit(chunk_tokens))
+                           / F.lit(float(stride)))).cast("int"))
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens))
+    ).otherwise(F.array().cast("array<array<string>>"))
+    bound = docs.select(F.col(id_col), chunks.alias("_chunks"))
+    return (bound.select(
+                F.col(id_col),
+                F.posexplode("_chunks").alias("chunk_idx", "_c"))
+            .select(id_col,
+                    F.col("chunk_idx").cast("int"),
+                    F.size("_c").cast("int").alias("n_chunk_tokens"),
+                    F.array_join("_c", " ").alias("chunk_text")))

@@ -55,3 +55,31 @@ def test_bigram_logprob_hand_model(spark):
     assert got[1] == (1, lp_ab, lp_ab)
     assert got[2] == (1, lp_ba, lp_ba)
     assert 3 not in got          # single-token doc: no bigrams, no row
+
+
+def test_chunk_documents_grammar(spark):
+    """Chunk grammar pins: coverage (every token in >=1 chunk), exact
+    overlap between consecutive chunks, short-doc single chunk, empty
+    and null docs yield no rows, invalid params raise."""
+    import pytest as _pt
+
+    from crawlspark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))),
+         (1, "a b"), (2, ""), (3, None)], ["doc_id", "text"])
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"].split()))
+    c0 = [t for _i, t in sorted(by_doc[0])]
+    assert [len(c) for c in c0] == [4, 4, 4]
+    # stride 3: consecutive chunks share exactly 1 token
+    assert c0[0][-1:] == c0[1][:1] and c0[1][-1:] == c0[2][:1]
+    # full coverage in order
+    assert c0[0] + c0[1][1:] + c0[2][1:] == [f"t{i}" for i in range(10)]
+    assert by_doc[1] == [(0, ["a", "b"])]
+    assert 2 not in by_doc and 3 not in by_doc
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
