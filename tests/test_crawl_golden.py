@@ -586,3 +586,45 @@ def test_seen_filter_regime_flip_mid_crawl(spark, t1_data, oracle_result):
     assert all(r["m"] for r in flags)
     store.destroy()
     assert sum(s["fetched"] for s in stats) == len(want)
+
+
+def test_engine_matches_oracle_t2_scale(spark):
+    """Exactness at the t2 correctness tier (20k pages / 64 hosts — 20×
+    the t1 graph, WITH hot-host skew): 3 rounds at k=1000, crawl order
+    and seen set equal to the sequential oracle element-for-element.
+    The larger graph exercises salting, the budget gate, and the
+    priority-histogram cut at row counts where partition boundaries
+    actually move — a scale datapoint the t1 goldens cannot give."""
+    tier = synth.TIERS["t2"]
+    pages = synth.spark_pages(spark, tier, parallelism=8).cache()
+    pages.count()
+    robots = synth.spark_robots(spark, tier)
+    seeds = synth.spark_seeds(spark, tier)
+    counts = synth.page_counts(tier)
+    pdf = synth.gen_pages_pdf(0, tier.n_pages, counts, tier.n_images)
+    pages_by_url = {d["url"]: d for d in pdf.to_dict("records")}
+    robots_d = {r["host"]: (list(r["disallow_prefixes"]),
+                            int(r["crawl_delay_ms"]))
+                for r in synth.gen_robots_pdf(
+                    tier.n_hosts).to_dict("records")}
+    seeds_l = list(synth.gen_seeds_pdf(tier)["url"])
+    want = oracle.simulate(pages_by_url, robots_d, seeds_l,
+                           round_ms=30_000, k_global=1000, max_rounds=3)
+
+    cfg = CrawlConfig(k_global=1000, max_rounds=3, seen_shards=8,
+                      seen_m_bits=1 << 18, validate_fraction=0,
+                      shuffle_partitions=16)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_t2_"))
+    eng = CrawlEngine(spark, store, pages, robots, None, cfg)
+    eng.seed(seeds)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["ref_url"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    wlog = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+             r["ref_url"]) for r in want.fetch_log]
+    assert len(log) == len(wlog) and log == wlog
+    assert {r["url_hash"] for r in store.read("seen").collect()} \
+        == want.seen
+    store.destroy()
+    pages.unpersist()
