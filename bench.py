@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "docs_clean", "dup_components", "asof_join", "decontaminate",
     "images_clean", "images_preprocess", "caption_filter",
     "c4_clean", "warc_wet",
+    # round-4 additions (no round-1 baseline counterpart — info rows)
+    "gopher_quality", "bigram_logprob", "chunk_documents",
 ]
 
 CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")
