@@ -272,3 +272,40 @@ def test_unigram_viterbi_total_and_optimal(word, scores):
     top = max(c[:2] for c in cands)
     want = min(c[2] for c in cands if c[:2] == top)
     assert tuple(pieces) == want
+
+
+@given(st.text(alphabet="abc", min_size=1, max_size=10),
+       st.sets(st.text(alphabet="abc", min_size=1, max_size=3),
+               min_size=1, max_size=10))
+@settings(max_examples=300, deadline=None)
+@example(word="abba", pieces={"a", "ab", "##b", "##ba"})
+def test_wordpiece_matchers_differential(word, pieces):
+    """The engine's greedy matcher (_wp_greedy) and the oracle twin's
+    independently-written matcher agree on every (word, vocab) draw —
+    including vocabs with no word-initial piece ([UNK]) and continuation
+    pieces shadowing initial ones."""
+    from crawlspark.functions.wordpiece import (_wp_greedy,
+                                                py_wordpiece_token_count)
+    # vocab: the drawn pieces as word-initial AND ##-continuation forms,
+    # randomly assigned by content hash (deterministic per draw)
+    vocab = set()
+    for p in pieces:
+        if hash(p) % 2:
+            vocab.add(p)
+        else:
+            vocab.add("##" + p)
+    if not vocab:
+        vocab = {"a"}
+    max_len = max((len(p) - 2 if p.startswith("##") else len(p))
+                  for p in vocab)
+    toks = _wp_greedy(word, vocab, max(1, max_len))
+    want_nt, want_nu = py_wordpiece_token_count(word, sorted(vocab))
+    if toks is None:
+        assert (want_nt, want_nu) == (1, 1)
+    else:
+        assert (want_nt, want_nu) == (len(toks), 0)
+        # matcher invariants: concatenation (## stripped) rebuilds word
+        joined = "".join(t[2:] if t.startswith("##") else t for t in toks)
+        assert joined == word
+        assert not toks[0].startswith("##")
+        assert all(t.startswith("##") for t in toks[1:])
