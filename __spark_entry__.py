@@ -3737,6 +3737,42 @@ def _ensure_oracle_files() -> None:
         irows, columns=["media_id", "w", "h", "mean_r", "mean_g",
                         "mean_b", "phash", "luma_hist"]))
 
+    # seeded augmentation (flip/crop/brightness): expected rows computed
+    # from GROUND-TRUTH pixels with independently-written arithmetic
+    # (slicing instead of np.flip, no codec anywhere) — pins the
+    # operator's decode → augment → png round trip differentially
+    from crawlspark.hashing import xxh64_str as _axx
+    arows = []
+    for i in range(300):
+        if i % 3 == 0:          # lossy fmt — excluded (decode not identity)
+            continue
+        row = synth.gen_image_row(i, materialize_bytes=False)
+        src = i - 1 if (i % 101 == 100 and i > 0) else i
+        px = imaging.make_pixels(src, int(row["w"]), int(row["h"]))
+        h0, w0 = px.shape[:2]
+        hv = _axx(f"7:{row['image_id']}") & 0x7FFFFFFFFFFFFFFF
+        flip = bool(hv & 1)
+        cw = max(1, (w0 * 7) // 8)
+        ch = max(1, (h0 * 7) // 8)
+        dx = (hv >> 1) % (w0 - cw + 1)
+        dy = (hv >> 8) % (h0 - ch + 1)
+        delta = int((hv >> 16) % 33) - 16
+        out = px[:, ::-1, :] if flip else px
+        out = out[dy:dy + ch, dx:dx + cw]
+        out = np.clip(out.astype(np.int32) + delta, 0, 255).astype(np.uint8)
+        arows.append({
+            "media_id": row["image_id"], "w": int(out.shape[1]),
+            "h": int(out.shape[0]), "flip": flip, "dx": int(dx),
+            "dy": int(dy), "delta": delta,
+            "phash": imaging.phash64(out),
+            "mean_r": round(float(out[..., 0].mean()), 6),
+            "mean_g": round(float(out[..., 1].mean()), 6),
+            "mean_b": round(float(out[..., 2].mean()), 6),
+        })
+    write("image_augment", pd.DataFrame(
+        arows, columns=["media_id", "w", "h", "flip", "dx", "dy",
+                        "delta", "phash", "mean_r", "mean_g", "mean_b"]))
+
     # exposure stats from ground-truth pixels (codec-free, exact integer
     # luma): matching proves decode identity + the exposure kernel
     erows = []
@@ -5531,6 +5567,30 @@ FROM m, UNNEST(range(0, nc)) AS r(i)
 """
 
 
+def q_image_augment(spark, sf_dir):
+    """Deterministic seeded augmentation (multimodal.augment_images,
+    seed=7): flip/crop/brightness decisions derived from per-image hash
+    arithmetic — reproducible with no RNG state — over the lossless
+    subset, with a real PNG round trip before feature extraction. The
+    oracle computes expected rows from ground-truth pixels with
+    independently-written arithmetic and NO codec."""
+    _ensure_oracle_files()
+    from crawlspark import synth
+    from crawlspark.functions.multimodal import augment_images
+    tier = synth.TIERS["t1"]
+    images = (synth.spark_images(spark, tier, parallelism=8)
+              .filter((F.col("image_id") < "img0000000300")
+                      & (F.col("fmt") == "png")))
+    return augment_images(images, seed=7)
+
+
+SQL_IMAGE_AUGMENT = f"""
+SELECT media_id, w, h, flip, dx, dy, delta, phash,
+       mean_r, mean_g, mean_b
+FROM read_parquet('{_ORACLE_DIR}/image_augment.parquet')
+"""
+
+
 def q_wordpiece_vocab(spark, sf_dir):
     """Distributed WordPiece training (functions/wordpiece.py): 24
     likelihood-argmax merges — per round two hash-aggs + a broadcast
@@ -5921,13 +5981,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries with NO driver row in ANY round (union of
         # CORRECTNESS_r01..r03) + 3 r03-green canaries, so after r04
         # every entry has a driver-green row in some round (141/141).
-        # ROUND-5 PLAN: the r05 window = the 6 round-4 additions at
-        # the registry tail (wordpiece_vocab, wordpiece_tokenize,
-        # gopher_quality, bigram_logprob, crawl_epochs, chunk_documents
-        # — no driver row yet) + 44 of the "r02-only" block below
-        # (entries last green in r01/r02; the one left out keeps its
-        # union coverage from r02) = 50. Move them to the front next
-        # round.
+        # ROUND-5 PLAN: the r05 window = the round-4 additions at the
+        # registry tail (wordpiece_vocab, wordpiece_tokenize,
+        # gopher_quality, bigram_logprob, crawl_epochs, chunk_documents,
+        # image_augment — no driver row yet) + enough of the "r02-only"
+        # block below (entries last green in r01/r02, oldest rows
+        # first; the ones left out keep their union coverage from r02)
+        # to total 50. Move them to the front next round.
         # flagship
         "crawl_fetch_log": q_crawl_fetch_log,
         # engine-e2e opt-in stages (never driver-checked before r04)
@@ -6082,6 +6142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "crawl_epochs": q_crawl_epochs,
         "chunk_documents": q_chunk_documents,
+        "image_augment": q_image_augment,
     }
 
 
@@ -6231,6 +6292,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "crawl_epochs": SQL_CRAWL_EPOCHS,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "image_augment": SQL_IMAGE_AUGMENT,
         "retrieval_eval": SQL_RETRIEVAL_EVAL,
         "site_topk": SQL_SITE_TOPK,
         "dominant_color": SQL_DOMINANT_COLOR,

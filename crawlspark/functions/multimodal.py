@@ -394,3 +394,69 @@ def image_patches(images: DataFrame, patch: int = 16,
             .mapInPandas(kern, "media_id string, patch_row int, "
                                "patch_col int, n_px int, sum_r long, "
                                "sum_g long, sum_b long"))
+
+
+def augment_images(images: DataFrame, seed: int = 0,
+                   id_col: str = "image_id", bytes_col: str = "bytes",
+                   fmt_col: str = "fmt") -> DataFrame:
+    """Deterministic seeded augmentation — the vision-training
+    augmentation stage (flip / crop / brightness) with REPRODUCIBLE
+    per-image decisions: every random draw derives from
+    xxh64(f"{seed}:{image_id}") in exact integer arithmetic, so the same
+    (seed, corpus) always yields byte-identical augmented payloads on
+    any engine (the property a resumable training pipeline needs — no
+    RNG state to checkpoint).
+
+    Ops (all exact-integer): horizontal flip on bit 0; a 7/8-fraction
+    crop at a hash-chosen offset; brightness delta in [-16, 16]
+    (saturating). The augmented pixels round-trip through the real PNG
+    codec before feature extraction, so the entry differentially pins
+    decode → augment → encode → decode against ground-truth-pixel
+    arithmetic that never touches a codec.
+
+    Output: (media_id, w, h, flip, dx, dy, delta, phash,
+    mean_r/g/b rounded to 6dp). Arrow-batched; payload bytes never
+    cross py4j.
+    """
+    from ..hashing import xxh64_str
+    from ..imaging import phash64, png_decode, png_encode
+
+    def kern(batches):
+        for pdf in batches:
+            rows = []
+            for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col],
+                                      pdf[fmt_col]):
+                if data is None:
+                    continue
+                px = decode(bytes(data), fmt)
+                h0, w0 = px.shape[:2]
+                hv = xxh64_str(f"{seed}:{mid}") & 0x7FFFFFFFFFFFFFFF
+                flip = bool(hv & 1)
+                cw = max(1, (w0 * 7) // 8)
+                ch = max(1, (h0 * 7) // 8)
+                dx = (hv >> 1) % (w0 - cw + 1)
+                dy = (hv >> 8) % (h0 - ch + 1)
+                delta = int((hv >> 16) % 33) - 16
+                out = np.flip(px, axis=1) if flip else px
+                out = out[dy:dy + ch, dx:dx + cw]
+                out = np.clip(out.astype(np.int16) + delta,
+                              0, 255).astype(np.uint8)
+                rt = png_decode(png_encode(out))   # real codec round trip
+                rows.append({
+                    "media_id": mid, "w": int(rt.shape[1]),
+                    "h": int(rt.shape[0]), "flip": flip,
+                    "dx": int(dx), "dy": int(dy), "delta": delta,
+                    "phash": phash64(rt),
+                    "mean_r": round(float(rt[..., 0].mean()), 6),
+                    "mean_g": round(float(rt[..., 1].mean()), 6),
+                    "mean_b": round(float(rt[..., 2].mean()), 6),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "w", "h", "flip", "dx", "dy", "delta",
+                "phash", "mean_r", "mean_g", "mean_b"])
+
+    return (images.select(id_col, bytes_col, fmt_col)
+            .mapInPandas(kern, "media_id string, w int, h int, "
+                               "flip boolean, dx int, dy int, delta int, "
+                               "phash long, mean_r double, "
+                               "mean_g double, mean_b double"))
