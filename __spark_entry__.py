@@ -503,7 +503,7 @@ SQL_DECONTAMINATE = f"""
 WITH t AS (
   SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM documents),
 g AS (
@@ -542,7 +542,7 @@ def q_quality_quantiles(spark, sf_dir):
 _SQL_QUALITY_EXPR = """
   SELECT doc_id, lang,
          round((least(CASE WHEN len(trim(text)) = 0 THEN 0
-                      ELSE len(str_split_regex(trim(text), '\\s+')) END
+                      ELSE len(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> '')) END
                       / 100.0, 1.0)
                 + (1.0 - least((CASE WHEN len(text) > 0 THEN
                      (len(text) - len(regexp_replace(text, '[^\\w\\s]', '',
@@ -550,17 +550,17 @@ _SQL_QUALITY_EXPR = """
                      / len(text) ELSE 0.0 END) * 4, 1.0))
                 + (1.0 - least(abs((CASE WHEN len(trim(text)) > 0 THEN
                      len(list_filter(list_transform(
-                         str_split_regex(trim(text), '\\s+'),
+                         list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                          x -> lower(x)), x -> list_contains(
                          ['the','a','of','and','to','in','is','that','it',
                           'for'], x)))::DOUBLE
-                     / len(str_split_regex(trim(text), '\\s+'))
+                     / len(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''))
                      ELSE 0.0 END) - 0.4) * 2, 1.0))
                 + (CASE WHEN (CASE WHEN len(trim(text)) > 0 THEN
                      list_aggregate(list_transform(
-                         str_split_regex(trim(text), '\\s+'),
+                         list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                          x -> len(x)), 'sum')::DOUBLE
-                     / len(str_split_regex(trim(text), '\\s+'))
+                     / len(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''))
                      ELSE 0.0 END) BETWEEN 3 AND 8
                    THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS q
   FROM documents
@@ -901,7 +901,7 @@ def q_nth_of_type(spark, sf_dir):
 
 
 SQL_NTH_OF_TYPE = """
-WITH t AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+WITH t AS (SELECT doc_id, list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> '') AS toks
            FROM documents)
 SELECT doc_id,
        array_to_string(list_filter(toks, (x, i) -> i % 2 = 1), ' ')
@@ -1465,7 +1465,7 @@ def q_token_counts(spark, sf_dir):
 SQL_TOKEN_COUNTS = """
 SELECT doc_id,
        CASE WHEN len(trim(text)) = 0 THEN 0
-            ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+            ELSE len(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> '')) END AS n_ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
          AS n_bpe_tokens
 FROM documents
@@ -1488,7 +1488,7 @@ SQL_TEXT_QUALITY = """
 WITH t AS (
   SELECT doc_id, text,
          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM documents),
 f AS (
@@ -1785,7 +1785,7 @@ SQL_LANG_ID = """
 WITH t AS (
   SELECT doc_id, text,
          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM documents),
 h AS (
@@ -1821,7 +1821,7 @@ def q_fingerprint(spark, sf_dir):
 SQL_FINGERPRINT = """
 SELECT doc_id,
        md5(array_to_string(
-           list_transform(str_split_regex(trim(text), '\\s+'),
+           list_transform(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                           x -> lower(x))[1:8], ' ')) AS fp
 FROM documents
 """
@@ -1875,7 +1875,7 @@ SQL_CORPUS_REPORT = """
 WITH t AS (
   SELECT doc_id, text,
          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM documents),
 h AS (
@@ -2056,7 +2056,7 @@ SQL_DOC_REPETITION = """
 WITH t AS (
   SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                                   x -> lower(x)) END AS toks,
          str_split_regex(lower(trim(text)), '\\s+') AS rtoks,
          list_sort(list_distinct(list_transform(
@@ -2877,7 +2877,7 @@ def q_unigram_logprob(spark, sf_dir):
 SQL_UNIGRAM_LOGPROB = """
 WITH tok AS (
   SELECT doc_id, lower(u.t) AS term
-  FROM documents, UNNEST(str_split_regex(trim(text), '\\s+')) AS u(t)
+  FROM documents, UNNEST(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> '')) AS u(t)
   WHERE len(trim(text)) > 0),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
 lm AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
@@ -2912,7 +2912,7 @@ def q_quality_classifier(spark, sf_dir):
 SQL_QUALITY_CLASSIFIER = """
 WITH tok AS (
   SELECT doc_id, lower(u.t) AS term
-  FROM documents, UNNEST(str_split_regex(trim(text), '\\s+')) AS u(t)
+  FROM documents, UNNEST(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> '')) AS u(t)
   WHERE len(trim(text)) > 0),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
 train AS (SELECT doc_id, doc_id % 3 = 0 AS label FROM documents
@@ -2966,7 +2966,7 @@ def q_tfidf_top_terms(spark, sf_dir):
 SQL_TFIDF_TOP_TERMS = """
 WITH toks AS (
   SELECT doc_id, lower(u.t) AS term
-  FROM documents, UNNEST(str_split_regex(trim(text), '\\s+')) AS u(t)
+  FROM documents, UNNEST(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> '')) AS u(t)
   WHERE len(trim(text)) > 0),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
@@ -3019,7 +3019,7 @@ SQL_DOCS_CLEAN = """
 WITH t AS (
   SELECT doc_id, text,
          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM documents),
 f AS (
@@ -3114,7 +3114,7 @@ SQL_DOCS_CLEAN_FUZZY_TMPL = """
 WITH RECURSIVE t AS (
   SELECT doc_id, text,
          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE list_transform(str_split_regex(trim(text), '\\s+'),
+              ELSE list_transform(list_filter(str_split_regex(trim(text), '\\s+'), x_ -> x_ <> ''),
                                   x -> lower(x)) END AS toks
   FROM documents),
 f AS (
@@ -6135,7 +6135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": q_quality_quantiles,
         "quality_gate": q_quality_gate,
         "metrics_rollup": q_metrics_rollup,
-        # round-4 additions (registry 143): include in the r05 window
+        # round-4 additions (7 entries, registry 148): the r05 window
+        # takes these + 43 of the r02-only block (see header comment)
         "wordpiece_vocab": q_wordpiece_vocab,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "gopher_quality": q_gopher_quality,

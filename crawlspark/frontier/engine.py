@@ -630,8 +630,11 @@ class CrawlEngine:
             # through Python plus a two-branch union to avoid... that same
             # broadcast join. The filter earns its keep only beyond
             # broadcast, where it bounds the rows that must meet the
-            # bucketed seen table. (Shards are still BUILT every round so
-            # the regime switch needs no backfill.)
+            # bucketed seen table. (Shard BUILDS are deferred to this
+            # regime — see the commit-phase build rules: while the seen
+            # set stays broadcastable no shards exist, and the first
+            # regime flip does a one-time full rebuild from the exact
+            # seen set, so the probe here always sees complete shards.)
             if shards_df is not None and not seen_small:
                 shard_dirs = store.table_dirs("seen_shards") or []
                 blob_bytes = cfg.seen_shards * (cfg.seen_m_bits // 8)

@@ -28,10 +28,14 @@ _STOPWORDS = {
 
 
 def ws_tokens(c: Column) -> Column:
-    """Whitespace tokens (empty string → empty array, not [''])."""
-    trimmed = F.trim(c)
-    return F.when(trimmed == "", F.array().cast("array<string>")) \
-            .otherwise(F.split(trimmed, r"\s+"))
+    """Whitespace tokens with python ``str.split()`` semantics: leading,
+    trailing, or repeated whitespace never yields an empty token, and
+    empty / all-whitespace text → the empty array. (Round-4 review fix:
+    the old trim-then-split kept a trailing '' when the text ended in
+    NON-SPACE whitespace — trim strips 0x20 only — silently diverging
+    from every pure-python twin's ``.split()``. Oracle SQL mirrors with
+    ``list_filter(str_split_regex(trim(text), '\\s+'), w -> w <> '')``.)"""
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
 def token_count(c: Column) -> Column:

@@ -19,10 +19,11 @@ content).
            + ONE symbol hash-agg (current unit counts)
            → broadcast-join the vocab-sized unit counts onto the pair
              table (twice, for left and right)
-           → score = CAST(cnt_pair AS DOUBLE) / (cnt_l * cnt_r): a
-             single IEEE-754 division/multiply of exact longs —
-             bit-identical on any engine, so the float is NOT a
-             determinism hazard (one rounding point, same inputs)
+           → score = cnt_pair / (double(cnt_l) * double(cnt_r)): the
+             unit counts cast to double BEFORE the multiply (no int64
+             overflow at 100 TB counts) — exactly two IEEE-754
+             rounding points, the same two operations the twin
+             performs, bit-identical on any engine
            → global argmax as a 1-row MIN aggregate over
              struct(-score, left, right) — score desc, pair-asc tie,
              no global sort, no orderBy().limit() funnel
@@ -102,12 +103,19 @@ def wordpiece_train(docs: DataFrame, n_merges: int,
                  .groupBy("s").agg(F.sum("freq").alias("u")))
         ul = units.select(F.col("s").alias("_l"), F.col("u").alias("ul"))
         ur = units.select(F.col("s").alias("_r"), F.col("u").alias("ur"))
+        # score arithmetic (mirrored EXACTLY by the py twin): cast each
+        # unit count to double FIRST, multiply, then divide — two IEEE
+        # rounding points, identical on any engine, and no int64
+        # multiply to overflow under ANSI at 100 TB unit counts (a
+        # long·long product of ~1e9-scale counts would); the twin does
+        # cnt / (float(ul) * float(ur)) — the same two operations
         scored = (pairs
                   .join(F.broadcast(ul), pairs["p.l"] == ul["_l"])
                   .join(F.broadcast(ur), pairs["p.r"] == ur["_r"])
                   .select("p", "cnt",
                           (F.col("cnt").cast("double")
-                           / (F.col("ul") * F.col("ur")).cast("double"))
+                           / (F.col("ul").cast("double")
+                              * F.col("ur").cast("double")))
                           .alias("score")))
         best = scored.agg(F.min(F.struct(
             (-F.col("score")).alias("neg"),
@@ -157,8 +165,8 @@ def wordpiece_token_counts(docs: DataFrame, vocab: list[str],
                   for p in vset) if vset else 1
 
     def kern(batches):
+        memo: dict[str, tuple[int, int]] = {}   # per TASK, not per batch
         for pdf in batches:
-            memo: dict[str, tuple[int, int]] = {}
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 nt = nu = 0
@@ -208,7 +216,7 @@ def py_wordpiece_merges(texts: list[str], n_merges: int,
         if not pc:
             break
         best = min(
-            ((-(cnt / (uc[a] * uc[b])), a, b, cnt)
+            ((-(cnt / (float(uc[a]) * float(uc[b]))), a, b, cnt)
              for (a, b), cnt in pc.items()),
             key=lambda t: t[:3])
         neg, a, b, cnt = best

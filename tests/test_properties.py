@@ -287,10 +287,13 @@ def test_wordpiece_matchers_differential(word, pieces):
     from crawlspark.functions.wordpiece import (_wp_greedy,
                                                 py_wordpiece_token_count)
     # vocab: the drawn pieces as word-initial AND ##-continuation forms,
-    # randomly assigned by content hash (deterministic per draw)
+    # assigned by a PROCESS-INDEPENDENT content hash (crc32 — builtin
+    # hash() is PYTHONHASHSEED-randomized, which would make @example
+    # replay and shrinking nondeterministic across runs)
+    import zlib
     vocab = set()
     for p in pieces:
-        if hash(p) % 2:
+        if zlib.crc32(p.encode()) % 2:
             vocab.add(p)
         else:
             vocab.add("##" + p)

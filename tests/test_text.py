@@ -12,7 +12,7 @@ def test_gopher_quality_rules(spark):
         (1, "the of and"),                            # too few words
         (2, "# " * 40 + good),                        # symbol ratio >= 0.1
         (3, "\n".join(["- bullet line"] * 19 + [good])),   # 95% bullets
-        (4, "\n".join(["trailing..."] * 9 + [good])),  # 90% ellipsis... wait
+        (4, "\n".join(["trailing..."] * 9 + [good])),  # 90% ellipsis lines
         (5, "the quick brown fox jumps high over rocks near water "
             "while birds sing sweet songs during early morning "
             "hours before sunrise comes gently "),    # only 1 stopword
@@ -24,6 +24,8 @@ def test_gopher_quality_rules(spark):
     assert got[1]["keep"] is False and got[1]["n_words"] == 3
     assert got[2]["keep"] is False            # 10*n_symbols >= n_words
     assert got[3]["keep"] is False            # bullet lines >= 90%
+    assert got[4]["keep"] is False            # ellipsis lines >= 30%
+    assert got[4]["n_ellipsis_lines"] == 9 and got[4]["n_lines"] == 10
     assert got[5]["keep"] is False and got[5]["n_stop_hits"] < 2
     # boundary exactness: mean word length exactly 3.0 passes (>=)
     b = spark.createDataFrame(
@@ -83,3 +85,21 @@ def test_chunk_documents_grammar(spark):
     assert 2 not in by_doc and 3 not in by_doc
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_ws_tokens_python_split_semantics(spark):
+    """ws_tokens == python str.split() on every whitespace edge: trailing
+    newline/tab (the round-4 review divergence — trim strips 0x20 only),
+    leading whitespace, interior runs, all-whitespace, empty."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.functions.text import ws_tokens
+
+    cases = ["a b\n", "a b\t", "\n a  b ", "a\n\nb", "\t\n ", "", "a",
+             " a ", "x\r\ny"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               ["i", "t"])
+    got = {r["i"]: r["toks"] for r in
+           df.select("i", ws_tokens(F.col("t")).alias("toks")).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == t.split(), (t, got[i])
