@@ -8,6 +8,7 @@ near-miss report). Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -16,6 +17,14 @@ import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
+
+# __spark_entry__ keys its materialized pure-Python oracles by
+# CRAWLSPARK_SF_DIR at import time; exporting the sf being checked BEFORE
+# the import is what makes a cross-scale run (e.g. sf0.001) regenerate the
+# materialized expectations from the same tables Spark reads, instead of
+# comparing an sf0.001 Spark result against sf0.01 expectations.
+if len(sys.argv) > 1:
+    os.environ["CRAWLSPARK_SF_DIR"] = sys.argv[1].rstrip("/")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from crawlspark.session import get_spark  # noqa: E402

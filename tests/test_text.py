@@ -59,6 +59,54 @@ def test_bigram_logprob_hand_model(spark):
     assert 3 not in got          # single-token doc: no bigrams, no row
 
 
+def test_trigram_logprob_hand_model(spark):
+    """Hand-computed add-one TRIGRAM model on a tiny corpus — the
+    order-3 widening of the bigram key (non-shared-code pin). Doc 4
+    holds a token that occurs ONLY there (1-token doc): it appears in
+    no trigram, so it pins the _vocab_size short-doc sweep — V must be
+    4, not 3."""
+    import math
+
+    from crawlspark.functions.text import trigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b c"), (2, "b c a"),
+         (3, "a b"), (4, "z")],
+        ["doc_id", "text"])
+    # trigrams — d0: (a,b,c),(b,c,a),(c,a,b),(a,b,c); d1: (a,b,c);
+    # d2: (b,c,a). c123: abc=3, bca=2, cab=1.
+    # contexts: c12(a,b)=3, c12(b,c)=2, c12(c,a)=1. V={a,b,c,z}=4.
+    lp_abc = round(math.log((3 + 1) / (3 + 4)) * 1e6)
+    lp_bca = round(math.log((2 + 1) / (2 + 4)) * 1e6)
+    lp_cab = round(math.log((1 + 1) / (1 + 4)) * 1e6)
+    got = {r["doc_id"]: (r["n_trigrams"], r["sum_lp_micro"],
+                         r["mean_lp_micro"]) for r in
+           trigram_logprob(docs).collect()}
+    s0 = 2 * lp_abc + lp_bca + lp_cab
+    t0 = s0 // 4 if s0 >= 0 else -((-s0) // 4)
+    assert got[0] == (4, s0, t0)
+    assert got[1] == (1, lp_abc, lp_abc)
+    assert got[2] == (1, lp_bca, lp_bca)
+    assert 3 not in got and 4 not in got   # <3 tokens: no trigrams
+
+
+def test_bigram_vocab_counts_short_doc_only_tokens(spark):
+    """_vocab_size regression for order 2: a token occurring ONLY in a
+    1-token doc joins V even though it is in no bigram (the refactor
+    away from the second corpus countDistinct pass must not drop it)."""
+    import math
+
+    from crawlspark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "q")], ["doc_id", "text"])
+    # c12(a,b)=1, c1(a)=1, V={a,b,q}=3
+    lp_ab = round(math.log((1 + 1) / (1 + 3)) * 1e6)
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_lp_micro"]) for r in
+           bigram_logprob(docs).collect()}
+    assert got == {0: (1, lp_ab)}
+
+
 def test_chunk_documents_grammar(spark):
     """Chunk grammar pins: coverage (every token in >=1 chunk), exact
     overlap between consecutive chunks, short-doc single chunk, empty
