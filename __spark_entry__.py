@@ -5542,6 +5542,96 @@ GROUP BY dbig.doc_id
 """
 
 
+def q_psl_site_rollup(spark, sf_dir):
+    """Per-site rollup under FULL Public Suffix List semantics
+    (crawlspark.psl: wildcard *.kawasaki.jp / *.ck, exceptions
+    !city.kawasaki.jp / !www.ck, 5-label private suffixes) over a host
+    population synthesized from event arithmetic. Spark resolves sites
+    with the per-depth broadcast-join cascade; the oracle derives every
+    row's expected site DIRECTLY from the same arithmetic — it never
+    parses a host — so a match proves the full-PSL resolution."""
+    from crawlspark.psl import load_psl, with_registrable_domain
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    host = (
+        F.when(eid % 12 == 0, F.concat(
+            F.lit("img"), (eid % 3).cast("string"), F.lit(".gal"),
+            (eid % 13).cast("string"), F.lit(".kawasaki.jp")))
+        .when(eid % 12 == 1, F.concat(
+            F.lit("gal"), (eid % 13).cast("string"),
+            F.lit(".kawasaki.jp")))
+        .when(eid % 12 == 2, F.concat(
+            F.lit("sub"), (eid % 5).cast("string"),
+            F.lit(".city.kawasaki.jp")))
+        .when(eid % 12 == 3, F.lit("city.kawasaki.jp"))
+        .when(eid % 12 == 4, F.concat(
+            F.lit("shop"), (eid % 13).cast("string"), F.lit(".ck")))
+        .when(eid % 12 == 5, F.concat(
+            F.lit("www.shop"), (eid % 13).cast("string"), F.lit(".ck")))
+        .when(eid % 12 == 6, F.lit("www.ck"))
+        .when(eid % 12 == 7, F.lit("a.www.ck"))
+        .when(eid % 12 == 8, F.concat(
+            F.lit("cdn"), (eid % 3).cast("string"), F.lit(".shop"),
+            (eid % 13).cast("string"), F.lit(".co.uk")))
+        .when(eid % 12 == 9, F.concat(
+            F.lit("b"), (eid % 7).cast("string"),
+            F.lit(".s3.amazonaws.com")))
+        .when(eid % 12 == 10, F.concat(
+            F.lit("x"), (eid % 5).cast("string"), F.lit(".unknowntld")))
+        .otherwise(F.concat(
+            F.lit("192.168.1."), (eid % 200).cast("string"))))
+    hosts = ev.select(host.alias("host"))
+    return (with_registrable_domain(hosts, load_psl())
+            .groupBy("site")
+            .agg(F.countDistinct("host").cast("int").alias("n_hosts"),
+                 F.count(F.lit(1)).cast("int").alias("n_urls"))
+            .orderBy("site"))
+
+
+SQL_PSL_SITE_ROLLUP = """
+WITH h AS (
+  SELECT CASE event_id % 12
+           WHEN 0 THEN 'img' || (event_id % 3)::VARCHAR || '.gal'
+                       || (event_id % 13)::VARCHAR || '.kawasaki.jp'
+           WHEN 1 THEN 'gal' || (event_id % 13)::VARCHAR || '.kawasaki.jp'
+           WHEN 2 THEN 'sub' || (event_id % 5)::VARCHAR
+                       || '.city.kawasaki.jp'
+           WHEN 3 THEN 'city.kawasaki.jp'
+           WHEN 4 THEN 'shop' || (event_id % 13)::VARCHAR || '.ck'
+           WHEN 5 THEN 'www.shop' || (event_id % 13)::VARCHAR || '.ck'
+           WHEN 6 THEN 'www.ck'
+           WHEN 7 THEN 'a.www.ck'
+           WHEN 8 THEN 'cdn' || (event_id % 3)::VARCHAR || '.shop'
+                       || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 9 THEN 'b' || (event_id % 7)::VARCHAR
+                       || '.s3.amazonaws.com'
+           WHEN 10 THEN 'x' || (event_id % 5)::VARCHAR || '.unknowntld'
+           ELSE '192.168.1.' || (event_id % 200)::VARCHAR
+         END AS host,
+         CASE event_id % 12
+           WHEN 0 THEN 'img' || (event_id % 3)::VARCHAR || '.gal'
+                       || (event_id % 13)::VARCHAR || '.kawasaki.jp'
+           WHEN 1 THEN NULL
+           WHEN 2 THEN 'city.kawasaki.jp'
+           WHEN 3 THEN 'city.kawasaki.jp'
+           WHEN 4 THEN NULL
+           WHEN 5 THEN 'www.shop' || (event_id % 13)::VARCHAR || '.ck'
+           WHEN 6 THEN 'www.ck'
+           WHEN 7 THEN 'www.ck'
+           WHEN 8 THEN 'shop' || (event_id % 13)::VARCHAR || '.co.uk'
+           WHEN 9 THEN 'b' || (event_id % 7)::VARCHAR
+                       || '.s3.amazonaws.com'
+           WHEN 10 THEN 'x' || (event_id % 5)::VARCHAR || '.unknowntld'
+           ELSE NULL
+         END AS site
+  FROM events)
+SELECT site,
+       CAST(COUNT(DISTINCT host) AS INTEGER) AS n_hosts,
+       CAST(COUNT(*) AS INTEGER) AS n_urls
+FROM h GROUP BY site ORDER BY site
+"""
+
+
 def q_trigram_logprob(spark, sf_dir):
     """Order-3 instance of the CCNet LM-filter plumbing
     (text.trigram_logprob): mean add-one-smoothed TRIGRAM log-prob per
@@ -6051,6 +6141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_augment": q_image_augment,
         # round-5 additions
         "trigram_logprob": q_trigram_logprob,
+        "psl_site_rollup": q_psl_site_rollup,
         # oldest r02-only entries (latest driver row: r02)
         "topk_per_host": q_topk_per_host,
         "crawl_delay_lag": q_crawl_delay_lag,
@@ -6345,6 +6436,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": SQL_GOPHER_QUALITY,
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "trigram_logprob": SQL_TRIGRAM_LOGPROB,
+        "psl_site_rollup": SQL_PSL_SITE_ROLLUP,
         "crawl_epochs": SQL_CRAWL_EPOCHS,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "image_augment": SQL_IMAGE_AUGMENT,

@@ -165,6 +165,12 @@ class CrawlConfig:
     # own shard's blob from the shard-partitioned seen_shards files — peak
     # filter memory per task is ONE shard, the driver never loads a blob.
     seen_blob_broadcast_bytes: int = 256 << 20
+    # full-PSL cookie-Domain validation: a crawlspark.psl.PslRules
+    # (load_psl()) swaps the literal-IN suffix-subset fast path for the
+    # broadcast-join resolver with wildcard/exception rules. None ⇒ the
+    # subset path (byte-identical on every suffix the subset covers —
+    # tests/test_psl.py pins the superset property).
+    psl: object | None = None
     # raw-body corpus mode (pages carry `body binary` + `content_type`):
     forced_charset: str | None = None   # session.Encoding analog (U4 chain)
     debug_sample_rows: int = 100  # S11: non-2xx samples kept per round
@@ -1065,7 +1071,18 @@ class CrawlEngine:
             # the setting host (host domain-matches it) and stay within
             # the host's registrable domain (never a public suffix) —
             # otherwise the cookie is IGNORED. No attribute ⇒ host-only.
-            rd = registrable_domain(F.col("host"))
+            # cfg.psl swaps the literal-IN subset fast path for the
+            # full-PSL broadcast-join resolver (wildcard/exception
+            # rules, crawlspark.psl) — raw is ≤k exploded cookie rows,
+            # so the K extra broadcast joins are noise.
+            if self.cfg.psl is not None:
+                from ..psl import with_registrable_domain
+                raw = with_registrable_domain(
+                    raw, self.cfg.psl, host_col="host",
+                    out_col="_psl_rd")
+                rd = F.col("_psl_rd")
+            else:
+                rd = registrable_domain(F.col("host"))
             dom_match = ((F.col("host") == dattr)
                          | F.col("host").endswith(
                              F.concat(F.lit("."), dattr)))

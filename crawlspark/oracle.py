@@ -61,18 +61,23 @@ def cookie_get(jar0: dict, host: str, path: str, name: str, rnd: int):
 
 
 def apply_set_cookie(jar: dict, seq: int, host: str, ppath: str,
-                     c: dict, rnd: int) -> None:
+                     c: dict, rnd: int, rd_fn=None) -> None:
     """RFC 6265 §5.3 setting rules (the engine harvest's sequential
     mirror): Domain validation against the setting host + its
     registrable domain, default path, Max-Age→expires_round, and the
     max(set_seq, value, expiry) merge. Mutates ``jar`` in place; expiry
-    PRUNING stays with the caller (it is a round-end sweep)."""
+    PRUNING stays with the caller (it is a round-end sweep).
+    ``rd_fn`` swaps the registrable-domain resolver (full-PSL twin:
+    psl.py_registrable_domain_psl) — the engine-side analog is
+    CrawlConfig.psl."""
     from .urltools import py_registrable_domain
+    if rd_fn is None:
+        rd_fn = py_registrable_domain
     dattr = c.get("domain")
     if dattr is not None:
         d = dattr[1:] if dattr.startswith(".") else dattr
         d = d.lower()
-        rd = py_registrable_domain(host)
+        rd = rd_fn(host)
         if not (host == d or host.endswith("." + d)):
             return
         if rd is None or not (d == rd or d.endswith("." + rd)):
@@ -123,7 +128,8 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
              curate_min_side: int = 48,
              curate_aspect_num: int = 3,
              curate_aspect_den: int = 1,
-             curate_min_caption_tokens: int = 4) -> OracleResult:
+             curate_min_caption_tokens: int = 4,
+             psl_rules=None) -> OracleResult:
     """pages_by_url: canonical url -> page dict (FIXTURES.md §2 row shape);
     robots: host -> (disallow_prefixes, crawl_delay_ms);
     seeds: [url, ...] in seed_pos order.
@@ -163,6 +169,16 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
     scheduling pool.
     """
     from .frontier.robots import rule_allows
+
+    # ``psl_rules``: full-PSL cookie-Domain validation twin of the
+    # engine's CrawlConfig.psl (crawlspark.psl.PslRules); None ⇒ the
+    # urltools subset fast path.
+    rd_fn = None
+    if psl_rules is not None:
+        from .psl import py_registrable_domain_psl
+
+        def rd_fn(h, _rules=psl_rules):
+            return py_registrable_domain_psl(h, _rules)
 
     res = OracleResult()
     # RFC 6265-scoped jar (mirrors the engine's cookies state table):
@@ -408,7 +424,7 @@ def simulate(pages_by_url: dict, robots: dict, seeds: list,
         # (domain, host_only, path, name) wins; expired rows prune.
         for seq, host, ppath, c in sorted(cookie_updates,
                                           key=lambda t: t[0]):
-            apply_set_cookie(jar, seq, host, ppath, c, r)
+            apply_set_cookie(jar, seq, host, ppath, c, r, rd_fn=rd_fn)
         jar = {k: v for k, v in jar.items()
                if v[2] is None or v[2] >= r + 1}
 

@@ -342,3 +342,94 @@ def test_cookie_gate_matches_oracle_randomized(spark):
             (i, h, canon, req, v, got[i])
     # both outcomes occurred (the grid actually exercises the gate)
     assert 200 in got.values() and 403 in got.values()
+
+
+def test_psl_cookie_domain_validation_golden(spark):
+    """Full-PSL cookie-Domain validation (CrawlConfig.psl / oracle
+    psl_rules): with *.kawasaki.jp in the list, shop.kawasaki.jp is a
+    PUBLIC SUFFIX, so a Domain=.shop.kawasaki.jp cookie set from
+    a.shop.kawasaki.jp must be IGNORED (the literal-IN subset path
+    would have accepted it — its registrable domain there is
+    kawasaki.jp); the !city.kawasaki.jp exception keeps
+    city.kawasaki.jp a normal registrable site whose Domain cookies
+    ride to subdomains. Engine fetch log is pinned exactly against the
+    sequential oracle running the same rules."""
+    from crawlspark.psl import load_psl
+    from crawlspark.synth import COOKIE_COLS_SCHEMA, PAGES_SCHEMA
+
+    A = "http://a.shop.kawasaki.jp"
+    B = "http://b.shop.kawasaki.jp"
+    X = "http://x.a.shop.kawasaki.jp"
+    C = "http://city.kawasaki.jp"
+    D = "http://sub.city.kawasaki.jp"
+    pages = [
+        _scope_page(
+            f"{A}/login",
+            links=[f"{B}/steal", f"{X}/need-ok"],
+            set_cookies=[
+                # rejected by full PSL: Domain IS a public suffix
+                {"name": "evil", "value": "1",
+                 "domain": ".shop.kawasaki.jp", "path": None,
+                 "max_age": None},
+                # accepted: Domain == the setting host's registrable
+                # domain under *.kawasaki.jp (= a.shop.kawasaki.jp)
+                {"name": "ok", "value": "1",
+                 "domain": ".a.shop.kawasaki.jp", "path": None,
+                 "max_age": None},
+            ]),
+        _scope_page(
+            f"{C}/set", links=[f"{D}/need-cauth"],
+            set_cookies=[
+                # exception rule: city.kawasaki.jp is registrable
+                {"name": "cauth", "value": "1",
+                 "domain": ".city.kawasaki.jp", "path": None,
+                 "max_age": None},
+            ]),
+        _scope_page(f"{B}/steal", require="evil"),
+        _scope_page(f"{X}/need-ok", require="ok"),
+        _scope_page(f"{D}/need-cauth", require="cauth"),
+    ]
+    by_url = {p["url"]: p for p in pages}
+    hosts = sorted({p["host"] for p in pages})
+    robots_d = {h: ([], 0) for h in hosts}
+    seeds_l = [f"{A}/login", f"{C}/set"]
+    rules = load_psl()
+
+    want = oracle.simulate(by_url, robots_d, seeds_l, round_ms=30_000,
+                           k_global=50, max_rounds=3, psl_rules=rules)
+
+    pages_df = spark.createDataFrame(
+        [tuple(p[k] for k in (
+            "url", "host", "base_href", "meta_refresh_url", "links",
+            "title", "image_id", "status", "form_action", "form_method",
+            "form_inputs", "set_cookies", "require_cookie"))
+         for p in pages],
+        PAGES_SCHEMA + COOKIE_COLS_SCHEMA)
+    robots_df = spark.createDataFrame(
+        [(h, [], 0) for h in hosts],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long")
+    seeds_df = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds_l)], "url string, seed_pos long")
+
+    cfg = CrawlConfig(k_global=50, max_rounds=3, seen_shards=2,
+                      seen_m_bits=1 << 14, validate_fraction=0,
+                      shuffle_partitions=4, psl=rules)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="golden_psl_"))
+    eng = CrawlEngine(spark, store, pages_df, robots_df, None, cfg)
+    eng.seed(seeds_df)
+    eng.run()
+    log = [(r["fetch_seq"], r["canon"], r["status"], r["is_refresh"],
+            r["image_id"]) for r in
+           store.read("fetch_log").orderBy("fetch_seq").collect()]
+    assert log == _want(want)
+
+    status = {c: s for _seq, c, s, _ref, _img in log}
+    assert status[f"{B}/steal"] == 403       # evil cookie was ignored
+    assert status[f"{X}/need-ok"] == 200     # rd-scoped cookie rides
+    assert status[f"{D}/need-cauth"] == 200  # exception-rule site cookie
+    jar = {(r["domain"], r["name"]) for r in
+           store.read("cookies").collect()}
+    assert ("a.shop.kawasaki.jp", "ok") in jar
+    assert ("city.kawasaki.jp", "cauth") in jar
+    assert not any(n == "evil" for _d, n in jar)
+    store.destroy()
