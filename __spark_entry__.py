@@ -3425,8 +3425,88 @@ def q_ann_topk_ivf(spark, sf_dir):
 # oracle-content change.
 _SF_CORRECTNESS = os.environ.get("CRAWLSPARK_SF_DIR",
                                  "/root/testdata/sf0.01")
-_ORACLE_DIR = ("/tmp/crawlspark_oracle_v21_"
+_ORACLE_DIR = ("/tmp/crawlspark_oracle_v22_"
                + os.path.basename(_SF_CORRECTNESS.rstrip("/")))
+
+# Shared CTE chain for the docs_clean_full composition: Gopher rules on
+# the RAW document (min_words=20, min_stop_hits=1 — the synthetic corpus
+# carries only 'the' from the 8-word Gopher stop list) → the same
+# deterministic page build as q_c4_clean → C4 line/page cleaning, ending
+# in `cleaned(doc_id, ctext, n_tokens)`. Used by BOTH the oracle SQL and
+# the materialized LSH-pair generation (__DOCS__ is replaced with the
+# document source), so the two sides see the same survivor set by
+# construction; the independent parts of the differential are the
+# bit-exact minhash mirror, the LM arithmetic, and the CC reachability.
+_DOCS_FULL_STAGES = """
+g0 AS (
+  SELECT doc_id, text,
+         list_filter(str_split_regex(trim(text), '\\s+'),
+                     w -> w <> '') AS words,
+         list_filter(str_split(text, chr(10)),
+                     ln -> trim(ln) <> '') AS lines
+  FROM __DOCS__),
+gm AS (
+  SELECT doc_id, text,
+         len(words) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words,
+                                               w -> length(w))), 0)
+              AS INTEGER) AS n_word_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              + length(text) - length(replace(text, chr(8230), ''))
+              AS BIGINT) AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             ln -> ltrim(ln) LIKE chr(8226) || '%'
+                   OR ltrim(ln) LIKE '- %')) AS n_bullet_lines,
+         len(list_filter(lines,
+             ln -> rtrim(ln) LIKE '%...'
+                   OR rtrim(ln) LIKE '%' || chr(8230))) AS n_ellipsis_lines,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(words, w -> lower(w)), s)))
+           AS n_stop_hits
+  FROM g0),
+gs AS (
+  SELECT doc_id, text FROM gm
+  WHERE n_words >= 20 AND n_words <= 100000
+    AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+    AND 10 * n_symbols < n_words
+    AND 10 * n_bullet_lines < 9 * n_lines
+    AND 10 * n_ellipsis_lines < 3 * n_lines
+    AND 5 * n_alpha_words >= 4 * n_words
+    AND n_stop_hits >= 1),
+gtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM gs),
+built AS (
+  SELECT doc_id,
+    'Enable JavaScript to continue please.'
+    || chr(10) || array_to_string(t[1:6], ' ') || '.'
+    || chr(10) || array_to_string(t[1:3], ' ') || '.'
+    || chr(10) || array_to_string(t[5:9], ' ')
+    || CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '' END
+    || chr(10) || array_to_string(t[3:8], ' ') || '!'
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+            WHEN doc_id % 19 = 0 THEN chr(10) || 'function f() { return 1; }'
+            ELSE '' END AS text
+  FROM gtok),
+evald AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(rtrim(l), '[.!?"]$')
+                 AND len(list_filter(string_split(trim(l), ' '),
+                                     w -> w <> '')) >= 5
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM built),
+cleaned AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS ctext,
+         CAST(len(list_filter(str_split_regex(
+                  trim(array_to_string(kept, chr(10))), '\\s+'),
+              w -> w <> '')) AS INTEGER) AS n_tokens
+  FROM evald
+  WHERE NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(text, '{')
+    AND len(kept) >= 3)"""
 
 
 def _ensure_oracle_files() -> None:
@@ -3459,6 +3539,23 @@ def _ensure_oracle_files() -> None:
     # minhash LSH candidates + raw jaccard counts
     write("minhash_pairs", pd.DataFrame(
         pyref.py_minhash_lsh_pairs(doc_rows),
+        columns=["left_id", "right_id", "n_inter", "n_union"]))
+    # docs_clean_full: LSH candidates over the composition's CLEANED
+    # text (gopher(raw) → page build → C4). The survivor set + clean
+    # text come from the same shared CTE chain the oracle SQL runs
+    # (DuckDB); the pair generation is the bit-exact minhash mirror.
+    import duckdb as _duckdb
+    _con = _duckdb.connect()
+    _docs_src = ("read_parquet('"
+                 + os.path.join(_SF_CORRECTNESS, "documents.parquet")
+                 + "')")
+    cleaned_rows = _con.execute(
+        "WITH " + _DOCS_FULL_STAGES.replace("__DOCS__", _docs_src)
+        + "\nSELECT doc_id, ctext FROM cleaned").fetchall()
+    _con.close()
+    write("docs_full_pairs", pd.DataFrame(
+        pyref.py_minhash_lsh_pairs(
+            [(int(i), t) for i, t in cleaned_rows]),
         columns=["left_id", "right_id", "n_inter", "n_union"]))
     # simhash: exhaustive all-pairs (== the pigeonhole-bucketed result)
     sim = pd.DataFrame(pyref.py_simhash_pairs(doc_rows, max_distance=3),
@@ -5542,6 +5639,248 @@ GROUP BY dbig.doc_id
 """
 
 
+def q_politeness_twin(spark, sf_dir):
+    """Batch twin of the streaming politeness admission gate
+    (streaming/politeness_stream.batch_politeness): per-host crawl-delay
+    budgets with credit carryover folded across 5 synthetic
+    micro-batches via a pure-Column F.aggregate recurrence; admission by
+    the engine's (priority desc, seq, hash) total order. The oracle is a
+    DuckDB RECURSIVE CTE running the same recurrence — value rows for
+    the applyInPandasWithState logic (tests pin twin == stream)."""
+    from crawlspark.streaming.politeness_stream import batch_politeness
+    ev = _t(spark, sf_dir, "events")
+    req = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string"))
+        .alias("host"),
+        F.col("event_id").cast("long").alias("url_hash"),
+        F.col("value").cast("double").alias("priority"),
+        F.col("event_id").cast("long").alias("discovered_seq"),
+        (((F.col("user_id") % 12) % 4) * 7500).cast("long")
+        .alias("crawl_delay_ms"),
+        (F.col("event_id") % 5).cast("int").alias("batch"))
+    return batch_politeness(req, round_ms=30_000, k_default=1_000)
+
+
+SQL_POLITENESS_TWIN = """
+WITH RECURSIVE req AS (
+  SELECT 'h' || (user_id % 12)::VARCHAR AS host,
+         CAST(event_id AS BIGINT) AS url_hash,
+         value::DOUBLE AS priority,
+         CAST(event_id AS BIGINT) AS discovered_seq,
+         CAST(((user_id % 12) % 4) * 7500 AS BIGINT) AS crawl_delay_ms,
+         CAST(event_id % 5 AS INTEGER) AS batch
+  FROM events),
+hb AS (SELECT host, batch, COUNT(*) AS n, MAX(crawl_delay_ms) AS delay
+       FROM req GROUP BY host, batch),
+seq AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY batch)
+               AS i
+        FROM hb),
+rec AS (
+  SELECT host, i, batch,
+         CASE WHEN delay <= 0 THEN 1000
+              ELSE greatest(1, (30000 + 0) // delay) END AS budget,
+         CASE WHEN delay <= 0 THEN 0
+              ELSE least(delay, greatest(0, 30000 + 0
+                   - least(n, greatest(1, (30000 + 0) // delay)) * delay))
+         END AS credit
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.host, s.i, s.batch,
+         CASE WHEN s.delay <= 0 THEN 1000
+              ELSE greatest(1, (30000 + r.credit) // s.delay) END,
+         CASE WHEN s.delay <= 0 THEN r.credit
+              ELSE least(s.delay, greatest(0, 30000 + r.credit
+                   - least(s.n, greatest(1, (30000 + r.credit) // s.delay))
+                     * s.delay))
+         END
+  FROM rec r JOIN seq s ON s.host = r.host AND s.i = r.i + 1),
+adm AS (
+  SELECT req.*, r.budget, r.credit AS credit_ms,
+         row_number() OVER (PARTITION BY req.host, req.batch
+                            ORDER BY req.priority DESC,
+                                     req.discovered_seq, req.url_hash)
+           AS rn
+  FROM req JOIN rec r ON r.host = req.host AND r.batch = req.batch)
+SELECT host, url_hash, priority, discovered_seq, crawl_delay_ms, batch,
+       rn <= budget AS admitted,
+       CAST(budget AS BIGINT) AS budget,
+       CAST(credit_ms AS BIGINT) AS credit_ms
+FROM adm
+"""
+
+
+def q_backoff_twin(spark, sf_dir):
+    """Batch twin of the streaming host-backoff circuit breaker
+    (streaming/backoff_stream.batch_backoff): per-(host, round) fetch and
+    error counts with the trailing-2-round RANGE-window suppression rule
+    (>= 55 errors), over a status population synthesized from event
+    arithmetic. Plain-SQL window mirror — value rows for the stream's
+    bounded-state arithmetic (tests pin twin == stream)."""
+    from crawlspark.streaming.backoff_stream import batch_backoff
+    ev = _t(spark, sf_dir, "events")
+    fe = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string"))
+        .alias("host"),
+        (F.col("event_id") % 6).cast("int").alias("round"),
+        F.when((F.col("event_id") * 7 + F.col("user_id")) % 5 == 0,
+               F.lit(500)).otherwise(F.lit(200)).alias("status"))
+    return batch_backoff(fe, backoff_errors=55, backoff_window=2)
+
+
+SQL_BACKOFF_TWIN = """
+WITH fe AS (
+  SELECT 'h' || (user_id % 12)::VARCHAR AS host,
+         CAST(event_id % 6 AS INTEGER) AS round,
+         CASE WHEN (event_id * 7 + user_id) % 5 = 0 THEN 500 ELSE 200 END
+           AS status
+  FROM events),
+per AS (
+  SELECT host, round, CAST(COUNT(*) AS BIGINT) AS n_fetched,
+         CAST(SUM(CASE WHEN status // 100 <> 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM fe GROUP BY host, round)
+SELECT host, round, n_fetched, n_err,
+       COALESCE(SUM(n_err) OVER (PARTITION BY host ORDER BY round
+                RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING), 0) >= 55
+         AS suppressed
+FROM per
+"""
+
+
+def q_docs_clean_full(spark, sf_dir):
+    """The composed corpus-cleaning FLAGSHIP (the FineWeb/CCNet pipeline
+    shape, round-4 VERDICT "Next round" #6) as ONE declarative plan:
+
+      1. Gopher document-quality rules on the RAW text (min_words=20,
+         min_stop_hits=1) — pure-Column scan filter, pushed first;
+      2. the deterministic multi-line page build (same arithmetic as
+         q_c4_clean) + C4 line/page cleaning — still zero-shuffle;
+      3. bigram-LM scoring with the model TRAINED ON THE SURVIVORS
+         (CCNet's perplexity filter shape), fixed integer micro-nat
+         threshold ≥ -3,950,000 — the model join is the first
+         corpus-scale shuffle, and it happens only after both filters;
+      4. minhash-LSH fuzzy dedup LAST, over the final survivors only —
+         band-bucket join + connected components, keep min-id per
+         cluster with its absorbed-duplicate count.
+
+    Stage order is the audit point: filters run below the LM join and
+    dedup sees only what survives everything (PLANS.md docs_clean_full).
+    The oracle shares the survivor CTE chain, then independently
+    recomputes the LM arithmetic and walks the materialized bit-exact
+    minhash candidate pairs (superset, computed on stage-2 survivors —
+    per-doc signatures commute with filtering) restricted to final
+    survivors."""
+    _ensure_oracle_files()
+    from crawlspark.functions.dedup import (connected_components,
+                                            minhash_lsh_pairs)
+    from crawlspark.functions.text import (bigram_logprob, c4_line_clean,
+                                           gopher_quality, ws_tokens)
+    docs = _t(spark, sf_dir, "documents")
+    surv = (gopher_quality(docs, min_words=20, min_stop_hits=1,
+                           extra_cols=("text",))
+            .where("keep").select("doc_id", "text"))
+    toks = F.split(F.col("text"), " ")
+    nl = F.lit("\n")
+    built = surv.select(
+        "doc_id",
+        F.concat(
+            F.lit("Enable JavaScript to continue please."), nl,
+            F.array_join(F.slice(toks, 1, 6), " "), F.lit("."), nl,
+            F.array_join(F.slice(toks, 1, 3), " "), F.lit("."), nl,
+            F.array_join(F.slice(toks, 5, 5), " "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?")).otherwise(
+                F.lit("")), nl,
+            F.array_join(F.slice(toks, 3, 6), " "), F.lit("!"),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit("\nlorem ipsum dolor sit amet."))
+            .when(F.col("doc_id") % 19 == 0,
+                  F.lit("\nfunction f() { return 1; }"))
+            .otherwise(F.lit(""))).alias("text"))
+    cleaned = (c4_line_clean(built).where("keep")
+               .select("doc_id",
+                       F.col("clean_text").alias("text"),
+                       F.size(ws_tokens(F.col("clean_text")))
+                       .cast("int").alias("n_tokens"))
+               .persist())
+    scores = bigram_logprob(cleaned)
+    lm = (cleaned
+          .join(scores.select("doc_id", "mean_lp_micro"), "doc_id")
+          .where(F.col("mean_lp_micro") >= -3_950_000))
+    pairs = minhash_lsh_pairs(lm.select("doc_id", "text"), threshold=0.1)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = (lm.join(comp, "doc_id", "left")
+               .withColumn("component",
+                           F.coalesce("component",
+                                      F.col("doc_id").cast("long"))))
+    clusters = labeled.groupBy("component").agg(
+        F.min("doc_id").alias("doc_id"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"))
+    return (clusters
+            .join(labeled.select("doc_id", "n_tokens", "mean_lp_micro"),
+                  "doc_id")
+            .select("doc_id", "n_tokens", "mean_lp_micro", "n_dups"))
+
+
+def _sql_docs_clean_full() -> str:
+    return ("WITH RECURSIVE "
+            + _DOCS_FULL_STAGES.replace("__DOCS__", "documents") + """,
+tokc AS (
+  SELECT doc_id,
+         list_transform(list_filter(str_split_regex(trim(ctext), '\\s+'),
+                                    w -> w <> ''),
+                        w -> lower(w)) AS ws
+  FROM cleaned),
+big AS (
+  SELECT doc_id, ws[CAST(r.i AS INTEGER)] AS w1,
+         ws[CAST(r.i AS INTEGER) + 1] AS w2
+  FROM tokc, UNNEST(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2),
+dbig AS (SELECT doc_id, w1, w2, COUNT(*) AS n
+         FROM big GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, SUM(n) AS c12 FROM dbig GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT u.t) AS v FROM tokc, UNNEST(ws) AS u(t)),
+lp AS (SELECT c12.w1, c12.w2,
+              CAST(round(ln((c12.c12 + 1)::DOUBLE
+                            / (c1.c1 + (SELECT v FROM v))::DOUBLE)
+                         * 1000000) AS BIGINT) AS lp_micro
+       FROM c12 JOIN c1 USING (w1)),
+score AS (
+  SELECT dbig.doc_id,
+         CAST(SUM(dbig.n * lp.lp_micro) AS BIGINT)
+           // CAST(SUM(dbig.n) AS BIGINT) AS mean_lp_micro
+  FROM dbig JOIN lp USING (w1, w2) GROUP BY dbig.doc_id),
+lms AS (
+  SELECT c.doc_id, c.n_tokens, s.mean_lp_micro
+  FROM cleaned c JOIN score s USING (doc_id)
+  WHERE s.mean_lp_micro >= -3950000),
+p AS (
+  SELECT left_id AS a, right_id AS b
+  FROM read_parquet('""" + _ORACLE_DIR + """/docs_full_pairs.parquet')
+  WHERE round(n_inter::DOUBLE / n_union, 6) >= 0.1 AND left_id <> right_id),
+pe AS (
+  SELECT p.a, p.b FROM p
+  JOIN lms sa ON sa.doc_id = p.a
+  JOIN lms sb ON sb.doc_id = p.b),
+edges AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+walk(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+lab AS (
+  SELECT v2.doc_id, v2.n_tokens, v2.mean_lp_micro,
+         COALESCE(c.component, v2.doc_id) AS component
+  FROM lms v2 LEFT JOIN comp c ON c.node = v2.doc_id),
+cl AS (
+  SELECT component, MIN(doc_id) AS doc_id,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+  FROM lab GROUP BY component)
+SELECT cl.doc_id, l.n_tokens, l.mean_lp_micro, cl.n_dups
+FROM cl JOIN lab l ON l.doc_id = cl.doc_id AND l.component = cl.component
+""")
+
+
 def q_psl_site_rollup(spark, sf_dir):
     """Per-site rollup under FULL Public Suffix List semantics
     (crawlspark.psl: wildcard *.kawasaki.jp / *.ck, exceptions
@@ -6142,6 +6481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions
         "trigram_logprob": q_trigram_logprob,
         "psl_site_rollup": q_psl_site_rollup,
+        "docs_clean_full": q_docs_clean_full,
+        "politeness_twin": q_politeness_twin,
+        "backoff_twin": q_backoff_twin,
         # oldest r02-only entries (latest driver row: r02)
         "topk_per_host": q_topk_per_host,
         "crawl_delay_lag": q_crawl_delay_lag,
@@ -6437,6 +6779,9 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "trigram_logprob": SQL_TRIGRAM_LOGPROB,
         "psl_site_rollup": SQL_PSL_SITE_ROLLUP,
+        "docs_clean_full": _sql_docs_clean_full(),
+        "politeness_twin": SQL_POLITENESS_TWIN,
+        "backoff_twin": SQL_BACKOFF_TWIN,
         "crawl_epochs": SQL_CRAWL_EPOCHS,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "image_augment": SQL_IMAGE_AUGMENT,

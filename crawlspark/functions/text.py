@@ -483,8 +483,9 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 def gopher_quality(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
-                   min_words: int = 50, max_words: int = 100_000
-                   ) -> DataFrame:
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_stop_hits: int = 2,
+                   extra_cols: tuple = ()) -> DataFrame:
     """Full Gopher document-quality rule set (Rae et al. 2021, Appendix
     A1 — the standard web-corpus page filter; complements
     doc_repetition's repetition signals). A document is KEPT iff ALL
@@ -496,8 +497,14 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
       * < 90% of lines start with a bullet (``•`` or ``- ``);
       * < 30% of lines end with an ellipsis;
       * ≥ 80% of words contain at least one alphabetic character;
-      * ≥ 2 of the 8 Gopher stop words (the/be/to/of/and/that/have/with)
-        appear as case-folded word tokens.
+      * ≥ ``min_stop_hits`` of the 8 Gopher stop words
+        (the/be/to/of/and/that/have/with) appear as case-folded word
+        tokens (paper: 2; a narrow-vocabulary corpus may need 1).
+
+    ``extra_cols`` names input columns to carry through the projection
+    (e.g. the text itself for a downstream pipeline stage) — keeps a
+    filter-then-continue composition a single projection instead of a
+    corpus-scale self-join on the id.
 
     All ratio thresholds are evaluated in EXACT integer cross-multiplied
     arithmetic (e.g. ``10 * n_symbols < n_words``), so the DuckDB oracle
@@ -547,9 +554,10 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
             & (10 * bullet < 9 * n_lines)
             & (10 * ellip < 3 * n_lines)
             & (5 * alpha >= 4 * n_words)
-            & (stop_hits >= 2))
+            & (stop_hits >= min_stop_hits))
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_words.cast("int").alias("n_words"),
         n_word_chars.cast("int").alias("n_word_chars"),
         n_symbols.alias("n_symbols"),

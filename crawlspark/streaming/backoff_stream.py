@@ -73,3 +73,26 @@ def streaming_backoff(fetches: DataFrame, backoff_errors: int,
                 gate, OUT_SCHEMA, STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def batch_backoff(fetches: DataFrame, backoff_errors: int,
+                  backoff_window: int = 2) -> DataFrame:
+    """BATCH TWIN of :func:`streaming_backoff`: the identical
+    trailing-window suppression rule as one declarative plan — a
+    per-(host, round) count aggregate plus a RANGE window summing the
+    prior ``backoff_window`` rounds' errors. Value-checkable against a
+    plain SQL window mirror (the stream's bounded state arrays exist
+    only to make the same sum incremental)."""
+    from pyspark.sql import Window, functions as F
+
+    per = (fetches.groupBy("host", "round")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_fetched"),
+                F.sum(F.when(F.expr("status div 100") != 2, 1)
+                      .otherwise(0)).cast("long").alias("n_err")))
+    w = (Window.partitionBy("host").orderBy("round")
+         .rangeBetween(-backoff_window, -1))
+    return per.select(
+        "host", F.col("round").cast("int").alias("round"),
+        "n_fetched", "n_err",
+        (F.coalesce(F.sum("n_err").over(w), F.lit(0))
+         >= backoff_errors).alias("suppressed"))

@@ -78,3 +78,72 @@ def streaming_politeness(requests: DataFrame, round_ms: int = 30_000,
                 admit, OUT_SCHEMA, STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def batch_politeness(requests: DataFrame, round_ms: int = 30_000,
+                     k_default: int = 1_000,
+                     batch_col: str = "batch") -> DataFrame:
+    """BATCH TWIN of :func:`streaming_politeness` over pre-assigned
+    micro-batch indexes (``batch_col``) — the same admission arithmetic
+    as one declarative plan, so the applyInPandasWithState logic has a
+    value-checkable oracle row (tests pin twin == stream on the same
+    feed; the driver entry value-checks the twin against DuckDB's
+    recursive-CTE mirror).
+
+    The per-host credit recurrence (budget → used → credit') folds over
+    the host's ordered batch summaries with ``F.aggregate`` — a pure
+    Column fold over an array bounded by batches-per-host, no Python,
+    no iteration. Shuffle shape: one (host, batch) aggregate, one
+    host-level fold, one per-(host, batch) ranking window, one equi-join
+    of the host×batch budgets back onto the requests — all keyed by
+    host, the politeness state's natural partitioning at any scale.
+    """
+    from pyspark.sql import Window
+
+    acc_t = ("struct<credit:bigint,out:array<struct<"
+             "batch:int,budget:bigint,credit_ms:bigint>>>")
+    hb = (requests.groupBy("host", batch_col)
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.max(F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
+               .cast("long").alias("delay")))
+
+    def step(acc, x):
+        budget = (F.when(x["delay"] <= 0, F.lit(k_default).cast("long"))
+                  .otherwise(F.greatest(
+                      F.lit(1).cast("long"),
+                      ((F.lit(round_ms) + acc["credit"]) / x["delay"])
+                      .cast("long"))))
+        used = F.least(x["n"], budget)
+        credit = (F.when(x["delay"] > 0, F.least(
+                      x["delay"],
+                      F.greatest(F.lit(0).cast("long"),
+                                 F.lit(round_ms) + acc["credit"]
+                                 - used * x["delay"])))
+                  .otherwise(acc["credit"])).cast("long")
+        row = F.struct(x["batch"].alias("batch"),
+                       budget.alias("budget"),
+                       credit.alias("credit_ms"))
+        return F.struct(credit.alias("credit"),
+                        F.concat(acc["out"], F.array(row)).alias("out"))
+
+    folded = (hb.groupBy("host")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  F.col(batch_col).cast("int").alias("batch"),
+                  F.col("n"), F.col("delay")))).alias("arr"))
+              .select("host", F.explode(F.aggregate(
+                  "arr", F.expr(f"CAST(named_struct('credit', 0L, 'out', "
+                                f"array()) AS {acc_t})"),
+                  step)["out"]).alias("b"))
+              .select("host", F.col("b.batch").alias(batch_col),
+                      F.col("b.budget").alias("budget"),
+                      F.col("b.credit_ms").alias("credit_ms")))
+    w = (Window.partitionBy("host", batch_col)
+         .orderBy(F.col("priority").desc(), "discovered_seq", "url_hash"))
+    return (requests
+            .withColumn("_rn", F.row_number().over(w))
+            .join(folded, ["host", batch_col])
+            .select("host", "url_hash", "priority", "discovered_seq",
+                    "crawl_delay_ms", F.col(batch_col).cast("int")
+                    .alias(batch_col),
+                    (F.col("_rn") <= F.col("budget")).alias("admitted"),
+                    "budget", "credit_ms"))

@@ -450,3 +450,107 @@ def test_streaming_backoff_window(spark):
         window = sum(n for (hh, rr), n in errs.items()
                      if hh == h and r - 2 <= rr <= r - 1)
         assert sup == (window >= 3), (h, r)
+
+
+def test_politeness_batch_twin_matches_stream(spark):
+    """batch_politeness == streaming_politeness on the same feed: each
+    micro-batch is one parquet file drained with availableNow, the twin
+    sees the union with explicit batch indexes. Pins admitted/budget/
+    credit_ms per row — the driver's politeness_twin entry value-checks
+    the same arithmetic against a DuckDB recursive CTE."""
+    from crawlspark.streaming import streaming_politeness
+    from crawlspark.streaming.politeness_stream import batch_politeness
+
+    root = tempfile.mkdtemp(prefix="politetwin_")
+    src, out, ckpt = [os.path.join(root, d) for d in
+                      ("src", "out", "ckpt")]
+    os.makedirs(src)
+    schema = ("host string, url_hash long, priority double, "
+              "discovered_seq long, crawl_delay_ms long")
+    delays = {"h0": 12_000, "h1": 0, "h2": 9_000}
+    all_rows = []
+
+    def feed(b):
+        rows = []
+        for hi, (h, d) in enumerate(sorted(delays.items())):
+            for i in range(6):
+                seq = b * 100 + hi * 10 + i
+                rows.append((h, 1000 + seq, float((seq * 7) % 5), seq, d))
+        all_rows.extend((b,) + r for r in rows)
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src)
+
+    def drain():
+        req = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_politeness(req, round_ms=30_000, k_default=100)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for b in range(4):
+        feed(b)
+        drain()
+
+    twin_in = spark.createDataFrame(
+        all_rows, "batch int, " + schema)
+    twin = {(r["host"], r["url_hash"]):
+            (r["admitted"], r["budget"], r["credit_ms"])
+            for r in batch_politeness(twin_in, round_ms=30_000,
+                                      k_default=100).collect()}
+    streamed = {(r["host"], r["url_hash"]):
+                (r["admitted"], r["budget"], r["credit_ms"])
+                for r in spark.read.parquet(out).collect()}
+    assert twin == streamed and len(twin) == 4 * 18
+    # the recurrence actually bit: both admitted and deferred rows exist
+    flags = {v[0] for v in twin.values()}
+    assert flags == {True, False}
+
+
+def test_backoff_batch_twin_matches_stream(spark):
+    """batch_backoff == streaming_backoff on the same feed (rounds
+    arriving in order, one per micro-batch) — the driver's backoff_twin
+    entry value-checks the same window rule against plain SQL."""
+    from crawlspark.streaming.backoff_stream import (batch_backoff,
+                                                     streaming_backoff)
+
+    root = tempfile.mkdtemp(prefix="backofftwin_")
+    src, out, ckpt = [os.path.join(root, d) for d in
+                      ("src", "out", "ckpt")]
+    os.makedirs(src)
+    schema = "host string, round int, status int"
+    all_rows = []
+
+    def feed(r):
+        rows = []
+        for h, errs, total in (("a.test", 3, 5), ("b.test", 0, 4),
+                               ("c.test", 2, 2)):
+            for i in range(total):
+                rows.append((h, r, 500 if i < errs else 200))
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src)
+
+    def drain():
+        fe = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_backoff(fe, backoff_errors=5, backoff_window=2)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for r in range(5):
+        feed(r)
+        drain()
+
+    twin_in = spark.createDataFrame(all_rows, schema)
+    twin = {(r["host"], r["round"]):
+            (r["n_fetched"], r["n_err"], r["suppressed"])
+            for r in batch_backoff(twin_in, backoff_errors=5,
+                                   backoff_window=2).collect()}
+    streamed = {(r["host"], r["round"]):
+                (r["n_fetched"], r["n_err"], r["suppressed"])
+                for r in spark.read.parquet(out).collect()}
+    assert twin == streamed and len(twin) == 15
+    sup = {k for k, v in twin.items() if v[2]}
+    assert sup == {("a.test", r) for r in range(2, 5)}
