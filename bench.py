@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "c4_clean", "warc_wet",
     # round-4 additions (no round-1 baseline counterpart — info rows)
     "gopher_quality", "bigram_logprob", "chunk_documents",
+    # round-5 additions (info rows)
+    "trigram_logprob", "psl_site_rollup", "docs_clean_full",
+    "politeness_twin", "backoff_twin",
 ]
 
 CRAWL_TIER = os.environ.get("SPARK_GRAFT_CRAWL_TIER", "t2")
@@ -121,6 +124,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
+    # pre-warm the materialized pure-Python oracle files (memoized,
+    # ~16 s cold): they are oracle-HARNESS work some q functions ensure
+    # defensively — without the warm-up a cold /tmp would bill that
+    # one-time cost to whichever timed query hits it first
+    try:
+        entry_mod._ensure_oracle_files()
+    except Exception:
+        pass
     timings = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
