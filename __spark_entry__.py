@@ -6470,6 +6470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cookie_join, form_defaulting, nth_of_type, regex_capture,
         # ignore_zero, url_canonicalize. After r05 every registry entry
         # has a driver row from r03+ or a judge-verified r02 row.
+        # R06 WINDOW PLAN (if a further round runs): front-load the 7
+        # left-out entries above + any new additions, then backfill with
+        # the oldest r03-green rows (page_parse .. metrics_rollup block).
         # round-4 additions (first driver rows)
         "wordpiece_vocab": q_wordpiece_vocab,
         "wordpiece_tokenize": q_wordpiece_tokenize,
