@@ -677,7 +677,12 @@ class CrawlEngine:
         # Catalyst analysis per action (driver-side seconds each). On a
         # cluster swap for reliable checkpoint or rely on Iceberg round
         # tables; local mode keeps blocks on executor memory/disk.
-        allowed = ckpt(allowed)
+        # lazy (eager=False): the pivot materializes INSIDE its first
+        # full-scan consumer's job (the schedule_stats collect) instead
+        # of a dedicated job — one fewer job/round, same frozen blocks.
+        # (fetched stays EAGER: its first consumer is a limit-style
+        # probe, which would only partially materialize the pivot.)
+        allowed = ckpt(allowed, eager=False)
         if seen is not None:
             confirmed_seen = (allowed.filter(F.col("_seen"))
                               .select("url_hash"))
@@ -707,7 +712,7 @@ class CrawlEngine:
         if backoff_hosts is not None:
             pool = allowed.join(F.broadcast(backoff_hosts), "host",
                                 "left_anti")
-        stats = ckpt(schedule_stats(pool))
+        stats = ckpt(schedule_stats(pool), eager=False)
         cut = postcap_cut(stats, cfg.k_global)
         # the cut is applied BEFORE the salted ranking, not after: priority
         # is the leading sort key, so each host's ≥cut rows are a PREFIX of
@@ -730,7 +735,7 @@ class CrawlEngine:
         # scale. (CRAWLSPARK_NO_SEQ_PIVOT=1 is a measurement hook for
         # interleaved A/B trials, not a tuning knob.)
         if not os.environ.get("CRAWLSPARK_NO_SEQ_PIVOT"):
-            pruned = ckpt(pruned)
+            pruned = ckpt(pruned, eager=False)
         seq_df, n_pruned = with_global_seq(pruned, order_cols(), out="idx",
                                            start=0, return_count=True)
         scheduled = (seq_df.filter(F.col("idx") < cfg.k_global)
@@ -944,7 +949,7 @@ class CrawlEngine:
         # deduped (_rn == 1) and anti-joined against both the scheduled
         # hashes and the seen set — so the shuffle a distinct would add is
         # pure waste (goldens pin seen-set equality either way).
-        new_seen = ckpt(all_fetched.select("url_hash"))
+        new_seen = ckpt(all_fetched.select("url_hash"), eager=False)
 
         # dedup (A6) without shuffling the frontier. Invariant: the standing
         # frontier is unique by url_hash, so only (a) children vs children
@@ -968,7 +973,7 @@ class CrawlEngine:
                            .alias("_best"))
                       .select("_best.*")
                       .join(F.broadcast(new_seen), "url_hash", "left_anti")
-                      .transform(ckpt))
+                      .transform(lambda d: ckpt(d, eager=False)))
 
         rem_meta = allowed.join(F.broadcast(new_seen), "url_hash",
                                 "left_anti")
@@ -982,7 +987,7 @@ class CrawlEngine:
                              "url_hash",
                              F.col("priority").alias("_cp"),
                              F.col("discovered_seq").alias("_cd"))),
-                             "url_hash"))
+                             "url_hash"), eager=False)
         child_wins = (
             F.struct(F.col("_cp").alias("p"), (-F.col("_cd")).alias("n"))
             > F.struct(F.col("_rp").alias("p"), (-F.col("_rd")).alias("n")))

@@ -89,7 +89,13 @@ class PslRules:
 def parse_psl(text: str) -> PslRules:
     """Parse standard publicsuffix.org file format: ``//`` comments and
     blank lines skipped, first whitespace-separated token per line,
-    ``!`` exception prefix, ``*.`` wildcard prefix, lowercased."""
+    ``!`` exception prefix, ``*.`` wildcard prefix, lowercased.
+
+    The published list spells IDN rules in UNICODE (e.g. ``公司.cn``),
+    while every host this engine resolves is already punycode/ACE
+    (urltools idn_canonicalize) — so non-ASCII labels are IDNA-encoded
+    at parse time (stdlib codec, RFC 3490) or the real file's IDN rules
+    would silently never match."""
     rules = []
     for line in text.splitlines():
         line = line.strip()
@@ -106,7 +112,16 @@ def parse_psl(text: str) -> PslRules:
             # interior wildcards never occur in the published list; skip
             # loudly rather than mis-match
             raise ValueError(f"unsupported PSL rule: {line!r}")
-        rules.append(PslRule(tuple(tok.split(".")), wildcard, exception))
+        labels = []
+        for lab in tok.split("."):
+            if not lab.isascii():
+                try:
+                    lab = lab.encode("idna").decode("ascii")
+                except UnicodeError as e:
+                    raise ValueError(
+                        f"un-encodable IDN PSL rule: {line!r}") from e
+            labels.append(lab)
+        rules.append(PslRule(tuple(labels), wildcard, exception))
     return PslRules(rules)
 
 

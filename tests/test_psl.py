@@ -133,3 +133,16 @@ def test_rules_frame_cached(spark, rules):
     r = PslRules(list(rules.rules))
     f1 = r.frame(spark)
     assert r.frame(spark) is f1
+
+
+def test_parse_psl_idn_rules_punycode(rules):
+    """The real list spells IDN rules in unicode; hosts are ACE — the
+    parser must IDNA-encode rule labels so they match."""
+    r = parse_psl("中国\n*.公司.cn\n")
+    keys = {".".join(x.labels) for x in r.rules}
+    assert keys == {"xn--fiqs8s", "xn--55qx5d.cn"}
+    # an ACE host under the unicode wildcard rule resolves correctly
+    assert (py_registrable_domain_psl("shop.xn--55qx5d.cn", r)
+            is None)                              # *.公司.cn suffix
+    assert (py_registrable_domain_psl("a.shop.xn--55qx5d.cn", r)
+            == "a.shop.xn--55qx5d.cn")
