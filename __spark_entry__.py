@@ -1965,21 +1965,16 @@ FROM documents
 """
 
 
-def q_c4_clean(spark, sf_dir):
-    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2): each
-    document is rendered into a deterministic multi-line page — a
-    javascript boilerplate line, a good 6-word sentence, a 3-word
-    too-short line, a 5-word line whose terminal '?' appears only when
-    doc_id % 3 == 0, a 6-word '!' line, plus a page-killing 'lorem
-    ipsum' (doc_id % 17 == 0) or '{' code line (doc_id % 19 == 0) — then
-    text.c4_line_clean filters lines and pages. The DuckDB oracle builds
-    the same page from the token list and re-implements the rules with
-    its own list_filter lambdas."""
-    from crawlspark.functions.text import c4_line_clean
-    docs = _t(spark, sf_dir, "documents")
+def _built_page(docs):
+    """The deterministic multi-line page build shared by q_c4_clean and
+    q_docs_clean_full (and mirrored token-for-token by the `built` CTE in
+    SQL_C4_CLEAN and _DOCS_FULL_STAGES): a javascript boilerplate line,
+    sliced sentence lines with arithmetic-dependent terminal punctuation,
+    and a page-killing lorem-ipsum / code line on doc_id % 17 / % 19.
+    One definition so the two entries can never drift."""
     toks = F.split(F.col("text"), " ")
     nl = F.lit("\n")
-    built = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.lit("Enable JavaScript to continue please."), nl,
@@ -1994,7 +1989,21 @@ def q_c4_clean(spark, sf_dir):
             .when(F.col("doc_id") % 19 == 0,
                   F.lit("\nfunction f() { return 1; }"))
             .otherwise(F.lit(""))).alias("text"))
-    return c4_line_clean(built)
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2): each
+    document is rendered into a deterministic multi-line page — a
+    javascript boilerplate line, a good 6-word sentence, a 3-word
+    too-short line, a 5-word line whose terminal '?' appears only when
+    doc_id % 3 == 0, a 6-word '!' line, plus a page-killing 'lorem
+    ipsum' (doc_id % 17 == 0) or '{' code line (doc_id % 19 == 0) — then
+    text.c4_line_clean filters lines and pages. The DuckDB oracle builds
+    the same page from the token list and re-implements the rules with
+    its own list_filter lambdas."""
+    from crawlspark.functions.text import c4_line_clean
+    docs = _t(spark, sf_dir, "documents")
+    return c4_line_clean(_built_page(docs))
 
 
 SQL_C4_CLEAN = """
@@ -3425,8 +3434,13 @@ def q_ann_topk_ivf(spark, sf_dir):
 # oracle-content change.
 _SF_CORRECTNESS = os.environ.get("CRAWLSPARK_SF_DIR",
                                  "/root/testdata/sf0.01")
+# keyed by basename AND a hash of the FULL path: two different trees
+# whose leaf dirs share a name (e.g. a regenerated testdata copy) must
+# not share a memoized oracle cache
 _ORACLE_DIR = ("/tmp/crawlspark_oracle_v22_"
-               + os.path.basename(_SF_CORRECTNESS.rstrip("/")))
+               + os.path.basename(_SF_CORRECTNESS.rstrip("/")) + "_"
+               + __import__("hashlib").md5(
+                   _SF_CORRECTNESS.rstrip("/").encode()).hexdigest()[:8])
 
 # Shared CTE chain for the docs_clean_full composition: Gopher rules on
 # the RAW document (min_words=20, min_stop_hits=1 — the synthetic corpus
@@ -5736,7 +5750,7 @@ WITH fe AS (
   FROM events),
 per AS (
   SELECT host, round, CAST(COUNT(*) AS BIGINT) AS n_fetched,
-         CAST(SUM(CASE WHEN status // 100 <> 2 THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN status // 100 = 2 THEN 0 ELSE 1 END)
               AS BIGINT) AS n_err
   FROM fe GROUP BY host, round)
 SELECT host, round, n_fetched, n_err,
@@ -5779,23 +5793,7 @@ def q_docs_clean_full(spark, sf_dir):
     surv = (gopher_quality(docs, min_words=20, min_stop_hits=1,
                            extra_cols=("text",))
             .where("keep").select("doc_id", "text"))
-    toks = F.split(F.col("text"), " ")
-    nl = F.lit("\n")
-    built = surv.select(
-        "doc_id",
-        F.concat(
-            F.lit("Enable JavaScript to continue please."), nl,
-            F.array_join(F.slice(toks, 1, 6), " "), F.lit("."), nl,
-            F.array_join(F.slice(toks, 1, 3), " "), F.lit("."), nl,
-            F.array_join(F.slice(toks, 5, 5), " "),
-            F.when(F.col("doc_id") % 3 == 0, F.lit("?")).otherwise(
-                F.lit("")), nl,
-            F.array_join(F.slice(toks, 3, 6), " "), F.lit("!"),
-            F.when(F.col("doc_id") % 17 == 0,
-                   F.lit("\nlorem ipsum dolor sit amet."))
-            .when(F.col("doc_id") % 19 == 0,
-                  F.lit("\nfunction f() { return 1; }"))
-            .otherwise(F.lit(""))).alias("text"))
+    built = _built_page(surv)
     cleaned = (c4_line_clean(built).where("keep")
                .select("doc_id",
                        F.col("clean_text").alias("text"),

@@ -130,8 +130,13 @@ def main():
     # one-time cost to whichever timed query hits it first
     try:
         entry_mod._ensure_oracle_files()
-    except Exception:
-        pass
+    except Exception as e:
+        # not fatal for benching, but never silent: the first timed
+        # query that re-ensures would otherwise absorb the cost or fail
+        # with the root cause hidden
+        print(f"WARN: oracle pre-warm failed ({type(e).__name__}: {e}); "
+              "first materialized-oracle query will pay / surface it",
+              file=sys.stderr)
     timings = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

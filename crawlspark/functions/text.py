@@ -604,6 +604,53 @@ def _vocab_size(docs: DataFrame, gram_tokens: DataFrame, text_col: str,
                .agg(F.countDistinct("t")).first()[0] or 0)
 
 
+def _ngram_logprob(docs: DataFrame, order: int, out_n: str,
+                   text_col: str, id_col: str) -> DataFrame:
+    """Shared n-gram LM scorer behind bigram_logprob / trigram_logprob —
+    the order literally IS the widened key: one persisted
+    (doc, w1..wN, n) projection feeds the model marginals AND the
+    scoring join; the model join is the only corpus-scale shuffle; V
+    comes from _vocab_size (model-table tokens + short-doc sweep). Both
+    public wrappers share every arithmetic decision (cast-then-divide,
+    once-rounded integer micro-nats, BIGINT sums, `div` mean), so a
+    float-discipline fix lands in all orders at once.
+    """
+    gcols = [f"w{j + 1}" for j in range(order)]
+    fields = ", ".join(f"_toks[i+{j}] AS w{j + 1}" for j in range(order))
+    gram_t = ("array<struct<"
+              + ",".join(f"w{j + 1}:string" for j in range(order)) + ">>")
+    toks = F.transform(ws_tokens(F.col(text_col)), lambda t: F.lower(t))
+    # bind the token array once (SURVEY §4 HOF rule) via a projection
+    grams = (docs.select(F.col(id_col), toks.alias("_toks"))
+             .select(
+                 F.col(id_col),
+                 F.explode(F.when(F.size("_toks") >= order, F.expr(
+                     f"transform(sequence(0, size(_toks) - {order}), "
+                     f"i -> struct({fields}))"))
+                     .otherwise(F.array().cast(gram_t))).alias("g"))
+             .select(id_col, *[F.col(f"g.{c}").alias(c) for c in gcols]))
+    dgram = (grams.groupBy(id_col, *gcols)
+             .agg(F.count(F.lit(1)).alias("n")).persist())
+    cfull = dgram.groupBy(*gcols).agg(F.sum("n").alias("c_full"))
+    cctx = (cfull.groupBy(*gcols[:-1])
+            .agg(F.sum("c_full").alias("c_ctx")))
+    v = _vocab_size(docs, cfull.select(*gcols), text_col,
+                    max_order=order)
+    lp = (cfull.join(cctx, gcols[:-1])
+          .select(*gcols,
+                  F.round(F.log((F.col("c_full") + 1).cast("double")
+                                / (F.col("c_ctx") + F.lit(v))
+                                .cast("double")) * 1_000_000)
+                  .cast("long").alias("lp_micro")))
+    return (dgram.join(lp, gcols)
+            .groupBy(id_col)
+            .agg(F.sum("n").cast("long").alias(out_n),
+                 F.sum(F.col("n") * F.col("lp_micro")).cast("long")
+                 .alias("sum_lp_micro"))
+            .withColumn("mean_lp_micro",
+                        F.expr(f"sum_lp_micro div {out_n}")))
+
+
 def bigram_logprob(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Score every document by its mean BIGRAM log-probability under the
@@ -630,37 +677,7 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     NOT a second tokenize-explode-distinct pass over the corpus
     (round-4 VERDICT "What's wrong" #3).
     """
-    toks = F.transform(ws_tokens(F.col(text_col)), lambda t: F.lower(t))
-    # bind the token array once (SURVEY §4 HOF rule) via a projection
-    big = (docs.select(F.col(id_col), toks.alias("_toks"))
-           .select(
-               F.col(id_col),
-               F.explode(F.when(F.size("_toks") >= 2, F.zip_with(
-                   F.expr("slice(_toks, 1, size(_toks) - 1)"),
-                   F.expr("slice(_toks, 2, size(_toks) - 1)"),
-                   lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))))
-                   .otherwise(F.array().cast(
-                       "array<struct<w1:string,w2:string>>"))).alias("b"))
-           .select(id_col, F.col("b.w1").alias("w1"),
-                   F.col("b.w2").alias("w2")))
-    dbig = (big.groupBy(id_col, "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("n")).persist())
-    c12 = (dbig.groupBy("w1", "w2").agg(F.sum("n").alias("c12")))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    v = _vocab_size(docs, c12.select("w1", "w2"), text_col, max_order=2)
-    lp = (c12.join(c1, "w1")
-          .select("w1", "w2",
-                  F.round(F.log((F.col("c12") + 1).cast("double")
-                                / (F.col("c1") + F.lit(v))
-                                .cast("double")) * 1_000_000)
-                  .cast("long").alias("lp_micro")))
-    return (dbig.join(lp, ["w1", "w2"])
-            .groupBy(id_col)
-            .agg(F.sum("n").cast("long").alias("n_bigrams"),
-                 F.sum(F.col("n") * F.col("lp_micro")).cast("long")
-                 .alias("sum_lp_micro"))
-            .withColumn("mean_lp_micro",
-                        F.expr("sum_lp_micro div n_bigrams")))
+    return _ngram_logprob(docs, 2, "n_bigrams", text_col, id_col)
 
 
 def trigram_logprob(docs: DataFrame, text_col: str = "text",
@@ -685,39 +702,7 @@ def trigram_logprob(docs: DataFrame, text_col: str = "text",
     the short-doc sweep (_vocab_size), never a second corpus
     tokenization. All JVM.
     """
-    toks = F.transform(ws_tokens(F.col(text_col)), lambda t: F.lower(t))
-    tri = (docs.select(F.col(id_col), toks.alias("_toks"))
-           .select(
-               F.col(id_col),
-               F.explode(F.when(F.size("_toks") >= 3, F.expr(
-                   "transform(sequence(0, size(_toks) - 3), i -> "
-                   "struct(_toks[i] AS w1, _toks[i+1] AS w2, "
-                   "_toks[i+2] AS w3))"))
-                   .otherwise(F.array().cast(
-                       "array<struct<w1:string,w2:string,w3:string>>")))
-               .alias("g"))
-           .select(id_col, F.col("g.w1").alias("w1"),
-                   F.col("g.w2").alias("w2"),
-                   F.col("g.w3").alias("w3")))
-    dtri = (tri.groupBy(id_col, "w1", "w2", "w3")
-            .agg(F.count(F.lit(1)).alias("n")).persist())
-    c123 = dtri.groupBy("w1", "w2", "w3").agg(F.sum("n").alias("c123"))
-    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
-    v = _vocab_size(docs, c123.select("w1", "w2", "w3"), text_col,
-                    max_order=3)
-    lp = (c123.join(c12, ["w1", "w2"])
-          .select("w1", "w2", "w3",
-                  F.round(F.log((F.col("c123") + 1).cast("double")
-                                / (F.col("c12") + F.lit(v))
-                                .cast("double")) * 1_000_000)
-                  .cast("long").alias("lp_micro")))
-    return (dtri.join(lp, ["w1", "w2", "w3"])
-            .groupBy(id_col)
-            .agg(F.sum("n").cast("long").alias("n_trigrams"),
-                 F.sum(F.col("n") * F.col("lp_micro")).cast("long")
-                 .alias("sum_lp_micro"))
-            .withColumn("mean_lp_micro",
-                        F.expr("sum_lp_micro div n_trigrams")))
+    return _ngram_logprob(docs, 3, "n_trigrams", text_col, id_col)
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,

@@ -62,12 +62,15 @@ class PslRules:
         self.rules = tuple(rules)
         self.max_key_len = max(len(r.labels) for r in rules)
         self._frame = None
+        self._frame_session = None
 
     def frame(self, spark) -> DataFrame:
         """(key, key_len, has_exc, has_wild, has_norm) — one row per
         distinct literal key, the three rule flavors pre-merged so the
-        per-depth joins stay 1:1. Built once, cached on the instance."""
-        if self._frame is None:
+        per-depth joins stay 1:1. Built once per SparkSession and
+        cached on the instance (a rules object outliving its session —
+        stop/restart — gets a fresh frame, not a dead handle)."""
+        if self._frame is None or self._frame_session is not spark:
             by_key: dict[str, list[bool]] = {}
             for r in self.rules:
                 key = ".".join(r.labels)
@@ -83,6 +86,7 @@ class PslRules:
             self._frame = spark.createDataFrame(
                 rows, "key string, key_len int, has_exc boolean, "
                       "has_wild boolean, has_norm boolean")
+            self._frame_session = spark
         return self._frame
 
 
@@ -108,7 +112,7 @@ def parse_psl(text: str) -> PslRules:
         wildcard = tok.startswith("*.")
         if wildcard:
             tok = tok[2:]
-        if not tok or "*" in tok:
+        if not tok or "*" in tok or (exception and wildcard):
             # interior wildcards never occur in the published list; skip
             # loudly rather than mis-match
             raise ValueError(f"unsupported PSL rule: {line!r}")

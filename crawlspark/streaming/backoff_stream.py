@@ -85,10 +85,13 @@ def batch_backoff(fetches: DataFrame, backoff_errors: int,
     only to make the same sum incremental)."""
     from pyspark.sql import Window, functions as F
 
+    # NULL status counts as an ERROR, matching the stream's pandas
+    # arithmetic (NaN // 100 != 2 → True): the when() tests the 2xx
+    # branch so NULL falls to the error side, not silently to 0.
     per = (fetches.groupBy("host", "round")
            .agg(F.count(F.lit(1)).cast("long").alias("n_fetched"),
-                F.sum(F.when(F.expr("status div 100") != 2, 1)
-                      .otherwise(0)).cast("long").alias("n_err")))
+                F.sum(F.when(F.expr("status div 100") == 2, 0)
+                      .otherwise(1)).cast("long").alias("n_err")))
     w = (Window.partitionBy("host").orderBy("round")
          .rangeBetween(-backoff_window, -1))
     return per.select(
