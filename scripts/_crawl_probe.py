@@ -26,7 +26,19 @@ cfg = CrawlConfig(k_global=int(os.environ.get("SPARK_GRAFT_CRAWL_K", "2000")),
                   seen_shards=8,
                   seen_m_bits=1 << 22, salt_buckets=cores,
                   validate_fraction=0)
+def _canary() -> float:
+    """Single-thread CPU probe (same loop as scaling_trial.py) — stamps
+    what the hypervisor was delivering around each trial so a recorded
+    crawl number is interpretable (clean window: <=0.70)."""
+    t = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.time() - t, 2)
+
+
 for trial in range(2):
+    c_before = _canary()
     store = SnapshotStore(spark, tempfile.mkdtemp(
         prefix="crawlprobe_", dir="/dev/shm"))
     eng = CrawlEngine(spark, store, pages, robots, None, cfg)
@@ -38,5 +50,7 @@ for trial in range(2):
     print(f"RESULT trial={trial} cores={cores} seconds={dt:.2f} "
           f"scheduled={sum(s['scheduled'] for s in stats)} "
           f"fetched={sum(s['fetched'] for s in stats)} "
-          f"rounds={len(stats)}", flush=True)
+          f"rounds={len(stats)} "
+          f"canary_before={c_before} canary_after={_canary()}",
+          flush=True)
 spark.stop()
