@@ -151,3 +151,59 @@ def test_ws_tokens_python_split_semantics(spark):
            df.select("i", ws_tokens(F.col("t")).alias("toks")).collect()}
     for i, t in enumerate(cases):
         assert got[i] == t.split(), (t, got[i])
+
+
+def test_ngram_logprob_random_corpora_vs_python(spark):
+    """Hypothesis differential for the shared _ngram_logprob scorer
+    (orders 2 and 3) against an independent Counter-based python model:
+    random tiny corpora over a 4-word alphabet, including empty docs
+    and docs shorter than the order (the _vocab_size short-doc sweep).
+    Exact integer equality — micro-nat rounding, BIGINT sums, div mean."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from crawlspark.functions.text import bigram_logprob, trigram_logprob
+
+    def py_ref(docs, order):
+        toks = {i: [w.lower() for w in t.split()] for i, t in docs}
+        dgrams = {i: Counter(zip(*[ws[j:] for j in range(order)]))
+                  for i, ws in toks.items() if len(ws) >= order}
+        cfull = Counter()
+        for c in dgrams.values():
+            cfull.update(c)
+        cctx = Counter()
+        for g, n in cfull.items():
+            cctx[g[:-1]] += n
+        vocab = set()
+        for ws in toks.values():
+            vocab.update(ws)
+        v = len(vocab)
+        out = {}
+        for i, c in dgrams.items():
+            s = n = 0
+            for g, k in c.items():
+                lp = round(math.log((cfull[g] + 1)
+                                    / (cctx[g[:-1]] + v)) * 1e6)
+                s += k * lp
+                n += k
+            out[i] = (n, s, s // n if s >= 0 else -((-s) // n))
+        return out
+
+    word = st.sampled_from(["a", "b", "cc", "Dd"])
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+
+    @settings(derandomize=True, max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        docs = list(enumerate(texts))
+        sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+        for order, fn, ncol in ((2, bigram_logprob, "n_bigrams"),
+                                (3, trigram_logprob, "n_trigrams")):
+            got = {r["doc_id"]: (r[ncol], r["sum_lp_micro"],
+                                 r["mean_lp_micro"])
+                   for r in fn(sdf).collect()}
+            assert got == py_ref(docs, order), (order, texts)
+
+    check()
